@@ -1,0 +1,58 @@
+"""Loaders for the driver testdata tables.
+
+One function, `load(spark, sf_dir, name)`, is the single scan entry point
+for every query in the engine — so scan-side concerns (the nanos timestamp
+conversion, schema assertions, column pruning hygiene) live in exactly one
+place. Loading is lazy; Catalyst still sees the parquet scan and pushes
+filters/projection into it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+from .session import configure
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame with its registry schema.
+
+    events.ts arrives as raw nanos (LongType) under the nanosAsLong conf;
+    convert with integer `div` (a float division would lose precision at
+    ~1e18 ns epochs: double has 53 mantissa bits ≈ ±256 ns error).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; registered: {TABLE_NAMES}")
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every registered table (lazy; no jobs run)."""
+    return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views so `spark.sql` queries (engine
+    entry point #2, SURVEY §3.3) can reference them by name."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def validate_schema(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Assert the on-disk table matches the registry (engine test helper)."""
+    actual = load(spark, sf_dir, name).schema
+    expected = TESTDATA_SCHEMAS[name]
+    actual_pairs = [(f.name, f.dataType.simpleString()) for f in actual.fields]
+    expected_pairs = [(f.name, f.dataType.simpleString()) for f in expected.fields]
+    if actual_pairs != expected_pairs:
+        raise AssertionError(
+            f"schema drift on {name}: disk={actual_pairs} registry={expected_pairs}")

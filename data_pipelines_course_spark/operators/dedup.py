@@ -1,0 +1,288 @@
+"""Deduplication operators over the documents table: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Engine-surface additions for large-scale training-data pipelines (build
+brief): none exist in the reference, but they generalize its tokenizer
+surface (A6/F1-F2) to the dedup shapes a 100 TB corpus needs.
+
+Scale design:
+- Exact dedup: one hash-aggregate on md5(text) — a single shuffle keyed by
+  a uniformly distributed 128-bit hash; no skew.
+- n-gram Jaccard: exact pairwise similarity restricted to pairs sharing at
+  least one shingle (the shingle self-join IS the candidate filter).
+  Quadratic in the worst case — used as the small-scale oracle-checked
+  ground truth for the LSH paths.
+- MinHash+LSH: shingle → 32 min-hashes → 8 bands × 4 rows → band-bucket
+  self-join. Cost is O(n · bands) plus the bucket joins: only documents
+  agreeing on a full band ever meet, so at 100 TB nothing quadratic
+  happens. All hashing is xxhash64 + affine permutations in int64 range
+  (a < 2^31, h masked to 32 bits ⇒ a*h+b < 2^63, no overflow).
+- SimHash: 64-bit signature from per-token hash sign sums; near-dup =
+  Hamming ≤ 3 found by pigeonhole banding on 4×16-bit chunks.
+
+No SQL oracle for the LSH/SimHash paths (hash-permutation semantics are
+not expressible in DuckDB's function set); they get rows-only driver
+checks plus pytest ground-truth tests against planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+# --------------------------------------------------------------------------
+# Exact dedup (hash-groupBy).
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (docs.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# --------------------------------------------------------------------------
+# Shingling shared by the similarity-dedup family: lowercase whitespace
+# words → 3-gram shingles, distinct per document. Pure HOF expressions.
+# --------------------------------------------------------------------------
+
+_WORDS = "split(lower(trim(text)), '\\\\s+')"
+_SHINGLES = (
+    f"array_distinct(transform(sequence(1, size({_WORDS}) - 2),"
+    f" i -> concat_ws(' ', element_at({_WORDS}, i),"
+    f" element_at({_WORDS}, i + 1), element_at({_WORDS}, i + 2))))"
+)
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs; documents with <3 words dropped."""
+    return (docs
+            .filter(F.expr(f"size({_WORDS})") >= 3)
+            .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")))
+
+
+_DUCK_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+# DuckDB 3-gram shingles via list lambda over start positions.
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS}) - 1),"
+    f" i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1]"
+    f" || ' ' || {_DUCK_WORDS}[i+2]))"
+)
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity — top-20 most similar pairs. The shingle
+# self-join restricts to pairs with ≥1 shared shingle; |A∩B| is the join
+# match count and |A∪B| = |A|+|B|−|A∩B|. Integer counts → the jaccard
+# double is bit-identical on both engines.
+# --------------------------------------------------------------------------
+
+@query(
+    "ngram_jaccard_topk",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM documents WHERE len({_DUCK_WORDS}) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc1, i.doc2,
+           floor((CAST(i.inter_cnt AS DOUBLE)
+                 / (s1.n + s2.n - i.inter_cnt)) * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    ORDER BY jaccard DESC, doc1, doc2 LIMIT 20
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc1"),
+                      F.col("b.doc_id").alias("doc2"))
+             .agg(F.count(F.lit(1)).alias("inter_cnt")))
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (inter
+            .join(s1, F.col("doc1") == F.col("s1.doc_id"))
+            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+            .select("doc1", "doc2",
+                    fround(F.col("inter_cnt").cast("double")
+                            / (F.col("s1.n") + F.col("s2.n")
+                               - F.col("inter_cnt")), 6).alias("jaccard"))
+            .orderBy(F.desc("jaccard"), "doc1", "doc2")
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs.
+# --------------------------------------------------------------------------
+
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+_MERSENNE_P = 4294967311  # smallest prime > 2^32
+_MASK32 = 0xFFFFFFFF
+
+
+def _perm_params(n: int = NUM_PERM) -> list[tuple[int, int]]:
+    """Deterministic affine permutation params via a fixed LCG (no runtime
+    randomness — signatures are stable across runs and engines)."""
+    params, state = [], 88172645463325252
+    for _ in range(n):
+        pair = []
+        for _ in range(2):
+            # xorshift64 — deterministic, well-mixed
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            pair.append(state % (2**31 - 1) + 1)
+        params.append((pair[0], pair[1]))
+    return params
+
+
+PERMS = _perm_params()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>[NUM_PERM]) minhash signature table.
+
+    One shuffle: groupBy(doc_id) with NUM_PERM min() partial aggregates —
+    Catalyst's map-side partials keep the shuffle narrow at scale.
+    """
+    sh = shingle_sets(docs)
+    # Mask xxhash64 to 32 bits so a*h+b stays within int64.
+    hashed = sh.select(
+        "doc_id",
+        (F.xxhash64("shingle").bitwiseAND(F.lit(_MASK32))).alias("h"),
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P))
+        .alias(f"s{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[F.col(f"s{i}") for i in range(NUM_PERM)]).alias("sig"))
+
+
+@query("minhash_lsh_pairs")  # rows-only: hash permutations not SQL-oracle-able
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs with signature-estimated Jaccard.
+
+    LSH banding: docs land in a bucket per (band, hash of 4 signature
+    rows); only same-bucket docs are joined. est_jaccard = fraction of
+    agreeing signature components; pairs below 0.5 are dropped.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {BANDS - 1}),"
+            f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+            f" {ROWS_PER_BAND})))"))
+        .alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.col("a.sig").alias("sig1"),
+                    F.col("b.sig").alias("sig2"))
+            .dropDuplicates(["doc1", "doc2"]))
+    est = F.expr(
+        f"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))"
+        f" / cast({NUM_PERM} as double)")
+    return (cand.select("doc1", "doc2",
+                        fround(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5))
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup: 64-bit signature; Hamming ≤ HAM_T via pigeonhole
+# banding on 4 × 16-bit chunks.
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAM_T = 3
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash bigint). Per-token xxhash64; bit i of the signature
+    is the sign of Σ_tokens (±count) for that bit. 64 conditional-sum
+    aggregates in one hash-aggregate pass."""
+    tokens = (docs
+              .select("doc_id",
+                      F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
+                      .alias("tok"))
+              .filter(F.col("tok") != "")
+              .groupBy("doc_id", "tok")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .select("doc_id", "cnt", F.xxhash64("tok").alias("h")))
+    bit_sums = [
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1,
+                     F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*bit_sums)
+    # Assemble signature bitwise-OR of (b_i > 0) << i; shiftleft runs
+    # JVM-side so bit 63 never materializes as an (overflowing) literal.
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0,
+                      F.shiftleft(F.lit(1).cast("long"), i)
+                      ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+@query("simhash_pairs")  # rows-only: bit-level hashing not SQL-oracle-able
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with Hamming(simhash1, simhash2) ≤ HAM_T. By pigeonhole, any
+    such pair agrees exactly on at least one of 4 16-bit chunks — the
+    chunk-equality join is the candidate filter (no quadratic scan)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    chunks = sigs.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " c -> (simhash >> (c * 16)) & 65535)")).alias("chunk", "ckey"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.ckey") == F.col("b.ckey"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc1"),
+                    F.col("b.doc_id").alias("doc2"),
+                    F.col("a.simhash").alias("h1"),
+                    F.col("b.simhash").alias("h2"))
+            .dropDuplicates(["doc1", "doc2"]))
+    hamming = F.expr("bit_count(h1 ^ h2)")
+    return (cand.select("doc1", "doc2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= HAM_T))

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed in Arrow-batched pandas stages via mapInPandas.
+
+Engine-surface addition for training-data pipelines (build brief). The
+image/audio codec libraries are not in this container, so the *decode*
+step is a clearly marked stub (deterministic fake features, or
+NotImplementedError for real codec work) — but the Spark-side plumbing is
+real and tested: binary column schema, mapInPandas batch iteration, Arrow
+transfer, output schema declaration, partition-preserving shape.
+
+Scale notes: mapInPandas streams Arrow record batches — constant memory
+per task regardless of partition size; binary payloads never pass through
+Python row-by-row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+if TYPE_CHECKING:  # pandas only imported in executors at runtime
+    import pandas as pd
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, payload_bytes bigint, "
+    "fake_width int, fake_height int, fake_duration_ms bigint"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapt the documents table into the MEDIA envelope shape: payload =
+    utf-8 bytes of the text (a stand-in for encoded image/audio bytes),
+    kind cycled deterministically from doc_id."""
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def fake_decode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """STUB decoder (build-brief mandated): deterministic fake features
+    derived from payload bytes. A real deployment swaps the body for
+    PIL/librosa/ffmpeg calls — the signature, schema and batch shape stay
+    identical."""
+    import pandas as pd  # executor-side import
+
+    for pdf in batches:
+        n = pdf["payload"].str.len().astype("int64")
+        yield pd.DataFrame({
+            "media_id": pdf["media_id"],
+            "kind": pdf["kind"],
+            "payload_bytes": n,
+            # Deterministic fakes: dimensions derived from content length.
+            "fake_width": (n % 640 + 16).astype("int32"),
+            "fake_height": (n % 480 + 16).astype("int32"),
+            "fake_duration_ms": (n * 7).astype("int64"),
+        })
+
+
+def real_decode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Placeholder for codec-backed decode; libraries absent in this
+    environment."""
+    raise NotImplementedError(
+        "real media decode requires PIL/librosa/ffmpeg — not available in "
+        "this container; use fake_decode_batches (same plumbing)")
+
+
+@query(
+    "media_feature_extract",
+    # The fake feature math is deterministic arithmetic on byte length, so
+    # the mapInPandas path has a full SQL oracle despite being a UDF stage.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS fake_height,
+           CAST(octet_length(encode(text)) * 7 AS BIGINT) AS fake_duration_ms
+    FROM documents
+    """,
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return media.mapInPandas(fake_decode_batches, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "media_kind_stats",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           count(*) AS cnt,
+           floor((avg(CAST(octet_length(encode(text)) AS DOUBLE))) * 100 + 0.5) / 100
+               AS avg_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped profile downstream of the decode stage — demonstrates that
+    UDF output composes with ordinary relational aggregation."""
+    decoded = media_feature_extract(spark, sf_dir)
+    return (decoded.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 fround(F.avg(F.col("payload_bytes").cast("double")), 2)
+                 .alias("avg_bytes")))

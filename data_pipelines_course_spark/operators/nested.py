@@ -1,0 +1,172 @@
+"""Nested-data operators: JSON parsing and array higher-order functions —
+SURVEY §2.8 F17-F21 and A8 (mean over an array field).
+
+The reference handles nested data in Python space (json.loads per row,
+list comprehensions over structs, itertools.chain flattening). Here every
+step stays JVM-side: from_json / get_json_object, explode, and the
+higher-order functions transform/aggregate/size — all inside whole-stage
+codegen, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+# ---------------------------------------------------------------------------
+# F17 — JSON parse (reference: json.loads(data), streaming/tweepy_stream.py:62
+# and Learning Dask Bags.ipynb:35). events.props is a JSON text column.
+# ---------------------------------------------------------------------------
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F17 + aggregation: group on a JSON-extracted key. At scale the parse runs
+# once per row inside codegen and the aggregation is an ordinary partial+
+# final hash agg on the extracted int.
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_group_by_key",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           count(*) AS cnt, floor((sum(value)) * 100 + 0.5) / 100 AS total
+    FROM events GROUP BY 1
+    """,
+)
+def json_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", PROPS_SCHEMA).getField("k").alias("k")
+    return (ev.groupBy(k)
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 fround(F.sum("value"), 2).alias("total")))
+
+
+# ---------------------------------------------------------------------------
+# F21 — array length (reference: len(x['payload']['commits']),
+# Learning Dask Bags.ipynb:97).
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_size",
+    oracle="""
+    SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim
+    FROM embeddings
+    """,
+)
+def array_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", F.size("embedding").alias("dim"))
+
+
+# ---------------------------------------------------------------------------
+# F20 — array element extraction (reference: [fr['main']['temp'] for fr in
+# list], Dask Distributed.ipynb:86). Exact float32 values — no rounding.
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_element_extract",
+    oracle="""
+    SELECT vec_id, embedding[1] AS first_dim, embedding[64] AS last_dim
+    FROM embeddings
+    """,
+)
+def array_element_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).alias("first_dim"),
+        F.element_at("embedding", 64).alias("last_dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — mean over an array field, rounded 2dp (reference:
+# np.round(np.mean(forecast_temps), 2), Dask Distributed.ipynb:122).
+# Higher-order aggregate keeps the summation sequential per-row (identical
+# on both engines once elements are upcast to double before summing).
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_mean",
+    oracle="""
+    SELECT vec_id,
+           floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 / len(embedding)) * 100 + 0.5) / 100 + 0.0 AS emb_mean
+    FROM embeddings
+    """,
+)
+def array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    mean_expr = F.expr(
+        "floor((aggregate(embedding, cast(0.0 as double),"
+        " (acc, x) -> acc + cast(x as double)) / size(embedding)) * 100 + 0.5) / 100"
+        " + cast(0 as double)")
+    return emb.select("vec_id", mean_expr.alias("emb_mean"))
+
+
+# ---------------------------------------------------------------------------
+# F20 transform + aggregate — squared-L2 norm via HOFs (the reference's
+# list-comprehension-over-array shape, computed JVM-side).
+# ---------------------------------------------------------------------------
+
+@query(
+    "array_transform_norm",
+    oracle="""
+    SELECT vec_id,
+           floor((list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 100 + 0.5) / 100 AS sq_norm
+    FROM embeddings
+    """,
+)
+def array_transform_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "floor((aggregate(transform(embedding,"
+        " x -> cast(x as double) * cast(x as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)) * 100 + 0.5) / 100")
+    return emb.select("vec_id", norm.alias("sq_norm"))
+
+
+# ---------------------------------------------------------------------------
+# F19 — explode / flatten (reference: itertools.chain.from_iterable,
+# airflow/dags/twitter_airflow.py:137): per-label mean of all embedding
+# components. Rounded 4dp — cross-row summation order differs by engine.
+# ---------------------------------------------------------------------------
+
+@query(
+    "explode_array_agg",
+    oracle="""
+    SELECT label, floor((avg(CAST(u AS DOUBLE))) * 10000 + 0.5) / 10000 + 0.0 AS comp_mean,
+           count(*) AS comp_cnt
+    FROM (SELECT label, unnest(embedding) AS u FROM embeddings)
+    GROUP BY label
+    """,
+)
+def explode_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.explode("embedding").alias("u"))
+            .groupBy("label")
+            .agg((fround(F.avg(F.col("u").cast("double")), 4) + F.lit(0.0)).alias("comp_mean"),
+                 F.count(F.lit(1)).alias("comp_cnt")))

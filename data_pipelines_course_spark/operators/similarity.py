@@ -1,0 +1,204 @@
+"""Similarity search over the embeddings table (array<float>[64]).
+
+Engine-surface additions for training-data pipelines (build brief):
+- brute-force top-k cosine (the exactness baseline, oracle-checked),
+- all-pairs near-duplicate cosine (oracle-checked ground truth),
+- random-hyperplane LSH ANN (the 100 TB path: bucketed search, no
+  quadratic stage; recall measured against brute force in tests).
+
+All vector math is JVM-side higher-order functions (zip_with + aggregate);
+elements are upcast to double *before* summation and summed sequentially
+per-array, which makes the result bit-identical to the DuckDB oracle's
+list_transform/list_sum pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+QUERY_VEC_ID = 0  # fixed probe vector for the deterministic top-k queries
+TOP_K = 10
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential double-precision dot product of two float-array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB equivalents, kept structurally identical (sequential double sums).
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (f"({_duck_dot(a, b)} / (sqrt({_duck_dot(a, a)})"
+            f" * sqrt({_duck_dot(b, b)})))")
+
+
+# --------------------------------------------------------------------------
+# Brute-force top-k cosine to a fixed query vector. The probe embedding is
+# fetched driver-side (single-row lookup) and inlined as a literal array —
+# on a cluster this is a broadcast of 64 floats, the scan stays one pass.
+# --------------------------------------------------------------------------
+
+@query(
+    "knn_brute_force",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings
+               WHERE vec_id = {QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           floor(({_duck_cos('e.embedding', 'q.qv')}) * 1000000 + 0.5) / 1000000 + 0.0 AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding").head()[0])
+    q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
+    scored = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+              .withColumn("qv", q)
+              .select("vec_id", "label",
+                      (fround(cosine("embedding", "qv"), 6) + F.lit(0.0)).alias("cos_sim")))
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(TOP_K)
+
+
+# --------------------------------------------------------------------------
+# All-pairs near-duplicate cosine, top-20 pairs. Quadratic — this is the
+# small-scale oracle-checked ground truth the LSH path is measured
+# against; at 100 TB only the LSH variant runs.
+# --------------------------------------------------------------------------
+
+@query(
+    "embedding_neardup_topk",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           floor(({_duck_cos('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 + 0.0 AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, id1, id2 LIMIT 20
+    """,
+)
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id1"),
+                     F.col("b.vec_id").alias("id2"),
+                     F.col("a.embedding").alias("e1"),
+                     F.col("b.embedding").alias("e2")))
+    return (pairs.select("id1", "id2",
+                         (fround(cosine("e1", "e2"), 6) + F.lit(0.0)).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "id1", "id2")
+            .limit(20))
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate nearest neighbors (random hyperplanes).
+# --------------------------------------------------------------------------
+
+N_PLANES = 12
+EMB_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed xorshift stream →
+    uniform in [-1, 1)); stable across runs, no runtime randomness."""
+    planes, state = [], 2463534242
+    for _ in range(N_PLANES):
+        row = []
+        for _ in range(EMB_DIM):
+            state ^= (state << 13) & 0xFFFFFFFF
+            state ^= state >> 17
+            state ^= (state << 5) & 0xFFFFFFFF
+            row.append(state / 2**31 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col() -> Column:
+    """Bucket id = sign-bit signature of the embedding against N_PLANES
+    fixed hyperplanes; pure JVM expression over the array column."""
+    bucket = None
+    for j, plane in enumerate(_hyperplanes()):
+        arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in plane) + ")"
+        d = F.expr(
+            f"aggregate(zip_with(embedding, {arr},"
+            f" (x, y) -> cast(x as double) * y),"
+            f" cast(0.0 as double), (acc, v) -> acc + v)")
+        bit = F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+@query("ann_lsh_topk")  # rows-only: hyperplane hashing not SQL-oracle-able
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k for the fixed probe: candidates are only the
+    vectors in the probe's LSH bucket; exact cosine re-ranks the bucket.
+    At scale: bucket column is precomputable/partitionable, and a probe
+    touches one bucket instead of the full corpus."""
+    emb = load(spark, sf_dir, "embeddings").withColumn("bucket", lsh_bucket_col())
+    probe = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    qvec, qbucket = probe["embedding"], probe["bucket"]
+    q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
+    cands = (emb.filter((F.col("bucket") == qbucket)
+                        & (F.col("vec_id") != QUERY_VEC_ID))
+             .withColumn("qv", q))
+    return (cands.select("vec_id", "label",
+                         (fround(cosine("embedding", "qv"), 6) + F.lit(0.0)).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(TOP_K))
+
+
+# --------------------------------------------------------------------------
+# Centroid per label — grouped vector aggregation (the "IVF coarse
+# quantizer" building block: at scale, probes search nearest centroids'
+# inverted lists first). Element-wise mean via posexplode + regroup.
+# --------------------------------------------------------------------------
+
+@query(
+    "label_centroid_norms",
+    oracle="""
+    WITH comp AS (
+        SELECT label, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i, avg(v) AS c FROM comp GROUP BY label, i
+    )
+    SELECT label, floor((sqrt(sum(c * c))) * 1000000 + 0.5) / 1000000 AS centroid_norm,
+           count(*) AS dim
+    FROM cent GROUP BY label
+    """,
+)
+def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "v_raw"),
+    ).select("label", (F.col("i0") + 1).alias("i"),
+             F.col("v_raw").cast("double").alias("v"))
+    cent = comp.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    return (cent.groupBy("label")
+            .agg(fround(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+                 .alias("centroid_norm"),
+                 F.count(F.lit(1)).alias("dim")))

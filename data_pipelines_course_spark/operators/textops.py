@@ -1,0 +1,192 @@
+"""Text-analysis operators for a training-data pipeline (engine surface
+beyond the reference, per the build brief): token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM-side expressions (split / regexp / higher-order filter) — no
+Python in the row path, so each of these runs inside whole-stage codegen
+and scales linearly with input splits at 100 TB.
+
+Reference lineage: the tokenizers generalize A6/F1-F2 (flatMap(split),
+re.findall('\\w+') — Chapter 6 - Introduction to PySpark.ipynb:251, :348);
+the stopword logic generalizes J5 (Learning Dask Bags.ipynb:155).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOP_EN = ("a", "the", "and", "of", "to", "in", "is", "it")
+STOP_DE = ("der", "die", "das", "und", "ist", "ein", "zu", "den")
+STOP_FR = ("le", "la", "les", "et", "est", "un", "une", "des")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _spark_hits(words: tuple[str, ...]) -> str:
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return (f"size(filter(split(lower(text), '\\\\s+'),"
+            f" x -> array_contains({arr}, x)))")
+
+
+def _duck_hits(words: tuple[str, ...]) -> str:
+    return (f"len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            f" x -> list_contains({_sql_list(words)}, x)))")
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens.
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER)
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), 0))
+        .alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword-ratio heuristics.
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS text_len,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+               AS n_tokens,
+           floor((CAST(length(text) AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))) * 100 + 0.5) / 100
+               AS avg_token_len,
+           floor((CAST({_duck_hits(STOP_EN)} AS DOUBLE)
+                 / len(string_split_regex(trim(text), '\\s+'))) * 10000 + 0.5) / 10000
+               AS stopword_ratio,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                 AND {_duck_hits(STOP_EN)} > 0
+                THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    stop_hits = F.expr(_spark_hits(STOP_EN))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        fround(F.length("text").cast("double") / n_tokens, 2)
+        .alias("avg_token_len"),
+        fround(stop_hits.cast("double") / n_tokens, 4).alias("stopword_ratio"),
+        F.when((n_tokens >= 20) & (stop_hits > 0), "keep")
+        .otherwise("drop").alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: stopword-hit scoring per candidate language with a
+# deterministic priority tie-break (en > de > fr). A scoring function, not
+# label recovery — the testdata lang column is synthetic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_duck_hits(STOP_EN)} AS INTEGER) AS hits_en,
+           CAST({_duck_hits(STOP_DE)} AS INTEGER) AS hits_de,
+           CAST({_duck_hits(STOP_FR)} AS INTEGER) AS hits_fr,
+           CASE
+             WHEN {_duck_hits(STOP_EN)} = 0 AND {_duck_hits(STOP_DE)} = 0
+                  AND {_duck_hits(STOP_FR)} = 0 THEN 'unknown'
+             WHEN {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_DE)}
+                  AND {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_FR)} THEN 'en'
+             WHEN {_duck_hits(STOP_DE)} >= {_duck_hits(STOP_FR)} THEN 'de'
+             ELSE 'fr'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    hits = {name: F.expr(_spark_hits(words)) for name, words in
+            (("en", STOP_EN), ("de", STOP_DE), ("fr", STOP_FR))}
+    predicted = (
+        F.when((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0),
+               "unknown")
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr"))
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: content hash (md5) — the exact-dedup key.
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source corpus stats (grouped profile of the documents table).
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_length_stats",
+    oracle="""
+    SELECT lang, count(*) AS cnt,
+           floor((avg(CAST(n_chars AS DOUBLE))) * 100 + 0.5) / 100 AS avg_chars,
+           max(n_chars) AS max_chars, min(n_chars) AS min_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 fround(F.avg(F.col("n_chars").cast("double")), 2)
+                 .alias("avg_chars"),
+                 F.max("n_chars").alias("max_chars"),
+                 F.min("n_chars").alias("min_chars")))

@@ -1,0 +1,173 @@
+"""Window / ordered-partition operators — SURVEY §2.7 (W1) plus the
+"NOT exercised" window surface (rank/dense_rank/row_number, lag/lead).
+
+Scale note: every window here partitions by a real key (user_id,
+c_mktsegment) so state is bounded per partition and the sort is local to
+the hash partition — no global sort, no single-reducer bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround
+from ..queries import query
+
+# ---------------------------------------------------------------------------
+# W1/A9 — first/last value in an ordered partition → period-over-period
+# ratio. Reference: (df.ix[-1]['Adj Close']/df.ix[0]['Adj Close'] - 1)*100
+# over a date-sorted year of quotes (celery_app/more_tasks.py:30-32).
+# Re-expressed per user_id over the events stream, ordered by (ts,
+# event_id) — the explicit tie-break makes first/last deterministic.
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_first_last_ratio",
+    oracle="""
+    SELECT DISTINCT user_id,
+           floor(((last_value(value) OVER w / first_value(value) OVER w - 1)
+                 * 100) * 100 + 0.5) / 100 + 0.0 AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (ev.select(
+                "user_id",
+                (fround((F.last("value").over(w) / F.first("value").over(w)
+                          - 1) * 100, 2) + F.lit(0.0)).alias("pct_change"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# A10 — range-position compare (reference: |today-high| < |today-low| →
+# 'higher'/'lower', celery_app/tasks.py:78-84). Per event_type: is the
+# latest value closer to the period high or the period low?
+# ---------------------------------------------------------------------------
+
+@query(
+    "range_position",
+    oracle="""
+    WITH agg AS (
+        SELECT event_type,
+               max(value) AS hi,
+               min(value) AS lo,
+               arg_max(value, ts) AS latest
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, hi, lo, latest,
+           CASE WHEN abs(latest - hi) < abs(latest - lo)
+                THEN 'closer to high' ELSE 'closer to low' END AS position
+    FROM agg
+    """,
+)
+def range_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.max("value").alias("hi"),
+        F.min("value").alias("lo"),
+        F.max_by("value", "ts").alias("latest"),
+    )
+    return agg.select(
+        "event_type", "hi", "lo", "latest",
+        F.when(F.abs(F.col("latest") - F.col("hi"))
+               < F.abs(F.col("latest") - F.col("lo")),
+               "closer to high").otherwise("closer to low").alias("position"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank / dense_rank / row_number with frame-deterministic ordering
+# (§2.7 "NOT exercised" — engine surface).
+# ---------------------------------------------------------------------------
+
+@query(
+    "rank_customers",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(row_number() OVER w AS INTEGER) AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag / lead deltas (§2.7 "NOT exercised" — engine surface): per-user
+# value delta between consecutive events.
+# ---------------------------------------------------------------------------
+
+@query(
+    "lag_lead_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           floor((value - lag(value) OVER w) * 100 + 0.5) / 100 + 0.0 AS delta_prev,
+           floor((lead(value) OVER w - value) * 100 + 0.5) / 100 + 0.0 AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        (fround(F.col("value") - F.lag("value").over(w), 2) + F.lit(0.0)).alias("delta_prev"),
+        (fround(F.lead("value").over(w) - F.col("value"), 2) + F.lit(0.0)).alias("delta_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding frame aggregation (engine surface; the Dask sorted-index rolling
+# analog of W2): 3-row moving average of value per user.
+# ---------------------------------------------------------------------------
+
+# The sum is written as explicit lag() terms rather than avg() OVER a
+# rows-frame: engines disagree on windowed-avg accumulation order (DuckDB
+# keeps a sliding accumulator, Spark re-sums the frame), which flips
+# floor((·) * 100 + 0.5) / 100 at representation boundaries. A fixed left-associated
+# (value + lag1) + lag2 is bit-identical everywhere.
+@query(
+    "moving_average",
+    oracle="""
+    SELECT user_id, event_id,
+           floor(((value + coalesce(lag(value, 1) OVER w, 0)
+                        + coalesce(lag(value, 2) OVER w, 0))
+                 / (1 + CASE WHEN lag(value, 1) OVER w IS NULL THEN 0 ELSE 1 END
+                      + CASE WHEN lag(value, 2) OVER w IS NULL THEN 0 ELSE 1 END)) * 100 + 0.5) / 100 AS ma3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag1 = F.lag("value", 1).over(w)
+    lag2 = F.lag("value", 2).over(w)
+    total = (F.col("value") + F.coalesce(lag1, F.lit(0))) + F.coalesce(lag2, F.lit(0))
+    n = (F.lit(1)
+         + F.when(lag1.isNull(), 0).otherwise(1)
+         + F.when(lag2.isNull(), 0).otherwise(1))
+    return ev.select(
+        "user_id", "event_id",
+        fround(total / n, 2).alias("ma3"),
+    )

@@ -1,0 +1,80 @@
+"""SparkSession factory and runtime-conf normalization.
+
+Design notes (SURVEY §3.3 / §4): the engine's entry points all converge on
+one Catalyst plan, so the session is configured once for scale-honest
+defaults — AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), UTC session timezone (hash-parity with the DuckDB oracle), and
+the legacy nanos-as-long parquet reader (driver testdata `events.ts` is
+TIMESTAMP(NANOS), which Spark cannot represent natively; `datasets.load`
+converts the raw nanos to a proper µs TimestampType column).
+
+Everything here must also be applicable to an *externally provided*
+session (the verify driver builds its own), hence `configure(spark)` only
+uses runtime-settable SQL confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs, safe to (re-)apply to any session.
+_RUNTIME_CONF: dict[str, str] = {
+    # Parity with DuckDB oracle: one wall clock for both engines.
+    "spark.sql.session.timeZone": "UTC",
+    # Driver testdata events.parquet stores TIMESTAMP(NANOS); read as long.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones, demote SMJ->BHJ when a side turns out small. Essential at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas path (vectorized, not per-row).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session (idempotent).
+
+    Called at the top of every public query entry point so the driver's own
+    SparkSession behaves identically to one built by :func:`get_spark`.
+    """
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf not recognized/settable on this build — non-fatal.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "data-pipelines-course-spark",
+              master: str | None = None) -> SparkSession:
+    """Build (or reuse) the engine session.
+
+    local[N] for tests; on a real cluster the master/resource settings come
+    from spark-submit and only the SQL confs below matter.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Sized for local[32] test runs; a production deployment overrides
+        # via spark-submit. AQE coalesces down when partitions run small.
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Keep partition sizing explicit: ~128 MB split targets so a 100 TB
+        # scan yields ~800k well-sized tasks rather than a few huge ones.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+    )
+    for key, value in _RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    return configure(builder.getOrCreate())

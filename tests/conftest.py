@@ -1,0 +1,106 @@
+"""Shared test fixtures: one SparkSession per test run, a DuckDB oracle
+connection with the testdata views registered, and the result comparator
+that mirrors the driver's check (row count + schema + order-insensitive
+value hash)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_pipelines_course_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="engine-tests", master="local[8]")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, float-rounded canonical form."""
+    import datetime
+
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            s = s.round(6) + 0.0  # + 0.0 folds -0.0 into +0.0
+        elif s.dtype.kind == "M":
+            # datetime64 — Spark DateType arrives as object(date), DuckDB
+            # DATE as datetime64; align both to ISO strings.
+            s = s.dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        elif s.dtype == object:
+            s = s.map(lambda v: round(v, 6) + 0.0 if isinstance(v, float)
+                      else v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+                      if isinstance(v, (datetime.date, datetime.datetime))
+                      else v)
+        out[c] = s
+    df = pd.DataFrame(out)
+    # Sort rows canonically; numeric columns sort numerically, the rest as
+    # strings (mixed/None-bearing object columns included).
+    df = df.sort_values(
+        by=list(df.columns), ignore_index=True,
+        key=lambda s: s if s.dtype.kind in "ifuM" else s.map(repr))
+    return df
+
+
+def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
+    """Driver-style comparison of a Spark DataFrame vs a DuckDB relation."""
+    sp = spark_df.toPandas()
+    du = duck_rel.df()
+    assert len(sp) == len(du), (
+        f"{name}: row count mismatch spark={len(sp)} duckdb={len(du)}")
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"{name}: columns spark={sorted(sp.columns)} duck={sorted(du.columns)}")
+    nsp, ndu = _normalize(sp), _normalize(du)
+    for c in nsp.columns:
+        a, b = nsp[c], ndu[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            aa = pd.to_numeric(a, errors="coerce")
+            bb = pd.to_numeric(b, errors="coerce")
+            both_nan = aa.isna() & bb.isna()
+            close = (aa - bb).abs() <= 1e-6 + 1e-9 * bb.abs()
+            bad = ~(both_nan | close)
+        else:
+            bad = a.astype(str) != b.astype(str)
+        if bad.any():
+            i = bad.idxmax()
+            raise AssertionError(
+                f"{name}: value mismatch in column {c!r} at sorted row {i}: "
+                f"spark={a[i]!r} duckdb={b[i]!r} "
+                f"(total {int(bad.sum())} mismatched rows)")
+
+
+def hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def jaccard(s1: set, s2: set) -> float:
+    if not s1 and not s2:
+        return 1.0
+    return len(s1 & s2) / len(s1 | s2)
+
+
+def cosine_py(a, b) -> float:
+    d = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    return d / (na * nb)
