@@ -1,0 +1,78 @@
+"""Engine benchmark — one JSON line for the driver (BENCH_r{N}.json).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query executes against the noop sink so we
+measure full distributed compute without driver-side result collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from data_pipelines_course_spark.queries import all_queries
+from data_pipelines_course_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the shapes that
+# dominate at 100 TB (scan+agg, big join, shuffle-heavy text ops, LSH).
+HEADLINE = (
+    "flagship_grouped_agg",
+    "join_multiway_revenue",
+    "wordcount",
+    "topk_words",
+    "value_counts",
+    "grouped_hour_sum",
+    "window_first_last_ratio",
+    "rank_customers",
+    "json_group_by_key",
+    "text_quality",
+    "dedup_exact",
+    "ngram_jaccard_topk",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "knn_brute_force",
+    "ann_lsh_topk",
+    "media_feature_extract",
+)
+
+
+def run_query(df) -> None:
+    """Force full execution without collecting results to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for startup.
+    from pyspark.sql import functions as F
+    run_query(spark.range(1000).groupBy(F.col("id") % 10).count())
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Batch source readers (SURVEY §2.1 S1-S6, S10, S14-S15) with explicit
+schemas (§1.3 decision) and a bad-record quarantine channel (P4).
+
+The reference's external-API sources (S8/S9 REST, S16 stock API) are
+driver-side ingestion utilities by design (SURVEY §3.2: "REST stays
+driver-side") — they land files for these readers; see plans/pipeline.py
+for the retrying ingestion stage they run in. Nothing network-bound ever
+sits inside a Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..session import configure
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True, sep: str = ",") -> DataFrame:
+    """S1/S2 — CSV scan, single path or glob (glob is native; the
+    reference's dask glob read at First Steps with Dask.ipynb:642 maps to
+    the same call)."""
+    configure(spark)
+    return spark.read.csv(path, schema=schema, header=header, sep=sep)
+
+
+def read_csv_headerless(spark: SparkSession, path: str,
+                        schema: T.StructType) -> DataFrame:
+    """S3 — header-less CSV with caller-named columns (reference:
+    pd.read_csv(url, names=[...]), celery_app/tasks.py:71-73). Explicit
+    schema is mandatory — there is no header to infer from."""
+    configure(spark)
+    return spark.read.csv(path, schema=schema, header=False)
+
+
+def read_jsonl(spark: SparkSession, paths: str | list[str],
+               schema: T.StructType) -> DataFrame:
+    """S5 — JSON-lines scan; accepts a list of globs and gzipped input
+    transparently (reference: bag.read_text([glob1, glob2]).map(json.loads),
+    Learning Dask Bags.ipynb:35)."""
+    configure(spark)
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.json(paths, schema=schema)
+
+
+def read_json_document(spark: SparkSession, path: str,
+                       schema: T.StructType) -> DataFrame:
+    """S6 — one JSON document holding an array of objects (reference:
+    json.load over chatlogs, luigi/wordcount_map_reduce.py:16)."""
+    configure(spark)
+    return spark.read.json(path, schema=schema, multiLine=True)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """S4/S11 — line-oriented text; `path` may be any Hadoop URI
+    (file://, hdfs://) — the reference's HdfsTarget is just a URI here."""
+    configure(spark)
+    return spark.read.text(path)
+
+
+def read_with_quarantine(spark: SparkSession, path: str,
+                         schema: T.StructType, fmt: str = "json",
+                         ) -> tuple[DataFrame, DataFrame]:
+    """P4 — validation filter / bad-record channel. The reference rejects
+    error rows ad hoc (HTTP cod != 200 raise, skipped EmptyDataError
+    files, failed futures — SURVEY P4). The engine standardizes on
+    PERMISSIVE parsing with a corrupt-record column: returns
+    (good_rows, quarantine) so bad input is *data*, not control flow.
+
+    Scale note: one scan feeds both outputs; the quarantine side is a
+    filter on the same cached pass, not a re-read."""
+    configure(spark)
+    full_schema = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+    reader = spark.read.schema(full_schema).option("mode", "PERMISSIVE") \
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    df = reader.json(path) if fmt == "json" else reader.csv(path)
+    df = df.cache()
+    good = (df.filter(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL))
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
+
+
+def parallelize(spark: SparkSession, n: int, partitions: int = None) -> DataFrame:
+    """S14 — sc.parallelize(range(n), p) analog
+    (PySpark.ipynb:73: 20 partitions / 1000 elems)."""
+    configure(spark)
+    df = spark.range(n)
+    return df.repartition(partitions) if partitions else df
+
+
+def synthetic_timeseries(spark: SparkSession, start: str, days: int,
+                         seed: int = 42) -> DataFrame:
+    """S15/F-10 — deterministic synthetic daily series (reference
+    generator: First Steps with Dask.ipynb:620, one CSV per year with
+    date, A=randn, B=randint). rand/randn with a fixed seed keeps the
+    fixture reproducible."""
+    configure(spark)
+    return (spark.range(days)
+            .select(F.date_add(F.lit(start).cast("date"),
+                               F.col("id").cast("int")).alias("date"),
+                    F.randn(seed).alias("a"),
+                    (F.rand(seed) * 1000).cast("long").alias("b")))

@@ -1,0 +1,149 @@
+"""Structured Streaming jobs.
+
+Reference lineage (SURVEY §2.9/§3.3): the course's streaming story is a
+60 s DStream wordcount over a socket of tweet text
+(Chapter 6 - Introduction to Spark Streaming.ipynb:45-134, feeder
+streaming/tweepy_stream.py:61-83). Here each piece becomes Structured
+Streaming: sources are socket/rate/file (`readStream`), the wordcount is
+the same declarative transform as the batch path (one definition, two
+execution modes — the engine's batch/stream parity guarantee), and the
+DStream's processing-time batches become `trigger(processingTime=...)`.
+
+Beyond the reference (required for an honest Spark streaming story, per
+SURVEY §7 stage 4): event-time tumbling/sliding/session windows with
+watermarks for late data, and foreachBatch for exactly-once-style sink
+composition and batch-parity testing.
+
+Scale notes: every stateful operator here keys its state (word, user_id,
+window) so state partitions across executors; watermarks bound state
+growth — without them a 100 TB/day stream accumulates unbounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import configure
+
+# ---------------------------------------------------------------------------
+# Sources (T1/S12/S14-analog). The socket source mirrors the reference's
+# socketTextStream(0.0.0.0, 9999); file/rate sources are the replayable
+# test stand-ins for the tweepy feeder (SURVEY: S13 → file/rate in tests).
+# ---------------------------------------------------------------------------
+
+def socket_lines(spark: SparkSession, host: str = "0.0.0.0",
+                 port: int = 9999) -> DataFrame:
+    configure(spark)
+    return (spark.readStream.format("socket")
+            .option("host", host).option("port", port).load())
+
+
+def file_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Text-file stream: each new file in `path` becomes micro-batch input
+    (replayable fixture per FIXTURES.md F-11)."""
+    configure(spark)
+    return spark.readStream.format("text").load(path)
+
+
+def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic keyed event stream off the rate source (timestamp, value)."""
+    configure(spark)
+    return (spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second).load()
+            .select(F.col("timestamp").alias("ts"),
+                    (F.col("value") % 10).alias("user_id"),
+                    (F.col("value") % 100).cast("double").alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# Transforms — defined once, applied to batch or streaming frames alike.
+# ---------------------------------------------------------------------------
+
+def wordcount_transform(lines: DataFrame, col: str = "value") -> DataFrame:
+    """T2 — the DStream wordcount (flatMap(split) → map((w,1)) →
+    reduceByKey) as one declarative plan; partial aggregation replaces the
+    manual combiner."""
+    return (lines
+            .select(F.explode(F.split(F.lower(F.col(col)), r"\W+"))
+                    .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def windowed_wordcount(lines: DataFrame, ts_col: str = "timestamp",
+                       window: str = "60 seconds",
+                       watermark: str = "2 minutes") -> DataFrame:
+    """T1+T2 with event time: tumbling windows (the 60 s micro-batch
+    interval re-expressed as event-time windows) + watermark so late rows
+    beyond `watermark` are dropped and state is bounded."""
+    return (lines
+            .withWatermark(ts_col, watermark)
+            .select(F.col(ts_col),
+                    F.explode(F.split(F.lower(F.col("value")), r"\W+"))
+                    .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy(F.window(ts_col, window), "word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    "word", "cnt"))
+
+
+def sliding_user_stats(events: DataFrame, ts_col: str = "ts",
+                       window: str = "60 seconds",
+                       slide: str = "30 seconds",
+                       watermark: str = "2 minutes") -> DataFrame:
+    """Sliding event-time aggregation per user (beyond-reference surface)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window, slide), "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("value").alias("total"))
+            .select(F.col("window.start").alias("window_start"),
+                    "user_id", "cnt", "total"))
+
+
+def session_windows(events: DataFrame, ts_col: str = "ts",
+                    gap: str = "30 seconds",
+                    watermark: str = "2 minutes") -> DataFrame:
+    """Session windows keyed by user — activity bursts separated by >gap
+    close the session (NOT exercised in the reference; engine surface)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "user_id", "cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Sinks / lifecycle (T3, K9).
+# ---------------------------------------------------------------------------
+
+def start_console(result: DataFrame, interval: str = "60 seconds",
+                  mode: str = "update"):
+    """K9 console sink with the reference's 60 s processing-time cadence
+    (StreamingContext(sc, 60) → trigger(processingTime='60 seconds'))."""
+    return (result.writeStream.outputMode(mode).format("console")
+            .trigger(processingTime=interval).start())
+
+
+def run_available_now_to_memory(result: DataFrame, name: str,
+                                mode: str = "update"):
+    """Drain everything currently available into an in-memory table (K11
+    mock-sink analog) and block until done — the deterministic test
+    lifecycle: start → awaitTermination."""
+    q = (result.writeStream.outputMode(mode).format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q
+
+
+def foreach_batch_writer(result: DataFrame, batch_fn):
+    """foreachBatch composition point — used for batch-parity tests and
+    for sinks Spark lacks natively (the reference's SQLite append K3
+    becomes `lambda df, epoch: df.write.jdbc(...)` here)."""
+    return (result.writeStream.outputMode("update")
+            .foreachBatch(batch_fn).trigger(availableNow=True).start())

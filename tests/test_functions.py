@@ -1,0 +1,95 @@
+"""Scalar/expression-layer tests (SURVEY §5.2 item 3): the calc_ratio
+Hypothesis property ported from the reference (Chapter 7 - Testing with
+Hypothesis.ipynb — bounded floats, ≤2 decimals), run THROUGH Spark
+(createDataFrame → expr → collect) so our expressions are under test, not
+Python's arithmetic; plus weekday-convention, repr-list-adapter and
+fround determinism checks."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, functions as F
+
+from data_pipelines_course_spark.functions.scalar import (
+    calc_ratio, fround, iso_format, parse_repr_list, weekday_py,
+)
+
+# The reference's refined strategy: floats(min_value=4) then
+# max_value=10000 (Hypothesis.ipynb:89, :310). One shared Spark job per
+# example would be slow — batch examples through one DataFrame instead.
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(price=st.floats(min_value=4, max_value=10000),
+       compare=st.floats(min_value=4, max_value=10000))
+def test_calc_ratio_properties(spark, price, compare):
+    row = (spark.createDataFrame([Row(p=price, c=compare)])
+           .select(calc_ratio(F.col("p"), F.col("c")).alias("r"))
+           .head())
+    r = row["r"]
+    # Property 1 (reference): result is a float.
+    assert isinstance(r, float)
+    # Property 2 (reference): ≤ 2 decimal places after rounding.
+    assert r == round(r * 100) / 100 or math.isclose(
+        r, round(r * 100) / 100, rel_tol=1e-12)
+    # Property 3: matches the pure-python formula within rounding.
+    expected = ((price / compare) - 1) * 100
+    assert abs(r - expected) <= 0.005 + 1e-9 * abs(expected)
+
+
+def test_calc_ratio_documented_counterexamples(spark):
+    """The two shrunk failures the reference froze
+    (Hypothesis.ipynb:226, :299) must be handled, not crash."""
+    df = spark.createDataFrame(
+        [Row(p=8.000200000000001, c=4.0), Row(p=400000000000004.0, c=4.0)])
+    rows = df.select(calc_ratio(F.col("p"), F.col("c")).alias("r")).collect()
+    assert rows[0]["r"] == 100.01  # (8.0002/4 - 1)*100 = 100.005 → 100.01
+    assert rows[1]["r"] > 0
+
+
+def test_weekday_python_convention(spark):
+    """F10 ⚠ — Monday must be 0 (python d.weekday()), not Spark's
+    dayofweek Sunday=1."""
+    days = [datetime.date(2024, 1, d) for d in range(1, 8)]  # Mon 1 Jan 24
+    df = spark.createDataFrame([Row(d=d) for d in days])
+    got = [r[0] for r in
+           df.select(weekday_py(F.col("d"))).collect()]
+    expected = [d.weekday() for d in days]
+    assert got == expected == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_iso_format_matches_python_isoformat(spark):
+    ts = datetime.datetime(2024, 3, 5, 14, 30, 9)
+    df = spark.createDataFrame([Row(t=ts)])
+    got = df.select(iso_format(F.col("t")).alias("s")).head()["s"]
+    assert got == ts.isoformat() == "2024-03-05T14:30:09"
+
+
+def test_parse_repr_list_adapter(spark):
+    """F18 — legacy repr() lists (the reference's ast.literal_eval shape,
+    airflow/dags/twitter_airflow.py:136) parse into real arrays."""
+    df = spark.createDataFrame([
+        Row(urls="['http://a.example/x', 'http://b.example/y']"),
+        Row(urls="[]"),
+    ])
+    rows = df.select(parse_repr_list(F.col("urls")).alias("u")).collect()
+    assert rows[0]["u"] == ["http://a.example/x", "http://b.example/y"]
+    assert rows[1]["u"] == []
+
+
+def test_fround_boundary_determinism(spark):
+    """The motivating case: 34.285 is stored as 34.28499999999999803…;
+    fround must give 34.28 (binary-value rounding, like DuckDB/C), while
+    Spark's native round gives 34.29 (shortest-repr rounding)."""
+    df = spark.createDataFrame([Row(x=34.285)])
+    got = df.select(
+        fround(F.col("x"), 2).alias("f"),
+        F.round(F.col("x"), 2).alias("native"),
+    ).head()
+    assert got["f"] == 34.28
+    assert got["native"] == 34.29  # documents the engine disagreement

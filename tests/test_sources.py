@@ -1,0 +1,74 @@
+"""Source-reader tests (SURVEY §2.1): explicit-schema CSV/JSON/text reads,
+glob + gzip handling, and the P4 bad-record quarantine channel."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import types as T
+
+from data_pipelines_course_spark.schemas import CHATLOGS, QUOTES_TODAY
+from data_pipelines_course_spark.sources import readers
+
+
+def test_read_csv_headerless_named_columns(spark, tmp_path):
+    """S3 — the Yahoo quotes shape: no header, caller names columns."""
+    f = tmp_path / "quotes.csv"
+    f.write_text('"FB",104.5,"4:00pm"\n"GOOG",700.1,"4:00pm"\n')
+    df = readers.read_csv_headerless(spark, str(f), QUOTES_TODAY)
+    rows = {r["stock"]: r["price"] for r in df.collect()}
+    assert rows == {"FB": 104.5, "GOOG": 700.1}
+
+
+def test_read_jsonl_multiglob_gzip(spark, tmp_path):
+    """S5 — union of two globs, one gzipped (dask bag.read_text shape)."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "x.jsonl").write_text(
+        '{"type": "PushEvent", "n": 1}\n{"type": "ForkEvent", "n": 2}\n')
+    with gzip.open(tmp_path / "b" / "y.jsonl.gz", "wt") as f:
+        f.write('{"type": "PushEvent", "n": 3}\n')
+    schema = T.StructType([T.StructField("type", T.StringType()),
+                           T.StructField("n", T.LongType())])
+    df = readers.read_jsonl(
+        spark, [str(tmp_path / "a" / "*.jsonl"),
+                str(tmp_path / "b" / "*.jsonl.gz")], schema)
+    assert df.count() == 3
+    assert df.filter(df.type == "PushEvent").count() == 2
+
+
+def test_read_json_document_multiline(spark, tmp_path):
+    """S6 — one file holding a JSON array of objects (chatlogs)."""
+    f = tmp_path / "chatlogs.json"
+    f.write_text(
+        '[{"timestamp": "2016-01-01T00:00:00+00:00", "message": "hello '
+        'world", "datatype": "message", "nick": "alice"},\n'
+        ' {"timestamp": "2016-01-01T00:00:01+00:00", "message": "hello", '
+        '"datatype": "message", "nick": "bob"}]')
+    df = readers.read_json_document(spark, str(f), CHATLOGS)
+    assert df.count() == 2
+    assert set(df.columns) == {"timestamp", "message", "datatype", "nick"}
+
+
+def test_quarantine_channel(spark, tmp_path):
+    """P4 — malformed rows land in the quarantine frame, not an exception
+    (the engine's answer to the reference's ad-hoc error handling)."""
+    f = tmp_path / "events.jsonl"
+    f.write_text('{"id": 1, "v": 2.0}\n'
+                 'THIS IS NOT JSON\n'
+                 '{"id": 3, "v": 4.0}\n')
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    good, bad = readers.read_with_quarantine(spark, str(f), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "NOT JSON" in bad_rows[0][0]
+
+
+def test_synthetic_timeseries_deterministic(spark):
+    """S15 — same seed ⇒ identical fixture across runs."""
+    a = readers.synthetic_timeseries(spark, "2020-01-01", 10).collect()
+    b = readers.synthetic_timeseries(spark, "2020-01-01", 10).collect()
+    assert a == b
+    assert len(a) == 10

@@ -1,0 +1,164 @@
+"""Streaming tests (SURVEY §5.2 item 5): batch-parity via availableNow +
+memory sink, event-time windows with watermark late-data semantics.
+
+The socket/tweepy path is replaced by replayable file sources (SURVEY
+S13 note) — same transform code runs both modes.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.streaming import jobs
+
+LINES1 = ["the quick brown fox", "jumps over the lazy dog", "the dog barks"]
+LINES2 = ["quick quick fox", "lazy afternoon"]
+
+
+@pytest.fixture()
+def text_dir(tmp_path: pathlib.Path) -> pathlib.Path:
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    (d / "part1.txt").write_text("\n".join(LINES1) + "\n")
+    (d / "part2.txt").write_text("\n".join(LINES2) + "\n")
+    return d
+
+
+def test_stream_batch_parity_wordcount(spark, text_dir):
+    """The same wordcount transform over the same input must agree between
+    a streaming (file-source, availableNow) run and a batch run."""
+    stream_counts = jobs.wordcount_transform(
+        jobs.file_lines(spark, str(text_dir)))
+    q = jobs.run_available_now_to_memory(stream_counts, "wc_mem",
+                                         mode="complete")
+    try:
+        got = {r["word"]: r["cnt"]
+               for r in spark.sql("SELECT * FROM wc_mem").collect()}
+        batch = {r["word"]: r["cnt"]
+                 for r in jobs.wordcount_transform(
+                     spark.read.text(str(text_dir))).collect()}
+        assert got == batch
+        assert got["the"] == 3
+        assert got["quick"] == 3
+    finally:
+        q.stop()
+
+
+def test_windowed_wordcount_event_time(spark, tmp_path):
+    """Tumbling 60 s event-time windows: rows land in their window by
+    timestamp, not arrival time."""
+    src = tmp_path / "json_in"
+    src.mkdir()
+    rows = [
+        '{"timestamp": "2024-01-01T00:00:10", "value": "alpha beta"}',
+        '{"timestamp": "2024-01-01T00:00:50", "value": "alpha"}',
+        '{"timestamp": "2024-01-01T00:01:10", "value": "beta"}',
+    ]
+    (src / "f1.json").write_text("\n".join(rows) + "\n")
+    lines = (spark.readStream
+             .schema("timestamp timestamp, value string")
+             .json(str(src)))
+    result = jobs.windowed_wordcount(lines, window="60 seconds",
+                                     watermark="5 minutes")
+    # complete mode: append would only emit windows already closed by the
+    # watermark, and one availableNow batch never closes them.
+    q = jobs.run_available_now_to_memory(result, "wwc_mem", mode="complete")
+    try:
+        got = {(str(r["window_start"]), r["word"]): r["cnt"]
+               for r in spark.sql("SELECT * FROM wwc_mem").collect()}
+        assert got[("2024-01-01 00:00:00", "alpha")] == 2
+        assert got[("2024-01-01 00:00:00", "beta")] == 1
+        assert got[("2024-01-01 00:01:00", "beta")] == 1
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: after the watermark advances past a window's
+    close in batch 1, a row for that window arriving in batch 2 is
+    discarded (append mode emits the window once, without the late row)."""
+    src = tmp_path / "late_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "f1.json").write_text("\n".join([
+        '{"timestamp": "2024-01-01T00:00:10", "value": "early"}',
+        # Advances the watermark far past the first window (00:10 − 1 min).
+        '{"timestamp": "2024-01-01T00:10:00", "value": "driver"}',
+    ]) + "\n")
+    lines = (spark.readStream
+             .schema("timestamp timestamp, value string")
+             .json(str(src)))
+    result = jobs.windowed_wordcount(lines, window="60 seconds",
+                                     watermark="1 minutes")
+
+    out = str(tmp_path / "late_out")
+
+    def drain():
+        # File sink: the append-mode sink that supports checkpoint
+        # recovery across two availableNow drains (memory sink doesn't).
+        q = (result.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    drain()  # batch 1: emits the closed 00:00 window with cnt=1
+    # Batch 2: a straggler for the long-closed 00:00 window.
+    (src / "f2.json").write_text(
+        '{"timestamp": "2024-01-01T00:00:20", "value": "early"}\n')
+    drain()
+    rows = (spark.read.parquet(out)
+            .filter(F.col("word") == "early").collect())
+    # The late straggler must NOT bump the count: window emitted once, =1.
+    assert [(r["word"], r["cnt"]) for r in rows] == [("early", 1)]
+
+
+def test_session_windows(spark, tmp_path):
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join([
+        '{"ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0}',
+        '{"ts": "2024-01-01T00:00:10", "user_id": 1, "value": 1.0}',
+        # > 30 s gap → new session for user 1
+        '{"ts": "2024-01-01T00:01:00", "user_id": 1, "value": 1.0}',
+        '{"ts": "2024-01-01T00:00:05", "user_id": 2, "value": 1.0}',
+        # Far-future row advances the watermark so all sessions close and
+        # append mode emits them within this single availableNow drain.
+        '{"ts": "2024-01-01T01:00:00", "user_id": 9, "value": 1.0}',
+    ]) + "\n")
+    events = (spark.readStream
+              .schema("ts timestamp, user_id bigint, value double")
+              .json(str(src)))
+    result = jobs.session_windows(events, gap="30 seconds")
+    q = jobs.run_available_now_to_memory(result, "sess_mem", mode="append")
+    try:
+        rows = spark.sql("SELECT user_id, cnt FROM sess_mem "
+                         "WHERE user_id < 9 ORDER BY "
+                         "user_id, session_start").collect()
+        assert [(r["user_id"], r["cnt"]) for r in rows] == [
+            (1, 2), (1, 1), (2, 1)]
+    finally:
+        q.stop()
+
+
+def test_foreach_batch_parity(spark, text_dir):
+    """foreachBatch collects per-epoch results; their union equals the
+    batch wordcount (the chord-barrier vs pipelined shape from SURVEY §6,
+    streaming side)."""
+    collected: dict[str, int] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            collected[r["word"]] = r["cnt"]
+
+    counts = jobs.wordcount_transform(jobs.file_lines(spark, str(text_dir)))
+    q = jobs.foreach_batch_writer(counts, sink)
+    q.awaitTermination()
+    q.stop()
+    batch = {r["word"]: r["cnt"]
+             for r in jobs.wordcount_transform(
+                 spark.read.text(str(text_dir))).collect()}
+    assert collected == batch
