@@ -57,6 +57,7 @@ def load_registry() -> None:
         dedup,
         similarity,
         multimodal,
+        temporal,
     )
     _LOADED = True
 
