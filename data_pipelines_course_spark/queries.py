@@ -58,7 +58,21 @@ def load_registry() -> None:
         similarity,
         multimodal,
         temporal,
+        grouped,
     )
+    # The verify driver imports this package from /root/repo but spawns
+    # Python workers whose sys.path may not include it. Functions shipped
+    # to executors (applyInPandas/mapInPandas bodies) must therefore be
+    # pickled BY VALUE, not by module reference — otherwise workers die
+    # with ModuleNotFoundError on any UDF stage.
+    try:
+        from pyspark import cloudpickle
+
+        for mod in (relational, windows, nested, textops, dedup,
+                    similarity, multimodal, temporal, grouped):
+            cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # older cloudpickle: UDF bodies are closure-only there
     _LOADED = True
 
 
