@@ -1,0 +1,100 @@
+"""Sink layer — SURVEY §2.2 (K1-K11) re-expressed as Spark writers.
+
+Reference lineage (file:line in /root/reference):
+- K1/K2 CSV with header: DictWriter at airflow/dags/twitter_airflow.py:101-104,
+  pandas to_csv at "Extras (Chapter 4) - Clean Vehicle Theft Data.ipynb" cell 9.
+- K3/K4 SQL append / typed bulk copy: twitter_airflow.py:118,
+  luigi/taxi_data_import.py:160-191 → `write_jdbc`.
+- K5 text/TSV lines: luigi/taxi_data_import.py:151-154 → `write_tsv`/`write_text`.
+- K6 top-k report: twitter_airflow.py:138-141 (most_common(5) → csv).
+- K7 HDFS write: luigi/wordcount_map_reduce.py:19-32 — same writers, hdfs:// URI.
+- K10 JSON serialization: celery_app/tasks.py:32 → `write_jsonl`.
+- K11 mock sink: luigi MockFile → `collect_rows` (in-memory assertion sink).
+
+Scale design:
+- Every writer is a distributed `df.write` — executors write their own
+  partition files in parallel; nothing funnels through the driver. The
+  reference's single-file DictWriter loop becomes N part-files + _SUCCESS
+  (which doubles as the pipeline DSL's C5 idempotence marker).
+- `write_partitioned_parquet` is W2 (the dask `set_partition('DateTime',
+  yearly divisions)` at "Chapter 4 - First Steps with Dask.ipynb" cells
+  17-20): hive-partitioned layout so later reads prune partitions
+  statically and dynamically. `repartitionByRange` before the write keeps
+  one writer task per partition value instead of every task appending to
+  every directory (small-files explosion at 100 TB).
+- `coalesce(1)` appears ONLY in `write_report_csv` (a top-k report is
+  tiny by construction); never on data-scale outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, functions as F
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite",
+              header: bool = True, sep: str = ",") -> None:
+    """K1/K2 — header + rows, one file per partition."""
+    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+
+
+def write_tsv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K5 — tab-separated lines."""
+    write_csv(df, path, mode=mode, header=False, sep="\t")
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K5/K7 — one string column to text files (hdfs://, s3a://, file:
+    URIs all work; the FS is an address, not a code path)."""
+    df.write.mode(mode).text(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K10 — JSON-lines; the distributed form of df.to_json()."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_cols: list[str],
+                              mode: str = "overwrite") -> None:
+    """W2 — hive-partitioned parquet. Range-repartition on the partition
+    key first: each task then owns a contiguous slice of key values, so a
+    p-valued partition column yields ~p writer tasks × 1 file instead of
+    (tasks × p) small files."""
+    df.repartitionByRange(*partition_cols).write.mode(mode) \
+        .partitionBy(*partition_cols).parquet(path)
+
+
+def write_report_csv(df: DataFrame, path: str, k: int = 5,
+                     mode: str = "overwrite") -> None:
+    """K6 — tiny top-k report (`most_common(5)` shape). The input must
+    already be ordered; `limit(k)` caps it and the single output file is
+    intentional (reports are for humans/email, not for re-scanning)."""
+    df.limit(k).coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               mode: str = "append", **options: str) -> None:
+    """K3/K4 — SQL append / typed bulk copy. The reference's SQLite
+    `to_sql(if_exists='append')` and the 26-column Luigi CopyToTable both
+    map here; schema comes from the DataFrame (typed, not positional).
+    Requires the target's JDBC driver on the classpath."""
+    writer = df.write.mode(mode)
+    for key, value in options.items():
+        writer = writer.option(key, value)
+    writer.jdbc(url, table)
+
+
+def collect_rows(df: DataFrame) -> list[Row]:
+    """K11 — in-memory assertion sink (the luigi MockFile analog). Only
+    for tests/small results: this funnels through the driver."""
+    return df.collect()
+
+
+def year_partitioned_orders(orders: DataFrame) -> DataFrame:
+    """The W2 exemplar dataset: orders with a derived o_year partition
+    column (the dask yearly-divisions case, 1995-2001 → 7-8 partitions)."""
+    return orders.withColumn("o_year", F.year("o_orderdate"))

@@ -1,0 +1,97 @@
+"""Sink-layer tests (SURVEY §2.2 K1-K11, W2): round-trips through every
+writer, the top-k report shape, and the partitioned-parquet layout with a
+plan-level assertion that partition pruning actually fires."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.sinks.writers import (
+    collect_rows,
+    write_csv,
+    write_jsonl,
+    write_partitioned_parquet,
+    write_report_csv,
+    write_text,
+    write_tsv,
+    year_partitioned_orders,
+)
+
+from .conftest import SF_DIR
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    src = load(spark, SF_DIR, "region")
+    path = str(tmp_path / "region_csv")
+    write_csv(src, path)
+    back = spark.read.csv(path, header=True, schema=src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert (tmp_path / "region_csv" / "_SUCCESS").exists()  # C5 marker
+
+
+def test_tsv_and_text(spark, tmp_path):
+    src = load(spark, SF_DIR, "nation").select("n_name")
+    write_tsv(src, str(tmp_path / "tsv"))
+    write_text(src, str(tmp_path / "txt"))
+    tsv = spark.read.csv(str(tmp_path / "tsv"), sep="\t").count()
+    txt = spark.read.text(str(tmp_path / "txt")).count()
+    assert tsv == txt == src.count()
+
+
+def test_jsonl_roundtrip_preserves_types(spark, tmp_path):
+    src = load(spark, SF_DIR, "customer")
+    path = str(tmp_path / "cust_json")
+    write_jsonl(src, path)
+    back = spark.read.json(path, schema=src.schema)
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+
+
+def test_topk_report(spark, tmp_path):
+    """K6 — the most_common(5) report: 5 rows, header, one file."""
+    counts = (load(spark, SF_DIR, "orders")
+              .groupBy("o_orderpriority").count()
+              .orderBy(F.desc("count"), "o_orderpriority"))
+    path = tmp_path / "report"
+    write_report_csv(counts, str(path), k=5)
+    files = [p for p in path.iterdir() if p.suffix == ".csv"]
+    assert len(files) == 1
+    lines = files[0].read_text().strip().splitlines()
+    assert lines[0] == "o_orderpriority,count"
+    assert len(lines) == 1 + 5
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """W2 — yearly hive partitions; a year-filtered read must show the
+    partition filter in the plan and scan only that year's rows."""
+    orders = year_partitioned_orders(load(spark, SF_DIR, "orders"))
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned_parquet(orders, path, ["o_year"])
+    years = [p.name for p in (tmp_path / "orders_by_year").iterdir()
+             if p.name.startswith("o_year=")]
+    assert len(years) >= 7  # 1995-2001
+
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1998)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    expected = orders.filter(F.year("o_orderdate") == 1998).count()
+    assert back.count() == expected
+
+
+def test_partitioned_write_file_counts(spark, tmp_path):
+    """repartitionByRange keeps one writer slice per partition value —
+    each o_year dir must hold a small constant number of files, not one
+    per upstream task."""
+    orders = year_partitioned_orders(load(spark, SF_DIR, "orders"))
+    path = tmp_path / "orders_files"
+    write_partitioned_parquet(orders, str(path), ["o_year"])
+    for ydir in path.iterdir():
+        if ydir.name.startswith("o_year="):
+            parts = [p for p in ydir.iterdir() if p.suffix == ".parquet"]
+            assert len(parts) <= 2, f"{ydir.name}: {len(parts)} files"
+
+
+def test_collect_rows_mock_sink(spark):
+    rows = collect_rows(load(spark, SF_DIR, "region"))
+    assert {r.r_name for r in rows} >= {"AFRICA", "AMERICA"}
