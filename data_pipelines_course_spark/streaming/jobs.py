@@ -119,6 +119,59 @@ def session_windows(events: DataFrame, ts_col: str = "ts",
 
 
 # ---------------------------------------------------------------------------
+# Custom stateful operators (beyond-reference; SURVEY §2.9 "NOT exercised"
+# rows — arbitrary keyed state is what DStream's updateStateByKey offered
+# and the course never used).
+# ---------------------------------------------------------------------------
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, total) carried across micro-batches via
+    applyInPandasWithState — the engine's custom-stateful-operator
+    exemplar.
+
+    Scale notes: state is keyed by user_id so it partitions across
+    executors; each key's state is two scalars (fixed size). The function
+    body is a closure, so it pickles by value — executors never import
+    this module.
+    """
+
+    def update(key, pdf_iter, state):
+        import pandas as pd  # executor-side import
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "running_cnt": [cnt],
+                            "running_total": [total]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    configure(events.sparkSession)
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, running_cnt bigint, "
+                         "running_total double",
+        stateStructType="cnt bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def dedup_stream(events: DataFrame, keys: list[str],
+                 ts_col: str = "ts",
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: drop rows whose `keys` repeat within the
+    watermark horizon. State holds one entry per key seen, expired once
+    the watermark passes — bounded, unlike an unwatermarked distinct
+    which grows forever on a 100 TB/day stream."""
+    configure(events.sparkSession)
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+# ---------------------------------------------------------------------------
 # Sinks / lifecycle (T3, K9).
 # ---------------------------------------------------------------------------
 

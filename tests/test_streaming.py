@@ -162,3 +162,66 @@ def test_foreach_batch_parity(spark, text_dir):
              for r in jobs.wordcount_transform(
                  spark.read.text(str(text_dir))).collect()}
     assert collected == batch
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps keyed state across two separate
+    availableNow drains sharing a checkpoint — the running totals in the
+    second drain include the first drain's rows."""
+    src = tmp_path / "state_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "state_ckpt")
+    emitted: dict[int, tuple[int, float]] = {}
+
+    def drain():
+        events = (spark.readStream
+                  .schema("ts timestamp, user_id bigint, value double")
+                  .json(str(src)))
+        q = (jobs.running_user_totals(events)
+             .writeStream.outputMode("update")
+             .foreachBatch(lambda df, _e: emitted.update(
+                 {r["user_id"]: (r["running_cnt"], r["running_total"])
+                  for r in df.collect()}))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    (src / "b1.json").write_text("\n".join([
+        '{"ts": "2024-01-01T00:00:00", "user_id": 1, "value": 1.0}',
+        '{"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 2.0}',
+        '{"ts": "2024-01-01T00:00:02", "user_id": 2, "value": 5.0}',
+    ]) + "\n")
+    drain()
+    assert emitted[1] == (2, 3.0)
+    assert emitted[2] == (1, 5.0)
+
+    (src / "b2.json").write_text(
+        '{"ts": "2024-01-01T00:01:00", "user_id": 1, "value": 4.0}\n')
+    drain()
+    assert emitted[1] == (3, 7.0)   # state survived the restart
+    assert emitted[2] == (1, 5.0)   # untouched key keeps its totals
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: repeated event_ids inside the
+    horizon collapse to one row."""
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join([
+        '{"ts": "2024-01-01T00:00:00", "event_id": 10, "value": 1.0}',
+        '{"ts": "2024-01-01T00:00:05", "event_id": 10, "value": 1.0}',
+        '{"ts": "2024-01-01T00:00:10", "event_id": 11, "value": 2.0}',
+    ]) + "\n")
+    events = (spark.readStream
+              .schema("ts timestamp, event_id bigint, value double")
+              .json(str(src)))
+    result = jobs.dedup_stream(events, ["event_id"])
+    q = jobs.run_available_now_to_memory(result, "dedup_mem", mode="append")
+    try:
+        rows = spark.sql(
+            "SELECT event_id, count(*) AS n FROM dedup_mem GROUP BY 1"
+        ).collect()
+        assert {r["event_id"]: r["n"] for r in rows} == {10: 1, 11: 1}
+    finally:
+        q.stop()
