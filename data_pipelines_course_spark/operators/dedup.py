@@ -72,6 +72,25 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
             .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")))
 
 
+def sized_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, n, h): per-doc distinct-shingle count carried inline with
+    each 64-bit shingle hash.
+
+    Two deliberate scale moves: (a) the set size n is computed from the
+    shingle ARRAY before exploding, so no separate sizes aggregation (and
+    no extra shuffle) is ever needed downstream; (b) the join key is
+    xxhash64(shingle), 8 bytes, instead of the ~25-byte shingle string —
+    at 100 TB the shingle self-join's shuffle volume drops ~3× for a
+    collision risk of ~(distinct shingles)²/2⁶⁴, which is negligible
+    against the LSH paths' intrinsic approximation."""
+    return (docs
+            .filter(F.expr(f"size({_WORDS})") >= 3)
+            .select("doc_id", F.expr(_SHINGLES).alias("sh_arr"))
+            .select("doc_id", F.size("sh_arr").alias("n"),
+                    F.explode("sh_arr").alias("shingle"))
+            .select("doc_id", "n", F.xxhash64("shingle").alias("h")))
+
+
 _DUCK_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
 # DuckDB 3-gram shingles via list lambda over start positions.
 _DUCK_SHINGLES = (
@@ -111,23 +130,25 @@ _DUCK_SHINGLES = (
     """,
 )
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_sets(load(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    """One self-join on the 8-byte shingle hash with set sizes carried
+    inline (see sized_shingle_hashes) — |A∩B| is the per-pair match count
+    and |A∪B| = n1 + n2 − |A∩B|, so the whole query is join → agg →
+    top-k, with no sizes re-join."""
+    sh = sized_shingle_hashes(load(spark, sf_dir, "documents"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc1"),
-                      F.col("b.doc_id").alias("doc2"))
-             .agg(F.count(F.lit(1)).alias("inter_cnt")))
-    s1 = sizes.alias("s1")
-    s2 = sizes.alias("s2")
+             .select(F.col("a.doc_id").alias("doc1"),
+                     F.col("b.doc_id").alias("doc2"),
+                     F.col("a.n").alias("n1"), F.col("b.n").alias("n2"))
+             .groupBy("doc1", "doc2")
+             .agg(F.count(F.lit(1)).alias("inter_cnt"),
+                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
     return (inter
-            .join(s1, F.col("doc1") == F.col("s1.doc_id"))
-            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
             .select("doc1", "doc2",
                     fround(F.col("inter_cnt").cast("double")
-                            / (F.col("s1.n") + F.col("s2.n")
+                            / (F.col("n1") + F.col("n2")
                                - F.col("inter_cnt")), 6).alias("jaccard"))
             .orderBy(F.desc("jaccard"), "doc1", "doc2")
             .limit(20))
@@ -196,8 +217,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
+    # Slim band table: doc_id + band key ONLY. Carrying the 32-long sig
+    # through the 8× band explosion and the candidate join would multiply
+    # shuffle volume by ~2 KB/doc; instead signatures are re-attached per
+    # candidate pair below, and Catalyst reuses the sigs aggregate's
+    # exchange across all three branches.
     bands = sigs.select(
-        "doc_id", "sig",
+        "doc_id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {BANDS - 1}),"
             f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
@@ -210,15 +236,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"),
-                    F.col("b.doc_id").alias("doc2"),
-                    F.col("a.sig").alias("sig1"),
-                    F.col("b.sig").alias("sig2"))
+                    F.col("b.doc_id").alias("doc2"))
             .dropDuplicates(["doc1", "doc2"]))
+    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"))
     est = F.expr(
         f"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))"
         f" / cast({NUM_PERM} as double)")
-    return (cand.select("doc1", "doc2",
-                        fround(est, 4).alias("est_jaccard"))
+    return (cand.join(s1, "doc1").join(s2, "doc2")
+            .select("doc1", "doc2", fround(est, 4).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= 0.5))
 
 
