@@ -33,6 +33,38 @@ from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import query
 
+
+def _fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition by join key with an EXPLICIT partition count.
+
+    The similarity self-joins below expand a few MB of (doc_id, key) rows
+    into millions of candidate pairs — tiny shuffle bytes, heavy CPU. AQE
+    sizes partitions by shuffle bytes, so it coalesces these stages down
+    to ONE partition and serializes the whole pair-expansion (measured:
+    36.8 s → single task at sf0.1). An explicit numPartitions repartition
+    (REPARTITION_BY_NUM) is exempt from AQE coalescing, pins the join
+    stage's parallelism, and — being keyed on the join columns — lets
+    Catalyst reuse a single exchange for both sides of the self-join, so
+    shingling/banding is computed once, not twice."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the expensive shingle/token map stage runs wide.
+
+    At 100 TB the parquet scan is split into ~128 MB tasks and this is a
+    no-op. On a small input (one file ⇒ one partition — exactly the local
+    bench) the whole interpreted-HOF shingle stage would otherwise run in
+    a single task; pay one linear row-shuffle to spread it. Keyed by
+    doc_id (not round-robin) so the output partitioning is deterministic."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col("doc_id"))
+
 # --------------------------------------------------------------------------
 # Exact dedup (hash-groupBy).
 # --------------------------------------------------------------------------
@@ -67,7 +99,7 @@ _SHINGLES = (
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs; documents with <3 words dropped."""
-    return (docs
+    return (_widen(docs)
             .filter(F.expr(f"size({_WORDS})") >= 3)
             .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")))
 
@@ -83,7 +115,7 @@ def sized_shingle_hashes(docs: DataFrame) -> DataFrame:
     at 100 TB the shingle self-join's shuffle volume drops ~3× for a
     collision risk of ~(distinct shingles)²/2⁶⁴, which is negligible
     against the LSH paths' intrinsic approximation."""
-    return (docs
+    return (_widen(docs)
             .filter(F.expr(f"size({_WORDS})") >= 3)
             .select("doc_id", F.expr(_SHINGLES).alias("sh_arr"))
             .select("doc_id", F.size("sh_arr").alias("n"),
@@ -134,7 +166,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline (see sized_shingle_hashes) — |A∩B| is the per-pair match count
     and |A∪B| = n1 + n2 − |A∩B|, so the whole query is join → agg →
     top-k, with no sizes re-join."""
-    sh = sized_shingle_hashes(load(spark, sf_dir, "documents"))
+    sh = _fanout(sized_shingle_hashes(load(spark, sf_dir, "documents")), "h")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -230,6 +262,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {ROWS_PER_BAND})))"))
         .alias("band", "band_hash"),
     )
+    bands = _fanout(bands, "band", "band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -261,7 +294,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash bigint). Per-token xxhash64; bit i of the signature
     is the sign of Σ_tokens (±count) for that bit. 64 conditional-sum
     aggregates in one hash-aggregate pass."""
-    tokens = (docs
+    tokens = (_widen(docs)
               .select("doc_id",
                       F.explode(F.split(F.lower(F.trim("text")), r"\s+"))
                       .alias("tok"))
@@ -299,6 +332,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, 3),"
             " c -> (simhash >> (c * 16)) & 65535)")).alias("chunk", "ckey"),
     )
+    chunks = _fanout(chunks, "chunk", "ckey")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

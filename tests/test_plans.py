@@ -1,0 +1,130 @@
+"""Plan-shape assertions: prove the §4.1 rewrites the engine relies on at
+100 TB actually fire — pushdown, pruning, broadcast joins, whole-stage
+codegen, partition pruning on partitioned layouts — using
+`plans.analysis` over the real headline queries.
+
+These are the engine's version of the reference's "look at the task
+graph" checks (`visualize()` cells, SURVEY §4.2); unlike eyeballing a
+graph, they fail CI when a code change silently de-optimizes a plan
+(e.g. a UDF sneaking into the scan path kills pushdown)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.plans import analysis as pa
+from data_pipelines_course_spark.queries import all_queries
+from data_pipelines_course_spark.sinks.writers import write_partitioned_parquet
+
+from .conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+# -- predicate pushdown (§4.1 row 1) ----------------------------------------
+
+def test_filter_pushes_to_parquet_scan(spark):
+    df = QUERIES["filter_equality"](spark, SF_DIR)
+    pushed = pa.pushed_filters(df)
+    assert any("event_type" in f for f in pushed), pushed
+
+
+def test_date_window_filter_pushes(spark):
+    df = QUERIES["filter_date_window"](spark, SF_DIR)
+    pushed = pa.pushed_filters(df)
+    assert any("o_orderdate" in f for f in pushed), pushed
+    assert any("IsNotNull(o_orderpriority)" in f for f in pushed), pushed
+
+
+# -- column pruning (§4.1 row 3) --------------------------------------------
+
+def test_projection_prunes_scan_columns(spark):
+    df = QUERIES["filter_equality"](spark, SF_DIR)
+    cols = set(pa.read_schema_columns(df))
+    # events has 7 columns; the query needs 4 (3 projected + 1 filtered).
+    assert cols == {"event_id", "user_id", "value", "event_type"}, cols
+
+
+def test_flagship_reads_only_agg_columns(spark):
+    df = QUERIES["flagship_grouped_agg"](spark, SF_DIR)
+    cols = set(pa.read_schema_columns(df))
+    assert "l_comment" not in cols and "l_shipdate" not in cols, cols
+    assert "l_returnflag" in cols
+
+
+# -- join strategy (§4.1 row 7) ---------------------------------------------
+
+def test_small_dim_join_is_broadcast(spark):
+    df = QUERIES["broadcast_join"](spark, SF_DIR)
+    strategies = pa.join_strategies(df)
+    assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
+
+
+def test_multiway_join_broadcasts_all_dims(spark):
+    # orders⋈customer⋈nation⋈region: every dim is broadcast-able, so the
+    # plan must not pay a single shuffle-side sort-merge join.
+    df = QUERIES["join_multiway_revenue"](spark, SF_DIR)
+    assert "SortMergeJoin" not in pa.join_strategies(df)
+
+
+# -- partial/final aggregation + codegen (§4.1 row 5, §4.2) ------------------
+
+def test_grouped_agg_single_shuffle_and_codegen(spark):
+    df = QUERIES["grouped_hour_sum"](spark, SF_DIR)
+    # One groupBy ⇒ exactly one Exchange (partial agg before, final after).
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_wordcount_stays_jvm_side(spark):
+    df = QUERIES["wordcount"](spark, SF_DIR)
+    assert pa.python_eval_nodes(df) == []
+    assert pa.exchange_count(df) == 1
+
+
+def test_no_rowwise_python_in_relational_queries(spark):
+    # Arrow-batched nodes are allowed where declared; row-at-a-time
+    # BatchEvalPython is never acceptable in the engine's hot paths.
+    for name in ("flagship_grouped_agg", "value_counts", "topk_words",
+                 "broadcast_join", "rank_customers", "json_group_by_key",
+                 "lang_id", "text_quality", "token_count"):
+        nodes = pa.python_eval_nodes(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in nodes, (name, nodes)
+
+
+# -- top-k plans as TakeOrderedAndProject (§4.1 row 2) -----------------------
+
+def test_topk_plans_take_ordered(spark):
+    df = QUERIES["topk_words"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in pa.formatted_plan(df)
+
+
+# -- partition pruning on partitioned layout (§4.1 row 4 / W2) ---------------
+
+@pytest.fixture(scope="module")
+def partitioned_events(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    ev = load(spark, SF_DIR, "events")
+    write_partitioned_parquet(ev, path, ["event_type"])
+    return path
+
+
+def test_partition_pruning_fires(spark, partitioned_events):
+    df = (spark.read.parquet(partitioned_events)
+          .filter(F.col("event_type") == "purchase"))
+    parts = pa.partition_filters(df)
+    assert any("event_type" in p for p in parts), parts
+    # The pruned read must also agree with the unpartitioned source.
+    n_pruned = df.count()
+    n_src = (load(spark, SF_DIR, "events")
+             .filter(F.col("event_type") == "purchase").count())
+    assert n_pruned == n_src
+
+
+def test_plan_report_shape(spark):
+    rep = pa.plan_report(QUERIES["broadcast_join"](spark, SF_DIR))
+    assert set(rep["join_strategies"]) == {"BroadcastHashJoin"}
+    assert rep["exchange_count"] == 0  # broadcast ⇒ no shuffle at all
+    assert rep["python_eval_nodes"] == []
