@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datasets import load
+from ..datasets import load, register_views
 from ..functions.scalar import fround
 from ..queries import query
 
@@ -587,3 +587,30 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Engine entry point #2: spark.sql over registered views (SURVEY §3.3 —
+# the reference's ad-hoc SQL surface, airflow/dags/twitter_airflow.py:
+# 132-135, generalized to multi-table ANSI SQL). The SQL string compiles
+# to the same Catalyst plan a DataFrame chain would; region/nation are
+# broadcast dims, so the only shuffle is the final group-by.
+# ---------------------------------------------------------------------------
+
+_SQL_REGION_REVENUE = """
+    SELECT r_name AS region, n_name AS nation,
+           count(*) AS orders_cnt,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+"""
+
+
+@query("sql_region_revenue", oracle=_SQL_REGION_REVENUE)
+def sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_REGION_REVENUE)

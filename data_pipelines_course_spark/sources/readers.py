@@ -86,6 +86,32 @@ def read_with_quarantine(spark: SparkSession, path: str,
     return good, bad
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 16,
+              properties: dict[str, str] | None = None) -> DataFrame:
+    """S7 — JDBC/SQL scan (`pd.read_sql_query` on SQLite,
+    airflow/dags/twitter_airflow.py:132-135). `table` may be a table name
+    or a pushdown subquery `(SELECT ... ) t` — the reference's hand-written
+    date-filter pushdown into SQLite becomes Catalyst's JDBC pushdown.
+
+    Scale: without a partition_column a JDBC read is ONE connection on one
+    executor; always pass (partition_column, lower/upper bound) for any
+    table worth distributing. Requires the target database's JDBC driver
+    jar on the Spark classpath (none is bundled in this environment — the
+    call raises the JVM's ClassNotFound if missing; tests use the
+    in-memory path via registered views instead)."""
+    configure(spark)
+    reader = spark.read
+    if partition_column is not None:
+        return reader.jdbc(
+            url, table, column=partition_column,
+            lowerBound=lower_bound, upperBound=upper_bound,
+            numPartitions=num_partitions, properties=properties or {})
+    return reader.jdbc(url, table, properties=properties or {})
+
+
 def parallelize(spark: SparkSession, n: int, partitions: int = None) -> DataFrame:
     """S14 — sc.parallelize(range(n), p) analog
     (PySpark.ipynb:73: 20 partitions / 1000 elems)."""
