@@ -271,12 +271,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .dropDuplicates(["doc1", "doc2"]))
-    s1 = sigs.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"))
-    est = F.expr(
-        f"size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v))"
-        f" / cast({NUM_PERM} as double)")
-    return (cand.join(s1, "doc1").join(s2, "doc2")
+    # Attach via join CONDITIONS on alias-qualified columns rather than
+    # pre-renamed projections: both attach joins then share a canonically
+    # identical `sigs` subtree, so the broadcast exchange is built once
+    # and reused (pre-renaming made the subtrees differ and re-computed
+    # the whole signature pipeline per side — measured 4.7 s of the
+    # query's 6 s at sf0.1).
+    s1 = sigs.alias("s1")
+    s2 = sigs.alias("s2")
+    matches = F.size(F.filter(
+        F.zip_with(F.col("s1.sig"), F.col("s2.sig"), lambda x, y: x == y),
+        lambda v: v))
+    est = matches / F.lit(NUM_PERM).cast("double")
+    return (cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+            .join(s2, F.col("doc2") == F.col("s2.doc_id"))
             .select("doc1", "doc2", fround(est, 4).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= 0.5))
 
