@@ -614,3 +614,47 @@ _SQL_REGION_REVENUE = """
 def sql_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SQL_REGION_REVENUE)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT (set intersection, distinct semantics): nation keys present in
+# both customer and supplier — completes the set-op family (union J3 /
+# except / intersect). Plans as a left-semi aggregate, no full join payload.
+# ---------------------------------------------------------------------------
+
+@query(
+    "intersect_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (§2.5 "NOT exercised" — engine surface): the general form
+# of cube/rollup. One pass computes the (returnflag) and (linestatus)
+# marginals without a self-union — Spark expands the sets map-side, so the
+# input is scanned once, not once per set.
+# ---------------------------------------------------------------------------
+
+_SQL_GROUPING_SETS = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS cnt,
+           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+@query("grouping_sets_agg", oracle=_SQL_GROUPING_SETS)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)

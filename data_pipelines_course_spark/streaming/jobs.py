@@ -200,3 +200,16 @@ def foreach_batch_writer(result: DataFrame, batch_fn):
     becomes `lambda df, epoch: df.write.jdbc(...)` here)."""
     return (result.writeStream.outputMode("update")
             .foreachBatch(batch_fn).trigger(availableNow=True).start())
+
+
+def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame,
+                           on: str, how: str = "inner") -> DataFrame:
+    """Stream-static join: enrich a stream against a slowly-changing
+    dimension table (beyond-reference surface; the reference's analog is
+    the per-row Google-Places lookup in luigi/taxi_data_import.py:129-150,
+    re-expressed as a join instead of an API call per row — J2).
+
+    The static side is re-read per micro-batch (so dim updates between
+    batches are picked up) and broadcast when small. Stream-static joins
+    are stateless: no watermark needed, unlike stream-stream joins."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -225,3 +225,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert {r["event_id"]: r["n"] for r in rows} == {10: 1, 11: 1}
     finally:
         q.stop()
+
+
+def test_stream_static_join_enriches_events(spark, tmp_path):
+    """Stream-static join: each streamed event picks up its dimension row;
+    events without a dim match are dropped (inner)."""
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        '{"user_id": 1, "value": 10.0}\n'
+        '{"user_id": 2, "value": 20.0}\n'
+        '{"user_id": 9, "value": 99.0}\n')
+    stream = (spark.readStream
+              .schema("user_id bigint, value double")
+              .json(str(src)))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id bigint, tier string")
+    joined = jobs.enrich_stream_with_dim(stream, dim, "user_id")
+    q = jobs.run_available_now_to_memory(joined, "ss_mem", mode="append")
+    try:
+        rows = {(r.user_id, r.tier, r.value)
+                for r in spark.sql("SELECT * FROM ss_mem").collect()}
+        assert rows == {(1, "gold", 10.0), (2, "silver", 20.0)}
+    finally:
+        q.stop()
