@@ -118,3 +118,79 @@ def media_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"),
                  fround(F.avg(F.col("payload_bytes").cast("double")), 2)
                  .alias("avg_bytes")))
+
+
+def resize_batches(width: int, height: int):
+    """Parameterized STUB resize: returns a mapInPandas-compatible batch fn
+    closed over the target dimensions (a real deployment swaps the body
+    for PIL `Image.resize`; the closure/bind pattern, output schema and
+    Arrow batch shape are the production ones)."""
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd  # executor-side import
+
+        for pdf in batches:
+            n = pdf["payload"].str.len().astype("int64")
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "width": width,
+                "height": height,
+                # stub: "resized payload" size scales with target area
+                "payload_bytes": (width * height + n % 997).astype("int64"),
+            })
+
+    return fn
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage over the MEDIA envelope (plumbing real, decode faked)."""
+    return media.mapInPandas(
+        resize_batches(width, height),
+        schema="media_id bigint, kind string, width int, height int, "
+               "payload_bytes bigint")
+
+
+FRAMES_PER_VIDEO = 4
+
+
+def frame_sample_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """STUB frame sampler — the 1→N (UDTF) multimodal shape: each video
+    row yields FRAMES_PER_VIDEO rows with evenly spaced fake timestamps.
+    Real codecs replace the body (ffmpeg keyframe extraction); the
+    row-expansion mechanics through Arrow batches are what's exercised."""
+    import pandas as pd  # executor-side import
+
+    for pdf in batches:
+        vids = pdf[pdf["kind"] == "video"]
+        if not len(vids):
+            continue
+        dur = vids["payload"].str.len().astype("int64") * 7
+        out = vids.loc[vids.index.repeat(FRAMES_PER_VIDEO)].reset_index()
+        idx = pd.Series(range(len(out)), dtype="int64") % FRAMES_PER_VIDEO
+        dur_rep = dur.reset_index(drop=True).loc[
+            pd.Series(range(len(vids))).repeat(FRAMES_PER_VIDEO)
+        ].reset_index(drop=True)
+        yield pd.DataFrame({
+            "media_id": out["media_id"],
+            "frame_idx": idx.astype("int32"),
+            "frame_ts_ms": (idx * dur_rep) // FRAMES_PER_VIDEO,
+        })
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(f.range AS INTEGER) AS frame_idx,
+           (f.range * (octet_length(encode(text)) * 7)) // {FRAMES_PER_VIDEO}
+               AS frame_ts_ms
+    FROM documents, range({FRAMES_PER_VIDEO}) f
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return media.mapInPandas(
+        frame_sample_batches,
+        schema="media_id bigint, frame_idx int, frame_ts_ms bigint")
