@@ -31,6 +31,7 @@ HEADLINE = (
     "text_quality",
     "dedup_exact",
     "ngram_jaccard_topk",
+    "ngram_jaccard_threshold",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "knn_brute_force",

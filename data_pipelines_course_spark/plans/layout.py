@@ -1,0 +1,77 @@
+"""Physical table layout — bucketing and partitioned-parquet helpers.
+
+Beyond-reference engine surface (SURVEY §4.2 / W2, BASELINE.json north
+star). The reference's only layout decision is Dask's sorted-index
+yearly repartition (`Chapter 4 - First Steps with Dask.ipynb:388-465`,
+`set_partition('DateTime', divisions=dates)`); its Spark analog —
+partitioned parquet (`write.partitionBy`) — is already exercised by the
+sink layer and the partition-pruning plan tests. This module adds the
+piece that matters most for 100 TB JOIN workloads: **bucketed tables**.
+
+Why bucketing: a fact⋈fact join (lineitem⋈orders on orderkey) is the
+one join shape that can't be broadcast, so each run pays a full shuffle
+of both sides — at 100 TB that shuffle IS the job. Writing both tables
+bucketed by the join key into the same bucket count makes the join's
+required distribution a property of the STORAGE: Spark plans a
+sort-merge join with zero Exchange on either side (and with `sortBy`,
+zero Sort). The shuffle is paid once at write time and amortized over
+every subsequent join/aggregation on that key — the Spark analog of the
+reference's "sorted index with known divisions".
+
+Notes for real deployments:
+* bucket count is fixed at write time — size it so one bucket ≈ one
+  task's worth of data at full scale (e.g. 100 TB / 128 MB ≈ 800k is
+  too many files; in practice 4-16k buckets with multiple files per
+  bucket, or Hive-style clustered-by with compaction).
+* `spark.sql.sources.bucketing.enabled` must stay true (default) and
+  both sides must share the bucket count (or be exact multiples with
+  `spark.sql.bucketing.coalesceBucketsInJoin.enabled`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["write_bucketed", "write_partitioned"]
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, sort_cols: list[str] | None = None,
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist `df` as a bucketed (and optionally per-bucket-sorted) table.
+
+    Bucketed layout only survives through the catalog (`saveAsTable`),
+    not bare `parquet(path)` — bucket metadata lives in the table
+    definition. Pass `path` to make it an external table (data at the
+    given location, metadata in the session catalog).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet (the W2 'known divisions' analog).
+
+    Readers filtering on `partition_cols` get static partition pruning;
+    joins against a dim filtered at runtime get dynamic partition
+    pruning. Choose low-cardinality, filter-frequent columns (date,
+    region) — never a high-cardinality key (file-per-value explosion).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def co_located_join(spark: SparkSession, left_table: str, right_table: str,
+                    on: list[str], how: str = "inner") -> DataFrame:
+    """Join two bucketed catalog tables on their bucket key.
+
+    When both tables are bucketed by `on` with equal bucket counts this
+    plans as a zero-Exchange sort-merge join (asserted in
+    tests/test_layout.py via plans.analysis.exchange_count).
+    """
+    return spark.table(left_table).join(spark.table(right_table), on, how)

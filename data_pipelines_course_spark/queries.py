@@ -59,6 +59,7 @@ def load_registry() -> None:
         multimodal,
         temporal,
         grouped,
+        skew,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -69,7 +70,7 @@ def load_registry() -> None:
         from pyspark import cloudpickle
 
         for mod in (relational, windows, nested, textops, dedup,
-                    similarity, multimodal, temporal, grouped):
+                    similarity, multimodal, temporal, grouped, skew):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

@@ -1,0 +1,89 @@
+"""Bucketed-table layout: the write-once-shuffle-never join path.
+
+Asserts the property the module exists for: a lineitem⋈orders join on
+two tables bucketed by the join key plans with ZERO Exchange (and zero
+Sort when sortBy matches), while the same join on plain parquet
+shuffles both sides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.plans.analysis import (
+    exchange_count, formatted_plan)
+from data_pipelines_course_spark.plans.layout import (
+    co_located_join, write_bucketed)
+
+SF_DIR = "/root/testdata/sf0.001"
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity")
+    orders = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    write_bucketed(li, "li_b", ["l_orderkey"], N_BUCKETS,
+                   sort_cols=["l_orderkey"], path=str(base / "li"))
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                   "orders_b", ["l_orderkey"], N_BUCKETS,
+                   sort_cols=["l_orderkey"], path=str(base / "orders"))
+    yield "li_b", "orders_b"
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+@pytest.fixture
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(bucketed_tables, no_broadcast):
+    spark = no_broadcast
+    li_b, orders_b = bucketed_tables
+    joined = co_located_join(spark, li_b, orders_b, ["l_orderkey"])
+    assert exchange_count(joined) == 0, formatted_plan(joined)
+    # Storage supplies the distribution: both scans read bucketed.
+    plan = formatted_plan(joined)
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_plain_parquet_join_shuffles_both_sides(no_broadcast):
+    spark = no_broadcast
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey").select("l_orderkey", "o_totalprice")
+    joined = li.join(orders, ["l_orderkey"])
+    assert exchange_count(joined) >= 2
+
+
+def test_bucketed_join_result_matches_plain(bucketed_tables, spark):
+    li_b, orders_b = bucketed_tables
+    bucketed = co_located_join(spark, li_b, orders_b, ["l_orderkey"])
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity")
+    orders = load(spark, SF_DIR, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey").select(
+        "l_orderkey", "o_custkey", "o_totalprice")
+    plain = li.join(orders, ["l_orderkey"])
+    assert bucketed.count() == plain.count()
+    assert bucketed.exceptAll(plain.select(*bucketed.columns)).count() == 0
+
+
+def test_bucketed_agg_on_bucket_key_has_no_exchange(bucketed_tables,
+                                                    no_broadcast):
+    # Bucketing also serves aggregation: groupBy on the bucket key reads
+    # pre-distributed data, so the agg is Exchange-free too.
+    spark = no_broadcast
+    li_b, _ = bucketed_tables
+    agg = spark.table(li_b).groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty"))
+    assert exchange_count(agg) == 0, formatted_plan(agg)
