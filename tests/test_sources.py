@@ -66,6 +66,33 @@ def test_quarantine_channel(spark, tmp_path):
     assert "NOT JSON" in bad_rows[0][0]
 
 
+def test_read_csv_glob_partitioned(spark, tmp_path):
+    """S1/S2 — glob CSV scan over per-partition files (dask
+    read_csv('data/fake_data_*.csv') shape)."""
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    (tmp_path / "fake_data_1.csv").write_text("id,v\n1,1.5\n2,2.5\n")
+    (tmp_path / "fake_data_2.csv").write_text("id,v\n3,3.5\n")
+    df = readers.read_csv(spark, str(tmp_path / "fake_data_*.csv"), schema)
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_read_text_lines(spark, tmp_path):
+    """S4 — line-oriented text scan (sc.textFile analog)."""
+    f = tmp_path / "speech.txt"
+    f.write_text("line one\nline two\nDeutschland line\n")
+    df = readers.read_text(spark, str(f))
+    assert df.count() == 3
+    assert df.filter(df.value.contains("Deutschland")).count() == 1
+
+
+def test_parallelize_partition_count(spark):
+    """S14 — sc.parallelize(range(1000), 20) analog: explicit degree."""
+    df = readers.parallelize(spark, 1000, partitions=20)
+    assert df.rdd.getNumPartitions() == 20
+    assert df.count() == 1000
+
+
 def test_synthetic_timeseries_deterministic(spark):
     """S15 — same seed ⇒ identical fixture across runs."""
     a = readers.synthetic_timeseries(spark, "2020-01-01", 10).collect()
