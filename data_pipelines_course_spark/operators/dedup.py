@@ -139,6 +139,31 @@ _DUCK_SHINGLES = (
 # double is bit-identical on both engines.
 # --------------------------------------------------------------------------
 
+def _pair_jaccard(docs: DataFrame) -> DataFrame:
+    """(doc1, doc2, jaccard) for every pair sharing ≥1 shingle.
+
+    One self-join on the 8-byte shingle hash with set sizes carried
+    inline (see sized_shingle_hashes) — |A∩B| is the per-pair match count
+    and |A∪B| = n1 + n2 − |A∩B|, so the whole computation is join → agg,
+    with no sizes re-join. Integer counts → the jaccard double is
+    bit-identical on both engines."""
+    sh = _fanout(sized_shingle_hashes(docs), "h")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc1"),
+                     F.col("b.doc_id").alias("doc2"),
+                     F.col("a.n").alias("n1"), F.col("b.n").alias("n2"))
+             .groupBy("doc1", "doc2")
+             .agg(F.count(F.lit(1)).alias("inter_cnt"),
+                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
+    return inter.select(
+        "doc1", "doc2",
+        (F.col("inter_cnt").cast("double")
+         / (F.col("n1") + F.col("n2") - F.col("inter_cnt"))).alias("_jac"))
+
+
 @query(
     "ngram_jaccard_topk",
     oracle=f"""
@@ -162,26 +187,9 @@ _DUCK_SHINGLES = (
     """,
 )
 def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One self-join on the 8-byte shingle hash with set sizes carried
-    inline (see sized_shingle_hashes) — |A∩B| is the per-pair match count
-    and |A∪B| = n1 + n2 − |A∩B|, so the whole query is join → agg →
-    top-k, with no sizes re-join."""
-    sh = _fanout(sized_shingle_hashes(load(spark, sf_dir, "documents")), "h")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc1"),
-                     F.col("b.doc_id").alias("doc2"),
-                     F.col("a.n").alias("n1"), F.col("b.n").alias("n2"))
-             .groupBy("doc1", "doc2")
-             .agg(F.count(F.lit(1)).alias("inter_cnt"),
-                  F.max("n1").alias("n1"), F.max("n2").alias("n2")))
-    return (inter
-            .select("doc1", "doc2",
-                    fround(F.col("inter_cnt").cast("double")
-                            / (F.col("n1") + F.col("n2")
-                               - F.col("inter_cnt")), 6).alias("jaccard"))
+    pairs = _pair_jaccard(load(spark, sf_dir, "documents"))
+    return (pairs
+            .select("doc1", "doc2", fround(F.col("_jac"), 6).alias("jaccard"))
             .orderBy(F.desc("jaccard"), "doc1", "doc2")
             .limit(20))
 
@@ -390,52 +398,104 @@ JACCARD_T = 0.6
     """,
 )
 def ngram_jaccard_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with exact Jaccard ≥ JACCARD_T, WITHOUT the quadratic
-    all-shared-shingle self-join the top-k query pays.
+    """All pairs with exact Jaccard ≥ JACCARD_T — shared-shingle join plan.
 
-    Prefix filtering: order each doc's shingles by ascending global
-    frequency (rarest first); if J(A,B) ≥ t, A and B must share a shingle
-    within their first |x| − ⌈t·|x|⌉ + 1 shingles under any consistent
-    global order. Candidates are generated by self-joining ONLY those
-    prefixes — rare shingles have tiny buckets, so the candidate join is
-    near-linear where the full self-join is quadratic in duplicate-heavy
-    corpora (measured at 10× sf0.1: full join grows 30×, this path's
-    candidate set stays proportional to true matches). Verification then
-    counts full-set intersections for candidate pairs only.
-
-    Shuffle ledger: freq agg + window rank + candidate join + two
-    verify joins — all keyed, no broadcast of anything doc-count-sized.
+    Same join→agg pipeline as the top-k query with a threshold filter
+    instead of a sort. Chosen over the prefix-filtered plan (next query)
+    for the bench corpus: in a template-heavy/duplicate-heavy corpus
+    nearly every candidate a prefix filter admits ALSO shares dozens of
+    shingles, so prefix pruning removes little while paying a frequency
+    pass and a verification join — measured 1.5 s vs 4.5 s at sf0.1.
+    See ngram_jaccard_threshold_prefix for when that tradeoff flips.
     """
-    from pyspark.sql import Window
+    pairs = _pair_jaccard(load(spark, sf_dir, "documents"))
+    return (pairs.filter(F.col("_jac") >= JACCARD_T)
+            .select("doc1", "doc2", fround(F.col("_jac"), 6).alias("jaccard")))
 
-    sh = _fanout(sized_shingle_hashes(load(spark, sf_dir, "documents")), "h")
-    # Global shingle frequency (the prefix order), joined back on h.
+
+@query(
+    "ngram_jaccard_threshold_prefix",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM documents WHERE len({_DUCK_WORDS}) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc1, i.doc2,
+           floor((CAST(i.inter_cnt AS DOUBLE)
+                 / (s1.n + s2.n - i.inter_cnt)) * 1000000 + 0.5) / 1000000
+               AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.doc1 = s1.doc_id
+    JOIN sizes s2 ON i.doc2 = s2.doc_id
+    WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt)
+          >= {JACCARD_T}
+    """,
+)
+def ngram_jaccard_threshold_prefix(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Same answer via AllPairs/PPJoin-style prefix filtering (Bayardo
+    et al. WWW'07; Xiao et al. WWW'08) — the scale path for DIVERSE
+    corpora, where pairs sharing ≥1 shingle vastly outnumber pairs with
+    J ≥ t and the full shared-shingle join is quadratic-ish.
+
+    Prefix filtering: order every doc's shingles by one consistent
+    global order — here ascending global frequency (rarest first), the
+    strongest pruning order — then if J(A,B) ≥ t, A and B must collide
+    within their first |x| − ⌈t·|x|⌉ + 1 shingles. Only those prefixes
+    are self-joined, so candidate generation touches the rare end of the
+    frequency spectrum where buckets are small.
+
+    Plan shape (all barriers deliberate):
+    1. one exchange of the hashed-shingle relation keyed on h, reused by
+       the frequency aggregation AND the freq re-join (ReusedExchange);
+    2. groupBy(doc_id): per-doc sorted (freq, h) arrays — an in-memory
+       sort_array per doc replaces a global window sort; the SAME pass
+       emits the sorted full hash array used for verification;
+    3. prefix explode + self-join on h (small);
+    4. verification joins candidates back to the per-doc sorted arrays
+       and computes |A∩B| via array_intersect — JVM-side, no explode,
+       no re-aggregation; AQE demotes both joins to broadcast since
+       candidates ≪ corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = _fanout(sized_shingle_hashes(docs), "h")
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
-    ranked = (sh.join(freq, "h")
-              .withColumn("rk", F.row_number().over(
-                  Window.partitionBy("doc_id").orderBy("freq", "h")))
-              .withColumn("prefix_len",
-                          F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n"))
-                          + F.lit(1)))
+    plen = (F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n"))
+            + F.lit(1)).cast("int")
+    docsets = (sh.join(freq, "h")
+               .groupBy("doc_id")
+               .agg(F.first("n").alias("n"),
+                    F.sort_array(F.collect_list(F.struct("freq", "h")))
+                    .alias("by_freq"))
+               .select(
+                   "doc_id", "n",
+                   F.sort_array(F.transform("by_freq", lambda x: x["h"]))
+                   .alias("arr"),
+                   F.transform(F.slice("by_freq", F.lit(1), plen),
+                               lambda x: x["h"]).alias("pref")))
     prefix = _fanout(
-        ranked.filter(F.col("rk") <= F.col("prefix_len"))
-        .select("doc_id", "n", "h"), "h")
+        docsets.select("doc_id", F.explode("pref").alias("h")), "h")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .dropDuplicates(["doc1", "doc2"]))
-    # Verify: count the FULL intersection for candidate pairs only.
-    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    s1, s2 = docsets.alias("s1"), docsets.alias("s2")
     inter = (cand
              .join(s1, F.col("doc1") == F.col("s1.doc_id"))
-             .join(s2, (F.col("doc2") == F.col("s2.doc_id"))
-                   & (F.col("s1.h") == F.col("s2.h")))
-             .groupBy("doc1", "doc2")
-             .agg(F.count(F.lit(1)).alias("inter_cnt"),
-                  F.max(F.col("s1.n")).alias("n1"),
-                  F.max(F.col("s2.n")).alias("n2")))
+             .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+             .select("doc1", "doc2",
+                     F.size(F.array_intersect(F.col("s1.arr"),
+                                              F.col("s2.arr")))
+                     .alias("inter_cnt"),
+                     F.col("s1.n").alias("n1"), F.col("s2.n").alias("n2")))
     jac = (F.col("inter_cnt").cast("double")
            / (F.col("n1") + F.col("n2") - F.col("inter_cnt")))
     return (inter.filter(jac >= JACCARD_T)
