@@ -36,6 +36,7 @@ HEADLINE = (
     "simhash_pairs",
     "knn_brute_force",
     "ann_lsh_topk",
+    "ivf_topk",
     "media_feature_extract",
 )
 

@@ -115,7 +115,8 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed approximate nearest neighbors (random hyperplanes).
 # --------------------------------------------------------------------------
 
-N_PLANES = 12
+N_TABLES = 16         # independent hash tables (OR-amplification)
+PLANES_PER_TABLE = 4  # sign bits per table (AND-amplification)
 EMB_DIM = 64
 
 
@@ -123,7 +124,7 @@ def _hyperplanes() -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed xorshift stream →
     uniform in [-1, 1)); stable across runs, no runtime randomness."""
     planes, state = [], 2463534242
-    for _ in range(N_PLANES):
+    for _ in range(N_TABLES * PLANES_PER_TABLE):
         row = []
         for _ in range(EMB_DIM):
             state ^= (state << 13) & 0xFFFFFFFF
@@ -134,33 +135,56 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_col() -> Column:
-    """Bucket id = sign-bit signature of the embedding against N_PLANES
-    fixed hyperplanes; pure JVM expression over the array column."""
-    bucket = None
-    for j, plane in enumerate(_hyperplanes()):
-        arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in plane) + ")"
-        d = F.expr(
-            f"aggregate(zip_with(embedding, {arr},"
-            f" (x, y) -> cast(x as double) * y),"
-            f" cast(0.0 as double), (acc, v) -> acc + v)")
-        bit = F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+def lsh_bucket_cols() -> list[Column]:
+    """One bucket id per hash table: the sign-bit signature of the
+    embedding against that table's PLANES_PER_TABLE fixed hyperplanes;
+    pure JVM expressions over the array column.
+
+    Multi-table (L × p) design: for a neighbor at angular similarity s,
+    single-table collision is s^p but union-over-L recall is
+    1 − (1 − s^p)^L. Parameters are calibrated to the corpus's similarity
+    regime: the testdata probe's true top-10 sit at cos≈0.28-0.37
+    (s≈0.6), where one 12-plane table recalls ~0.05 of true neighbors;
+    16 tables × 4 planes lift that to ~0.91 theoretical / ≥0.6 asserted
+    (tests/test_similarity.py). In a strong-similarity regime (near-dup
+    mining, cos≥0.9) raise PLANES_PER_TABLE to sharpen buckets. For
+    weakly-clustered corpora like this one, IVF (ivf_topk below) is the
+    better scale path — recall 1.0 touching 24% of the corpus."""
+    planes = _hyperplanes()
+    cols = []
+    for t in range(N_TABLES):
+        bucket = None
+        for j in range(PLANES_PER_TABLE):
+            plane = planes[t * PLANES_PER_TABLE + j]
+            arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in plane) + ")"
+            d = F.expr(
+                f"aggregate(zip_with(embedding, {arr},"
+                f" (x, y) -> cast(x as double) * y),"
+                f" cast(0.0 as double), (acc, v) -> acc + v)")
+            bit = (F.when(d > 0, F.lit(1 << j).cast("long"))
+                   .otherwise(F.lit(0).cast("long")))
+            bucket = bit if bucket is None else bucket + bit
+        cols.append(bucket)
+    return cols
 
 
 @query("ann_lsh_topk")  # rows-only: hyperplane hashing not SQL-oracle-able
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k for the fixed probe: candidates are only the
-    vectors in the probe's LSH bucket; exact cosine re-ranks the bucket.
-    At scale: bucket column is precomputable/partitionable, and a probe
-    touches one bucket instead of the full corpus."""
-    emb = load(spark, sf_dir, "embeddings").withColumn("bucket", lsh_bucket_col())
+    """Approximate top-k for the fixed probe: candidates are the union of
+    the probe's buckets across N_TABLES hash tables; exact cosine
+    re-ranks the candidates. At scale: the bucket-array column is
+    precomputed at write time; a probe turns into N_TABLES bucket
+    lookups instead of a corpus scan."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "buckets", F.array(*lsh_bucket_cols()))
     probe = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
-    qvec, qbucket = probe["embedding"], probe["bucket"]
+    qvec, qbuckets = probe["embedding"], probe["buckets"]
     q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
-    cands = (emb.filter((F.col("bucket") == qbucket)
-                        & (F.col("vec_id") != QUERY_VEC_ID))
+    collide = None
+    for t, qb in enumerate(qbuckets):
+        c = F.col("buckets")[t] == F.lit(int(qb))
+        collide = c if collide is None else (collide | c)
+    cands = (emb.filter(collide & (F.col("vec_id") != QUERY_VEC_ID))
              .withColumn("qv", q))
     return (cands.select("vec_id", "label",
                          (fround(cosine("embedding", "qv"), 6) + F.lit(0.0)).alias("cos_sim"))
@@ -202,3 +226,65 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(fround(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
                  .alias("centroid_norm"),
                  F.count(F.lit(1)).alias("dim")))
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed approximate nearest neighbors (the second ANN scale path,
+# complementing the LSH variant: IVF wins on clustered corpora, LSH needs
+# no training data at all).
+# --------------------------------------------------------------------------
+
+IVF_K = 16       # coarse-quantizer cells
+IVF_NPROBE = 4   # cells searched per probe
+
+
+def _arr_sql(vs: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({v!r} as double)" for v in vs) + ")"
+
+
+def _py_cos(a: list[float], b: list[float]) -> float:
+    import math
+
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(y * y for y in b)))
+
+
+@query("ivf_topk")  # rows-only: argmax-over-centroids is not oracle SQL
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest of
+    IVF_K fixed coarse centroids, then search only the probe's IVF_NPROBE
+    nearest cells, exact-cosine re-ranked.
+
+    The coarse quantizer is the first IVF_K corpus vectors (deterministic;
+    a production build would k-means them — the plan shape is identical).
+    Centroids are driver-collected once (IVF_K·64 floats) and inlined as
+    literals, so cell assignment is a pure JVM projection over the scan —
+    no join, no shuffle. Measured on the sf0.01 clustered corpus:
+    recall@10 = 1.0 touching 122/499 vectors (see tests/test_similarity.py).
+
+    At 100 TB: the cell id is a write-time partition column; a probe
+    reads IVF_NPROBE partitions (partition pruning) instead of the
+    corpus — the classic IVF index expressed as Spark table layout.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter(F.col("vec_id") < IVF_K)
+                 .select("vec_id", "embedding").collect())
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in cent_rows}
+    scores = F.array(*[
+        F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
+                 F.lit(c).alias("c")) for c in sorted(cents)])
+    best = F.element_at(F.sort_array(scores, asc=False), 1)["c"]
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
+    probe_cells = sorted(sorted(cents),
+                         key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
+    return (emb.withColumn("_cell", best)
+            .filter(F.col("_cell").isin(probe_cells)
+                    & (F.col("vec_id") != QUERY_VEC_ID))
+            .select("vec_id", "label",
+                    (fround(cosine("embedding", _arr_sql(qv)), 6)
+                     + F.lit(0.0)).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(TOP_K))
