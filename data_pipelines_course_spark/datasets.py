@@ -22,16 +22,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with its registry schema.
 
-    events.ts arrives as raw nanos (LongType) under the nanosAsLong conf;
-    convert with integer `div` (a float division would lose precision at
-    ~1e18 ns epochs: double has 53 mantissa bits ≈ ±256 ns error).
+    events.ts is normalized to ONE type (TimestampType, session-TZ UTC)
+    regardless of the on-disk encoding, so every downstream operator sees
+    a single timestamp flavor:
+
+    - raw nanos LongType (parquet TIMESTAMP(NANOS) under the nanosAsLong
+      conf): convert with integer `div` — a float division would lose
+      precision at ~1e18 ns epochs (double has 53 mantissa bits ≈ ±256 ns
+      error);
+    - TIMESTAMP_NTZ (µs-encoded testdata): cast to TIMESTAMP. With the
+      session timezone pinned to UTC (session.py) the wall clock is
+      preserved exactly and matches DuckDB's naive-timestamp reading.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; registered: {TABLE_NAMES}")
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

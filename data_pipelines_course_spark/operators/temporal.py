@@ -101,7 +101,11 @@ def banded_range_join(left: DataFrame, right: DataFrame, on: str,
     for inner semantics, or aggregate with null-skipping functions).
     """
     payload = [c for c in right.columns if c not in (on, right_ts)]
-    band = lambda c: (F.unix_micros(F.col(c)) / F.lit(band_micros)).cast("long")  # noqa: E731
+    # cast("timestamp") makes the banding expression type-robust: TIMESTAMP
+    # passes through, TIMESTAMP_NTZ converts via the (UTC-pinned) session
+    # zone — unix_micros itself rejects NTZ input with DATATYPE_MISMATCH.
+    band = lambda c: (F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+                      / F.lit(band_micros)).cast("long")
     lhs = left.withColumn(
         "_band",
         F.explode(F.array(band(left_ts) - 1, band(left_ts))))

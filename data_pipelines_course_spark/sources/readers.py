@@ -99,9 +99,9 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     Scale: without a partition_column a JDBC read is ONE connection on one
     executor; always pass (partition_column, lower/upper bound) for any
     table worth distributing. Requires the target database's JDBC driver
-    jar on the Spark classpath (none is bundled in this environment — the
-    call raises the JVM's ClassNotFound if missing; tests use the
-    in-memory path via registered views instead)."""
+    jar on the Spark classpath; tests/test_jdbc.py exercises the full
+    append + pushdown-subquery + partitioned-read cycle against embedded
+    Derby (bundled with Spark), mirroring the reference's SQLite plumbing."""
     configure(spark)
     reader = spark.read
     if partition_column is not None:
