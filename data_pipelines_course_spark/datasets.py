@@ -47,6 +47,43 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_CACHED: dict[tuple[str, str], DataFrame] = {}
+
+
+def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Mark a registered dataset for in-memory reuse (SURVEY §4.1 caching
+    row — the reference's `de_merkel.persist()` before two downstream jobs,
+    Introduction to PySpark.ipynb:240).
+
+    Spark's CacheManager matches by analyzed-plan equality, so EVERY
+    subsequent `load()` of the same table — even from code that never saw
+    this call — reads the InMemoryRelation instead of re-scanning parquet.
+    Idempotent; `uncache_table`/`uncache_all` release the memory.
+
+    Scale note: caching is a working-set decision, not a default — a
+    100 TB fact table must NOT be cached (it evicts everything else);
+    dims and mid-sized intermediates reused across jobs are the use case.
+    MEMORY_AND_DISK (the `cache()` default) degrades gracefully when a
+    partition doesn't fit.
+    """
+    key = (sf_dir, name)
+    if key not in _CACHED:
+        _CACHED[key] = load(spark, sf_dir, name).cache()
+    return _CACHED[key]
+
+
+def uncache_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    df = _CACHED.pop((sf_dir, name), None)
+    if df is not None:
+        df.unpersist()
+
+
+def uncache_all() -> None:
+    for df in _CACHED.values():
+        df.unpersist()
+    _CACHED.clear()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every registered table (lazy; no jobs run)."""
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,33 @@
+"""Corpus-level MinHash-LSH recall against exact Jaccard ground truth.
+
+The ANN paths (IVF/LSH over embeddings) already have measured-recall
+tests (test_similarity.py); this gives the minhash dedup path the same
+treatment: the exact-threshold Jaccard query (oracle-checked against
+DuckDB) is the truth set, and every truth pair must be recovered by the
+banded LSH candidate generation.
+
+Expected recall math (8 bands × 4 rows): P(candidate) = 1-(1-J^4)^8 —
+0.67 at J=0.6, 0.985 at J=0.8, →1 at J≈1. The corpus's planted
+duplicates are near-exact (J≈1), so measured recall is 1.0 at sf0.01
+(25/25 pairs); the 0.9 floor leaves room for borderline-J pairs at other
+scale factors without masking a real banding regression.
+"""
+
+from __future__ import annotations
+
+from data_pipelines_course_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    q = all_queries()
+    truth = {(r["doc1"], r["doc2"])
+             for r in q["ngram_jaccard_threshold"](spark, SF_DIR).collect()}
+    assert truth, "exact-threshold truth set is empty — corpus changed?"
+    cand = {(r["doc1"], r["doc2"])
+            for r in q["minhash_lsh_pairs"](spark, SF_DIR).collect()}
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, (
+        f"LSH recall {recall:.3f} < 0.9 "
+        f"(missed {sorted(truth - cand)[:10]})")

@@ -128,3 +128,27 @@ def test_plan_report_shape(spark):
     assert set(rep["join_strategies"]) == {"BroadcastHashJoin"}
     assert rep["exchange_count"] == 0  # broadcast ⇒ no shuffle at all
     assert rep["python_eval_nodes"] == []
+
+
+# -- caching / reuse (§4.1 caching row) -------------------------------------
+
+def test_cached_dataset_reuses_inmemory_relation(spark):
+    """SURVEY §4.1 caching (`de_merkel.persist()`, PySpark.ipynb:240):
+    after cache_table, a FRESH load() of the same table must plan an
+    InMemoryTableScan (CacheManager matches by analyzed plan, so callers
+    don't need the cached handle), and an aggregate over it must too."""
+    from data_pipelines_course_spark.datasets import (
+        cache_table, load, uncache_table,
+    )
+    try:
+        cached = cache_table(spark, SF_DIR, "nation")
+        cached.count()  # materialize
+        fresh = load(spark, SF_DIR, "nation")
+        plan = pa.formatted_plan(fresh)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+        agg = fresh.groupBy("n_regionkey").count()
+        assert "InMemoryTableScan" in pa.formatted_plan(agg)
+    finally:
+        uncache_table(spark, SF_DIR, "nation")
+    plan_after = pa.formatted_plan(load(spark, SF_DIR, "nation"))
+    assert "InMemoryTableScan" not in plan_after
