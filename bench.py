@@ -40,6 +40,16 @@ HEADLINE = (
     "media_feature_extract",
 )
 
+# New-in-r2 operator families, benched OUTSIDE the headline metric so the
+# frozen 19-query headline stays round-over-round comparable; reported in
+# the JSON under "extra_queries".
+EXTRA = (
+    "sessionize_events",
+    "decontaminate_exact",
+    "decontaminate_lsh",
+    "mixture_sample_events",
+)
+
 
 def run_query(df) -> None:
     """Force full execution without collecting results to the driver."""
@@ -76,6 +86,15 @@ def main() -> None:
         print(f"  {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s)",
               file=sys.stderr)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        df = queries[name](spark, sf_dir)
+        run_query(df)  # cold
+        t0 = time.perf_counter()
+        run_query(df)
+        extra[name] = round(time.perf_counter() - t0, 3)
+        print(f"  (extra) {name}: {extra[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -84,6 +103,7 @@ def main() -> None:
         "queries": timings,
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
+        "extra_queries": extra,
         "sf": sf,
     }))
     spark.stop()

@@ -500,3 +500,110 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
            / (F.col("n1") + F.col("n2") - F.col("inter_cnt")))
     return (inter.filter(jac >= JACCARD_T)
             .select("doc1", "doc2", fround(jac, 6).alias("jaccard")))
+
+
+# --------------------------------------------------------------------------
+# Decontamination — cross-SET near-dup detection: find training documents
+# that are near-duplicates of a held-out/benchmark set. The defining LLM
+# training-data hygiene operation (remove eval contamination from the
+# training corpus). Unlike the self-join dedups above, the two sides are
+# different (and wildly different-sized) relations: at 100 TB the
+# benchmark side is typically 10^4-10^6 docs vs 10^9+ train docs, so the
+# benchmark's shingle/signature table broadcasts and the train side never
+# shuffles at all — detection is a map-side join over the train scan.
+# --------------------------------------------------------------------------
+
+def cross_set_jaccard(train: DataFrame, bench: DataFrame,
+                      threshold: float = JACCARD_T) -> DataFrame:
+    """(train doc_id, bench doc_id, exact jaccard) for every cross pair
+    with J >= threshold — shared-shingle equi-join between the two sets
+    (no a<b constraint needed: the sets are disjoint by construction)."""
+    a = sized_shingle_hashes(train).select(
+        F.col("doc_id").alias("train_id"), F.col("n").alias("n1"), "h")
+    b = sized_shingle_hashes(bench).select(
+        F.col("doc_id").alias("bench_id"), F.col("n").alias("n2"), "h")
+    inter = (_fanout(a, "h").join(_fanout(b, "h"), "h")
+             .groupBy("train_id", "bench_id", "n1", "n2")
+             .agg(F.count(F.lit(1)).alias("inter_cnt")))
+    jac = (F.col("inter_cnt").cast("double")
+           / (F.col("n1") + F.col("n2") - F.col("inter_cnt")))
+    return (inter.filter(jac >= threshold)
+            .select("train_id", "bench_id", fround(jac, 6).alias("jaccard")))
+
+
+def _split_docs(docs: DataFrame):
+    """Deterministic stand-in split for the registered query: every 10th
+    doc_id plays the benchmark set, the rest are the training corpus."""
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return train, bench
+
+
+@query(
+    "decontaminate_exact",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM documents WHERE len({_DUCK_WORDS}) >= 3
+    ),
+    sized AS (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM sh
+    ),
+    inter AS (
+        SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+               max(a.n) AS n1, max(b.n) AS n2, count(*) AS inter_cnt
+        FROM sized a JOIN sized b ON a.shingle = b.shingle
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        GROUP BY 1, 2
+    )
+    SELECT train_id, bench_id,
+           floor((CAST(inter_cnt AS DOUBLE) / (n1 + n2 - inter_cnt))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter
+    WHERE CAST(inter_cnt AS DOUBLE) / (n1 + n2 - inter_cnt) >= {JACCARD_T}
+    """,
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that near-duplicate a benchmark doc (exact Jaccard
+    >= 0.6) — the oracle ground truth for the LSH decontamination path."""
+    train, bench = _split_docs(load(spark, sf_dir, "documents"))
+    return cross_set_jaccard(train, bench)
+
+
+@query("decontaminate_lsh")  # rows-only: banded MinHash not SQL-expressible
+def decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: band the benchmark set's MinHash signatures and join
+    train bands against them. Bench bands/signatures are tiny →
+    broadcast; the train side is bounded by its own banding fan-out (8
+    rows/doc), never a cross product. Returns candidate (train_id,
+    bench_id, est_jaccard >= 0.5) pairs; recall vs the exact path is
+    asserted in tests/test_dedup_recall.py."""
+    train, bench = _split_docs(load(spark, sf_dir, "documents"))
+
+    def bands_of(sigs: DataFrame, id_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(F.expr(
+                f"transform(sequence(0, {BANDS - 1}),"
+                f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                f" {ROWS_PER_BAND})))"))
+            .alias("band", "band_hash"))
+
+    tsig = minhash_signatures(train)
+    bsig = minhash_signatures(bench)
+    cand = (_fanout(bands_of(tsig, "train_id"), "band", "band_hash")
+            .join(F.broadcast(bands_of(bsig, "bench_id")),
+                  ["band", "band_hash"])
+            .select("train_id", "bench_id")
+            .dropDuplicates(["train_id", "bench_id"]))
+    s1, s2 = tsig.alias("s1"), bsig.alias("s2")
+    matches = F.size(F.filter(
+        F.zip_with(F.col("s1.sig"), F.col("s2.sig"), lambda x, y: x == y),
+        lambda v: v))
+    est = matches / F.lit(NUM_PERM).cast("double")
+    return (cand.join(s1, F.col("train_id") == F.col("s1.doc_id"))
+            .join(F.broadcast(s2), F.col("bench_id") == F.col("s2.doc_id"))
+            .select("train_id", "bench_id", fround(est, 4).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= 0.5))

@@ -1,0 +1,128 @@
+"""Deterministic sampling, train/eval splitting, and mixture sampling.
+
+Training-data pipelines need reproducible sampling: the same corpus +
+the same config must yield the SAME sample on every run, on any cluster,
+regardless of partitioning — which rules out `df.sample()`/`rand()`
+(seeded per-partition, so a repartition changes the sample). The standard
+trick is content hashing: bucket = md5(key) mod N, then select buckets.
+The reference's closest shape is `random.choice` branching
+(airflow/dags/generate_twitter.py:48 — F23), upgraded here from
+"random at orchestration time" to "deterministic function of the row".
+
+md5 (not xxhash64) because it is the one hash both engines share, so the
+sample is *oracle-checkable*: DuckDB computes the identical buckets.
+The top 16 bits of the digest give 65,536 values; mod-100 bias is ≤0.06%
+— irrelevant for sampling, and identical on both sides. At 100 TB the
+expression is pure codegen on the scan: sampling never shuffles, and the
+parquet reader prunes nothing (every row must be hashed) but projects
+only the key + kept columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..queries import query
+
+BUCKETS = 100
+
+
+def hash_bucket(col: Column, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets) from the md5 of the key's
+    string form — stable across runs, partitionings, and engines."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+            .cast("int") % F.lit(buckets))
+
+
+def _bucket_sql(expr: str, buckets: int = BUCKETS) -> str:
+    """The DuckDB-equivalent bucket expression (oracle side)."""
+    return (f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 4)) "
+            f"AS INTEGER) % {buckets}")
+
+
+def deterministic_sample(df: DataFrame, key: str, pct: int,
+                         buckets: int = BUCKETS) -> DataFrame:
+    """Keep rows whose hash bucket < pct — a reproducible pct% sample."""
+    return df.filter(hash_bucket(F.col(key), buckets) < pct)
+
+
+def train_eval_split(df: DataFrame, key: str, eval_pct: int = 10,
+                     buckets: int = BUCKETS) -> DataFrame:
+    """Attach a stable split column: ~eval_pct% 'eval', rest 'train'.
+    Membership is a pure function of the key, so re-runs and incremental
+    appends never migrate a document between splits (the property that
+    matters for decontamination-safe training)."""
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(F.col(key), buckets) < eval_pct,
+               F.lit("eval")).otherwise(F.lit("train")))
+
+
+def mixture_sample(df: DataFrame, key: str, strata_col: str,
+                   rates: dict[str, int],
+                   default_pct: int = 0,
+                   buckets: int = BUCKETS) -> DataFrame:
+    """Per-stratum sampling rates (a data-mix recipe): keep rows where
+    bucket < rate[stratum]. The deterministic analog of `sampleBy`."""
+    rate = F.lit(default_pct)
+    for value, pct in rates.items():
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key), buckets) < rate)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+@query(
+    "deterministic_sample_docs",
+    oracle=f"""
+    SELECT doc_id, {_bucket_sql('doc_id')} AS bucket
+    FROM documents
+    WHERE {_bucket_sql('doc_id')} < 10
+    """,
+)
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% reproducible sample of the document corpus by doc_id hash."""
+    docs = load(spark, sf_dir, "documents")
+    return (deterministic_sample(docs, "doc_id", pct=10)
+            .select("doc_id", hash_bucket(F.col("doc_id")).alias("bucket")))
+
+
+@query(
+    "train_eval_split_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql('doc_id')} < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def train_eval_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 90/10 train/eval assignment for every document."""
+    docs = load(spark, sf_dir, "documents")
+    return train_eval_split(docs, "doc_id", eval_pct=10).select("doc_id", "split")
+
+
+@query(
+    "mixture_sample_events",
+    oracle=f"""
+    SELECT event_id, event_type
+    FROM events
+    WHERE {_bucket_sql('event_id')} <
+          CASE event_type
+              WHEN 'purchase' THEN 100
+              WHEN 'click' THEN 20
+              ELSE 5
+          END
+    """,
+)
+def mixture_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix recipe over the event stream: keep all purchases, 20% of
+    clicks, 5% of everything else — deterministic, per-row, no shuffle."""
+    ev = load(spark, sf_dir, "events")
+    return (mixture_sample(ev, "event_id", "event_type",
+                           rates={"purchase": 100, "click": 20},
+                           default_pct=5)
+            .select("event_id", "event_type"))

@@ -173,3 +173,82 @@ def range_join_click_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_micros=3_600_000_000)
     return (joined.groupBy("event_id", "user_id", "ts")
             .agg(F.count("r_ts").alias("click_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — the batch twin of streaming/jobs.py's
+# session_windows (event-time sessions with a gap timeout). A training-data
+# pipeline sessionizes interaction logs the same way Structured Streaming
+# does, but over the full history: one window pass, no state store.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
+               order_tiebreak: str = "event_id",
+               gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign per-key session sequence numbers: a new session starts when
+    the gap since the previous event exceeds `gap_minutes`.
+
+    One shuffle (partitionBy key) + one sort — the classic
+    lag → break-flag → running-sum pattern; session ids are dense
+    per-key sequences, deterministic because ordering ties are broken by
+    `order_tiebreak`. Scale: state is a single window pass; skewed users
+    are bounded by their own event counts (no cross product anywhere).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(),
+                                        F.col(order_tiebreak).asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(ts).over(w)
+    brk = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy(key).orderBy(
+        F.col(ts).asc(), F.col(order_tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (events
+            .withColumn("_brk", brk)
+            .withColumn("session_seq", F.sum("_brk").over(cum).cast("long"))
+            .drop("_brk"))
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ), b AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS brk
+        FROM o
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_seq
+        FROM b
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions over the event log (30-minute inactivity gap)
+    with per-session bounds and event counts."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize(ev)
+    return (s.groupBy("user_id", "session_seq")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events")))

@@ -60,6 +60,7 @@ def load_registry() -> None:
         temporal,
         grouped,
         skew,
+        sampling,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -70,7 +71,8 @@ def load_registry() -> None:
         from pyspark import cloudpickle
 
         for mod in (relational, windows, nested, textops, dedup,
-                    similarity, multimodal, temporal, grouped, skew):
+                    similarity, multimodal, temporal, grouped, skew,
+                    sampling):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

@@ -31,3 +31,17 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert recall >= 0.9, (
         f"LSH recall {recall:.3f} < 0.9 "
         f"(missed {sorted(truth - cand)[:10]})")
+
+
+def test_decontaminate_lsh_recall_vs_exact(spark):
+    """The banded cross-set MinHash path must recover the exact-Jaccard
+    contamination pairs (same banding math as the self-join case; the
+    planted dups are near-exact so measured recall is 1.0 at sf0.01)."""
+    q = all_queries()
+    exact = {(r["train_id"], r["bench_id"])
+             for r in q["decontaminate_exact"](spark, SF_DIR).collect()}
+    assert exact, "exact decontamination truth set is empty — corpus changed?"
+    lsh = {(r["train_id"], r["bench_id"])
+           for r in q["decontaminate_lsh"](spark, SF_DIR).collect()}
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"decontamination recall {recall:.3f} < 0.9"

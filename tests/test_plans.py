@@ -152,3 +152,23 @@ def test_cached_dataset_reuses_inmemory_relation(spark):
         uncache_table(spark, SF_DIR, "nation")
     plan_after = pa.formatted_plan(load(spark, SF_DIR, "nation"))
     assert "InMemoryTableScan" not in plan_after
+
+
+def test_decontaminate_lsh_broadcasts_bench_side(spark):
+    """Decontamination's benchmark side (bands + signatures) must
+    broadcast — at real scale the train side is 10^3-10^5× larger and
+    must never shuffle for the candidate join."""
+    df = QUERIES["decontaminate_lsh"](spark, SF_DIR)
+    strategies = pa.join_strategies(df)
+    assert any("Broadcast" in s for s in strategies), strategies
+
+
+def test_sessionize_single_exchange(spark):
+    """Sessionization must be ONE shuffle: the lag window, the running-sum
+    window, and the per-session aggregate all reuse the user_id hash
+    partitioning (groupBy(user_id, session_seq) is satisfied by
+    HashPartitioning(user_id) — ClusteredDistribution subset rule)."""
+    df = QUERIES["sessionize_events"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1
+    assert sorted(pa.read_schema_columns(df)) == [
+        "event_id", "ts", "user_id"]
