@@ -516,19 +516,50 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
 def cross_set_jaccard(train: DataFrame, bench: DataFrame,
                       threshold: float = JACCARD_T) -> DataFrame:
     """(train doc_id, bench doc_id, exact jaccard) for every cross pair
-    with J >= threshold — shared-shingle equi-join between the two sets
-    (no a<b constraint needed: the sets are disjoint by construction)."""
-    a = sized_shingle_hashes(train).select(
+    with J >= threshold — shared-shingle equi-join between two genuinely
+    distinct document tables (no a<b constraint needed: the sets are
+    disjoint by construction)."""
+    a = _fanout(sized_shingle_hashes(train), "h").select(
         F.col("doc_id").alias("train_id"), F.col("n").alias("n1"), "h")
-    b = sized_shingle_hashes(bench).select(
+    b = _fanout(sized_shingle_hashes(bench), "h").select(
         F.col("doc_id").alias("bench_id"), F.col("n").alias("n2"), "h")
-    inter = (_fanout(a, "h").join(_fanout(b, "h"), "h")
+    return _cross_jaccard_from_sides(a, b, threshold)
+
+
+def _cross_jaccard_from_sides(a: DataFrame, b: DataFrame,
+                              threshold: float) -> DataFrame:
+    inter = (a.join(b, "h")
              .groupBy("train_id", "bench_id", "n1", "n2")
              .agg(F.count(F.lit(1)).alias("inter_cnt")))
     jac = (F.col("inter_cnt").cast("double")
            / (F.col("n1") + F.col("n2") - F.col("inter_cnt")))
     return (inter.filter(jac >= threshold)
             .select("train_id", "bench_id", fround(jac, 6).alias("jaccard")))
+
+
+def cross_set_jaccard_split(docs: DataFrame, bench_pred,
+                            threshold: float = JACCARD_T) -> DataFrame:
+    """Same answer when both sets are a PREDICATE split of ONE corpus:
+    run the (already-tuned) SELF-join once and post-filter to cross-set
+    pairs, orienting columns so the train doc is always `train_id`.
+
+    Why not filter the two sides before a cross join? Catalyst pushes the
+    split predicates below the shingle transform (plus an inferred
+    isnotnull(shingles) that re-evaluates the whole HOF array in the
+    filter), so the corpus gets shingled once per side from the raw scan
+    — measured 10.0 s at sf0.1 vs 2.3 s for this plan, which shingles and
+    shuffles once and pays only the (small at J≥t) extra self-pairs that
+    the post-filter discards."""
+    pairs = _pair_jaccard(docs).filter(F.col("_jac") >= threshold)
+    # bench_pred is a function doc_id_col -> BooleanColumn so the split
+    # rule is evaluated on both pair columns without re-joining docs.
+    is_b1, is_b2 = bench_pred(F.col("doc1")), bench_pred(F.col("doc2"))
+    return (pairs.filter(is_b1 != is_b2)
+            .select(F.when(is_b1, F.col("doc2")).otherwise(F.col("doc1"))
+                    .alias("train_id"),
+                    F.when(is_b1, F.col("doc1")).otherwise(F.col("doc2"))
+                    .alias("bench_id"),
+                    fround(F.col("_jac"), 6).alias("jaccard")))
 
 
 def _split_docs(docs: DataFrame):
@@ -567,9 +598,11 @@ def _split_docs(docs: DataFrame):
 )
 def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs that near-duplicate a benchmark doc (exact Jaccard
-    >= 0.6) — the oracle ground truth for the LSH decontamination path."""
-    train, bench = _split_docs(load(spark, sf_dir, "documents"))
-    return cross_set_jaccard(train, bench)
+    >= 0.6) — the oracle ground truth for the LSH decontamination path.
+    Uses the self-join + post-filter plan (one shingle pass, one
+    exchange) since both sets live in one table."""
+    docs = load(spark, sf_dir, "documents")
+    return cross_set_jaccard_split(docs, lambda c: c % 10 == 0)
 
 
 @query("decontaminate_lsh")  # rows-only: banded MinHash not SQL-expressible

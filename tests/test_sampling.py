@@ -1,0 +1,64 @@
+"""Sampling-layer tests: bucket-domain and cross-engine properties that
+the row-level oracle parity (tests/test_parity.py) can't express, in the
+reference's Hypothesis style (SURVEY §5.2 item 3).
+
+The load-bearing property is ENGINE PORTABILITY: hash_bucket(key) must
+equal DuckDB's bucket for the same key — that is what makes a sample
+reproducible outside Spark (and oracle-checkable). Hypothesis drives
+arbitrary keys through both engines in one batched DataFrame per example
+set."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.operators.sampling import (
+    hash_bucket,
+    mixture_sample,
+    train_eval_split,
+)
+
+KEYS = st.lists(st.integers(min_value=-2**62, max_value=2**62),
+                min_size=1, max_size=50, unique=True)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=KEYS)
+def test_hash_bucket_matches_duckdb(spark, duck, keys):
+    spark_buckets = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(k,) for k in keys], "k long")
+        .select("k", hash_bucket(F.col("k")).alias("b")).collect()}
+    duck_buckets = {
+        k: duck.sql(
+            "SELECT CAST(('0x' || substring(md5(CAST(? AS VARCHAR)), 1, 4)) "
+            "AS INTEGER) % 100", params=[k]).fetchone()[0]
+        for k in keys}
+    assert spark_buckets == duck_buckets
+    assert all(0 <= b < 100 for b in spark_buckets.values())
+
+
+def test_split_is_stable_under_repartition(spark):
+    """The property df.sample() lacks: membership must not depend on
+    partitioning or row order."""
+    df = spark.range(2000)
+    a = train_eval_split(df.repartition(1), "id")
+    b = train_eval_split(df.repartition(17).sortWithinPartitions(
+        F.desc("id")), "id")
+    sa = {(r["id"], r["split"]) for r in a.collect()}
+    sb = {(r["id"], r["split"]) for r in b.collect()}
+    assert sa == sb
+    n_eval = sum(1 for _, s in sa if s == "eval")
+    assert 120 <= n_eval <= 280  # ~10% of 2000, generous binomial bounds
+
+
+def test_mixture_rates_are_respected(spark):
+    df = spark.range(10_000).withColumn(
+        "stratum", F.when(F.col("id") % 2 == 0, "a").otherwise("b"))
+    kept = mixture_sample(df, "id", "stratum", rates={"a": 100, "b": 0})
+    rows = kept.groupBy("stratum").count().collect()
+    counts = {r["stratum"]: r["count"] for r in rows}
+    assert counts == {"a": 5000}  # rate-100 keeps all, rate-0 keeps none

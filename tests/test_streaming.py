@@ -249,3 +249,63 @@ def test_stream_static_join_enriches_events(spark, tmp_path):
         assert rows == {(1, "gold", 10.0), (2, "silver", 20.0)}
     finally:
         q.stop()
+
+
+def test_stream_batch_sessionization_parity(spark, tmp_path):
+    """Engine guarantee: the BATCH sessionizer (operators/temporal.py
+    lag→break→running-sum) and the STREAMING session_window produce the
+    same sessions on the same input. Bounds are aligned explicitly —
+    Spark's session_window end is last_event + gap, the batch session_end
+    is max(ts) — and gap-boundary semantics differ only at diff == gap
+    exactly (session_window's window end is exclusive), which the input
+    avoids, as real µs-resolution data does almost surely."""
+    import json as _json
+
+    from data_pipelines_course_spark.operators.temporal import sessionize
+
+    rows = []
+    base = 0
+    for user in (1, 2, 3):
+        t = base + user * 7
+        for sess in range(user):          # user N gets N sessions
+            for i in range(3 + sess):     # of 3..(2+N) events each
+                rows.append({"ts": f"2024-01-01T00:{t // 60:02d}:{t % 60:02d}",
+                             "user_id": user, "value": 1.0})
+                t += 10                   # 10 s intra-session gaps (< 60)
+            t += 180                      # 3 min between sessions (> 60)
+    src = tmp_path / "sess_parity_in"
+    src.mkdir()
+    # far-future watermark advancer so append mode emits everything
+    rows.append({"ts": "2024-01-01T02:00:00", "user_id": 9, "value": 1.0})
+    (src / "f1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    schema = "ts timestamp, user_id bigint, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = jobs.run_available_now_to_memory(
+        jobs.session_windows(stream, gap="60 seconds"), "sess_parity",
+        mode="append")
+    try:
+        streamed = {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+             r["cnt"])
+            for r in spark.sql(
+                "SELECT * FROM sess_parity WHERE user_id < 9").collect()}
+    finally:
+        q.stop()
+
+    batch_in = (spark.read.schema(schema).json(str(src))
+                .filter(F.col("user_id") < 9)
+                .withColumn("event_id", F.monotonically_increasing_id()))
+    batch = (sessionize(batch_in, gap_minutes=1)
+             .groupBy("user_id", "session_seq")
+             .agg(F.min("ts").alias("session_start"),
+                  (F.max("ts") + F.expr("INTERVAL 60 SECONDS"))
+                  .alias("session_end"),
+                  F.count(F.lit(1)).alias("cnt")))
+    batched = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["cnt"])
+        for r in batch.collect()}
+    assert streamed == batched
+    assert len(batched) == 1 + 2 + 3  # user N has N sessions
