@@ -1,0 +1,124 @@
+"""End-to-end corpus curation — the composed training-data pipeline.
+
+The reference's multi-stage pipelines materialize every edge (CSV →
+SQLite → report, airflow/dags/twitter_airflow.py:101-141; file targets
+between every Luigi task, luigi/taxi_data_import.py:37-57) because each
+runtime executes one stage at a time. The engine's design (SURVEY §3.2)
+collapses such chains into ONE lazy DataFrame plan, so Catalyst sees —
+and optimizes across — the whole pipeline: the quality filter prunes the
+scan, the dedup agg and the split expression run in the same job, and
+nothing touches disk between stages.
+
+`corpus_curation` is that story for the LLM-data surface: quality-filter
+→ exact-dedup (canonical representative per content hash) → stable
+train/eval split, one Catalyst plan, fully DuckDB-oracle-checked.
+`lang_token_stats` is the corpus-report companion (per-language doc/token
+tallies — the numbers a data-mix design starts from).
+
+Scale: the curation plan is scan → filter (codegen) → one hash-shuffle on
+md5(text) → split expression. The only exchange is the dedup groupBy;
+at 100 TB that is the unavoidable content-hash shuffle, and AQE handles
+hot fingerprints (mass-duplicated boilerplate) via skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..queries import query
+from .sampling import _bucket_sql, hash_bucket
+from .textops import STOP_DE, STOP_EN, STOP_FR, _duck_hits, _spark_hits
+
+_MIN_TOKENS = 20
+
+
+def curate(docs: DataFrame, min_tokens: int = _MIN_TOKENS,
+           eval_pct: int = 10) -> DataFrame:
+    """quality-filter → exact-dedup → stable split, one plan.
+
+    Keeps docs with >= min_tokens whitespace tokens and >= 1 English
+    stopword hit (the text_quality 'keep' verdict); keeps the smallest
+    doc_id per md5(text) as the canonical representative; assigns the
+    deterministic md5-bucket split on the surviving doc_id."""
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    stop_hits = F.expr(_spark_hits(STOP_EN))
+    kept = docs.filter((n_tokens >= min_tokens) & (stop_hits > 0))
+    reps = (kept.groupBy(F.md5("text").alias("fp"))
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+    return reps.select(
+        "doc_id", "dup_count",
+        F.when(hash_bucket(F.col("doc_id")) < eval_pct, F.lit("eval"))
+        .otherwise(F.lit("train")).alias("split"))
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= {_MIN_TOKENS}
+          AND {_duck_hits(STOP_EN)} > 0
+    ),
+    reps AS (
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM kept GROUP BY md5(text)
+    )
+    SELECT doc_id, dup_count,
+           CASE WHEN {_bucket_sql('doc_id')} < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM reps
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline over the document corpus."""
+    return curate(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "lang_token_stats",
+    oracle=f"""
+    WITH scored AS (
+        SELECT CASE
+                 WHEN {_duck_hits(STOP_EN)} = 0 AND {_duck_hits(STOP_DE)} = 0
+                      AND {_duck_hits(STOP_FR)} = 0 THEN 'unknown'
+                 WHEN {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_DE)}
+                      AND {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_FR)}
+                      THEN 'en'
+                 WHEN {_duck_hits(STOP_DE)} >= {_duck_hits(STOP_FR)} THEN 'de'
+                 ELSE 'fr'
+               END AS predicted_lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM scored GROUP BY predicted_lang
+    """,
+)
+def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: document and token tallies keyed by the
+    lang_id heuristic — the input numbers for a data-mix recipe."""
+    docs = load(spark, sf_dir, "documents")
+    hits = {lang: F.expr(_spark_hits(words))
+            for lang, words in (("en", STOP_EN), ("de", STOP_DE),
+                                ("fr", STOP_FR))}
+    lang = (F.when((hits["en"] == 0) & (hits["de"] == 0)
+                   & (hits["fr"] == 0), "unknown")
+            .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]),
+                  "en")
+            .when(hits["de"] >= hits["fr"], "de")
+            .otherwise("fr"))
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (docs.select(lang.alias("predicted_lang"),
+                        n_tokens.alias("n_tokens"))
+            .groupBy("predicted_lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.min("n_tokens").alias("min_tokens"),
+                 F.max("n_tokens").alias("max_tokens")))

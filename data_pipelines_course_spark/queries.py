@@ -61,6 +61,7 @@ def load_registry() -> None:
         grouped,
         skew,
         sampling,
+        curation,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -72,7 +73,7 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling):
+                    sampling, curation):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there
