@@ -1,0 +1,51 @@
+"""Registry-wide physical-plan audit — the 100 TB design review as code.
+
+Sweeps every registered query, summarizes the physical plan (exchanges,
+scan column pruning, join strategies, Python execution nodes, codegen
+stages), and prints a markdown table. The per-round snapshot is committed
+as PLAN_AUDIT_r{N}.md so plan regressions (a new exchange, a lost
+broadcast, Python leaking into a hot path) show up in review diffs, not
+just in wall-clock drift.
+
+Usage: python plan_audit.py [sf_dir] > PLAN_AUDIT_rNN.md
+"""
+
+from __future__ import annotations
+
+import sys
+
+from data_pipelines_course_spark.plans import analysis as pa
+from data_pipelines_course_spark.queries import all_oracles, all_queries
+from data_pipelines_course_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, oracles = all_queries(), all_oracles()
+
+    print(f"# Plan audit — {len(queries)} registered queries, {sf_dir}\n")
+    print("Legend: exch = shuffle Exchange count; scan-cols = columns "
+          "actually read from parquet (pruning); joins = physical join "
+          "strategies; py = Python execution nodes (Arrow-batched only; "
+          "BatchEvalPython is test-banned); oracle = has DuckDB oracle.\n")
+    print("| query | exch | scan-cols | joins | py | oracle |")
+    print("|---|---|---|---|---|---|")
+    for name in sorted(queries):
+        try:
+            df = queries[name](spark, sf_dir)
+            r = pa.plan_report(df)
+            joins = ",".join(sorted({j.replace("Exec", "")
+                                     for j in r["join_strategies"]})) or "-"
+            py = ",".join(sorted(set(r["python_eval_nodes"]))) or "-"
+            cols = len(r["read_schema_columns"])
+            print(f"| {name} | {r['exchange_count']} | {cols} | {joins} "
+                  f"| {py} | {'y' if name in oracles else 'rows-only'} |")
+        except Exception as ex:  # noqa: BLE001 — audit must cover the rest
+            print(f"| {name} | ERR | - | - | - | {str(ex)[:40]} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

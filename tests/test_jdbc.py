@@ -116,3 +116,25 @@ def test_jdbc_typed_bulk_copy(spark, derby_url):
     # value fidelity through the round-trip
     got = {r.trip_id: r.fare for r in back.collect()}
     assert got[7] == 19.5
+
+
+def test_streaming_foreach_batch_to_jdbc(spark, derby_url, tmp_path):
+    """The reference's streaming-to-SQL story (tweet stream → SQLite
+    append, K3's streaming variant): each micro-batch appends to a JDBC
+    table via foreachBatch — the composition write_jdbc was designed for."""
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join(
+        f'{{"k": {i}, "v": "row{i}"}}' for i in range(20)) + "\n")
+    stream = (spark.readStream.schema("k bigint, v string")
+              .json(str(src)))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, epoch: write_jdbc(
+             df, derby_url, "stream_rows", mode="append",
+             driver=DERBY_DRIVER))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    back = read_jdbc(spark, derby_url, "stream_rows",
+                     properties={"driver": DERBY_DRIVER})
+    assert back.count() == 20
+    assert back.agg({"k": "sum"}).collect()[0][0] == sum(range(20))

@@ -172,3 +172,25 @@ def test_sessionize_single_exchange(spark):
     assert pa.exchange_count(df) == 1
     assert sorted(pa.read_schema_columns(df)) == [
         "event_id", "ts", "user_id"]
+
+
+def test_corpus_curation_single_exchange_filter_pushed(spark):
+    """The composed curation pipeline must stay ONE job with ONE exchange
+    (the content-hash groupBy); the quality filter must evaluate at the
+    scan (DataFilters), not in a separate stage."""
+    df = QUERIES["corpus_curation"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1
+    assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
+
+
+def test_no_rowwise_python_anywhere_in_registry(spark):
+    """Registry-wide ban: BatchEvalPython (row-at-a-time Python) must not
+    appear in ANY registered query's plan — Arrow-batched nodes
+    (MapInPandas / FlatMapGroupsInPandas...) are the only sanctioned
+    Python execution, and only where the operator genuinely needs it."""
+    offenders = {}
+    for name, fn in QUERIES.items():
+        nodes = pa.python_eval_nodes(fn(spark, SF_DIR))
+        if "BatchEvalPython" in nodes:
+            offenders[name] = nodes
+    assert not offenders, offenders
