@@ -58,7 +58,13 @@ def _widen(df: DataFrame) -> DataFrame:
     no-op. On a small input (one file ⇒ one partition — exactly the local
     bench) the whole interpreted-HOF shingle stage would otherwise run in
     a single task; pay one linear row-shuffle to spread it. Keyed by
-    doc_id (not round-robin) so the output partitioning is deterministic."""
+    doc_id (not round-robin) so the output partitioning is deterministic.
+
+    Streaming frames pass through untouched: `.rdd` is illegal on them,
+    and a micro-batch's parallelism is the source's concern (e.g.
+    maxFilesPerTrigger), not a repartition's."""
+    if df.isStreaming:
+        return df
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= n:
@@ -640,3 +646,26 @@ def decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(s2), F.col("bench_id") == F.col("s2.doc_id"))
             .select("train_id", "bench_id", fround(est, 4).alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= 0.5))
+
+
+def rowwise_minhash_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) via per-ROW array HOFs — no explode, no groupBy.
+
+    Bit-identical to minhash_signatures (same shingles, same 32-bit mask,
+    same affine permutations, asserted by test), but expressed as
+    array_min over a transform per permutation, so it is STATELESS: legal
+    on a streaming DataFrame ahead of a join, and shuffle-free in batch.
+    The batch path keeps the groupBy form because partial-aggregate min()
+    is codegen while HOF lambdas are interpreted — in a hot batch loop
+    over long documents the aggregate wins; on a stream, statelessness
+    wins."""
+    hash_arr = (f"transform({_SHINGLES},"
+                f" s -> xxhash64(s) & {_MASK32}L)")
+    sig = F.array(*[
+        F.expr(f"array_min(transform({hash_arr},"
+               f" h -> ({a}L * h + {b}L) % {_MERSENNE_P}L))")
+        for a, b in PERMS
+    ])
+    return (_widen(docs)
+            .filter(F.expr(f"size({_WORDS})") >= 3)
+            .select("doc_id", sig.alias("sig")))

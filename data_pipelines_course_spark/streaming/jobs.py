@@ -213,3 +213,46 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame,
     batches are picked up) and broadcast when small. Stream-static joins
     are stateless: no watermark needed, unlike stream-stream joins."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def decontaminate_stream(stream_docs: DataFrame,
+                         bench_docs: DataFrame) -> DataFrame:
+    """Streaming decontamination: flag incoming documents that MinHash-LSH
+    matches against a STATIC benchmark set (the ingest-time twin of
+    operators/dedup.decontaminate_lsh — catch contamination as documents
+    arrive instead of in a later batch sweep).
+
+    The stream side CANNOT use the batch signature pipeline: that one is
+    groupBy(doc_id) over exploded shingles, and a streaming aggregation
+    followed by a join is both unsupported and needlessly stateful. Per-row
+    signatures via array higher-order functions (shingles never explode —
+    array_min over a transform per permutation) are stateless, so the whole
+    plan is micro-batch-local: band keys per row, broadcast join against
+    the static benchmark band table, zero state store, no watermark.
+
+    Emits (doc_id, bench_id) candidate hits — duplicated per matching band;
+    dedup per micro-batch (and idempotent delivery) belongs in foreachBatch
+    at the sink, where `dropDuplicates` is batch-local and bounded.
+    Cross-engine/batch parity: band hashes are the same expressions as the
+    batch path, so a hit here IS a batch candidate pair."""
+    from ..operators.dedup import (
+        BANDS,
+        ROWS_PER_BAND,
+        minhash_signatures,
+        rowwise_minhash_sig,
+    )
+
+    band_expr = (f"transform(sequence(0, {BANDS - 1}),"
+                 f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                 f" {ROWS_PER_BAND})))")
+
+    def bands_of(sigs: DataFrame, id_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(F.expr(band_expr)).alias("band", "band_hash"))
+
+    bench_bands = bands_of(minhash_signatures(bench_docs), "bench_id")
+    stream_bands = bands_of(rowwise_minhash_sig(stream_docs), "doc_id")
+    return (stream_bands
+            .join(F.broadcast(bench_bands), ["band", "band_hash"])
+            .select("doc_id", "bench_id"))

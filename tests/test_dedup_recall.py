@@ -45,3 +45,17 @@ def test_decontaminate_lsh_recall_vs_exact(spark):
            for r in q["decontaminate_lsh"](spark, SF_DIR).collect()}
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, f"decontamination recall {recall:.3f} < 0.9"
+
+
+def test_rowwise_sig_matches_aggregated_sig(spark):
+    """The stateless per-row HOF signature (streaming path) must be
+    bit-identical to the groupBy signature (batch path) — one definition
+    of 'minhash' across execution modes."""
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.operators.dedup import (
+        minhash_signatures, rowwise_minhash_sig,
+    )
+    docs = load(spark, SF_DIR, "documents")
+    agg = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    row = {r["doc_id"]: r["sig"] for r in rowwise_minhash_sig(docs).collect()}
+    assert agg == row

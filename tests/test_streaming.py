@@ -309,3 +309,35 @@ def test_stream_batch_sessionization_parity(spark, tmp_path):
         for r in batch.collect()}
     assert streamed == batched
     assert len(batched) == 1 + 2 + 3  # user N has N sessions
+
+
+def test_streaming_decontamination_flags_bench_dups(spark, tmp_path):
+    """Ingest-time decontamination: a stream of documents joined (stateless,
+    broadcast) against a static benchmark set's LSH bands; the planted
+    near-exact duplicate of a benchmark doc must be flagged within its own
+    micro-batch, clean docs must not."""
+    import json as _json
+
+    bench_text = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the deep dark forest tonight")
+    clean_text = ("completely different content about spark structured "
+                  "streaming joins and stateless band matching at scale")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    src = tmp_path / "decon_stream_in"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"doc_id": 1, "text": bench_text},          # exact dup of bench 100
+        {"doc_id": 2, "text": clean_text},
+    ]) + "\n")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .json(str(src)))
+    hits = jobs.decontaminate_stream(stream, bench)
+    assert hits.isStreaming
+    q = (hits.writeStream.outputMode("append").format("memory")
+         .queryName("decon_hits").trigger(availableNow=True).start())
+    q.awaitTermination()
+    flagged = {(r["doc_id"], r["bench_id"]) for r in
+               spark.sql("SELECT DISTINCT doc_id, bench_id "
+                         "FROM decon_hits").collect()}
+    assert flagged == {(1, 100)}
