@@ -1,0 +1,158 @@
+"""Classic analytic query shapes (TPC-H-style) over the testdata tables.
+
+The reference never runs multi-table SQL (SURVEY §2.4/§4.1 "NOT
+exercised" rows), but an analytics engine's relational core is defined by
+these shapes: selective scan+agg (Q6), join + group + top-k (Q3), wide
+join + top-k (Q10), conditional aggregation (Q12). Adapted to the columns
+the driver testdata actually carries (no o_shippriority / l_shipmode /
+l_commitdate), keeping each query's structural point intact.
+
+Scale notes: every dim side broadcasts; fact-fact joins key on
+l_orderkey/o_orderkey (uniform); date filters reach the parquet scan
+(PushedFilters — plan-asserted for Q6); top-k plans TakeOrderedAndProject
+(no global sort). Sort tie-breaks include the group key so LIMIT is
+deterministic for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround, fround_sql
+from ..queries import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@query(
+    "tpch_q3_unshipped_revenue",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {fround_sql(f"sum({_REV})")} AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-06-01'
+      AND l.l_shipdate > DATE '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: revenue of orders placed but not yet shipped at a cutoff
+    date — join + group + deterministic top-10."""
+    cust = (load(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (load(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < "1998-06-01")
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > "1998-06-01")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(fround(F.sum(F.expr(_REV)), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {fround_sql("sum(l_extendedprice * l_discount)")} AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure selective scan + global agg — the pushdown
+    showcase (every predicate reaches the parquet scan; plan-asserted)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount") >= 0.03)
+                      & (F.col("l_discount") <= 0.07)
+                      & (F.col("l_quantity") < 24))
+            .agg(fround(F.sum(F.col("l_extendedprice")
+                              * F.col("l_discount")), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {fround_sql(f"sum({_REV})")} AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1999-01-01'
+      AND o.o_orderdate < DATE '1999-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: customers who returned the most revenue in a window —
+    wide join + group + top-20."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1999-01-01")
+                      & (F.col("o_orderdate") < "1999-07-01"))
+              .select("o_orderkey", "o_custkey"))
+    li = (load(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(fround(F.sum(F.expr(_REV)), 2).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20)
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
+
+
+@query(
+    "tpch_q12_priority_shipping",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation — per ship-year line counts by
+    order-priority class (CASE inside sum, one pass)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.year("l_shipdate").alias("ship_year"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count")))

@@ -62,6 +62,7 @@ def load_registry() -> None:
         skew,
         sampling,
         curation,
+        tpch,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -73,7 +74,7 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling, curation):
+                    sampling, curation, tpch):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

@@ -194,3 +194,14 @@ def test_no_rowwise_python_anywhere_in_registry(spark):
         if "BatchEvalPython" in nodes:
             offenders[name] = nodes
     assert not offenders, offenders
+
+
+def test_q6_predicates_push_to_scan(spark):
+    """Q6's whole point: every predicate must reach the parquet scan so
+    row groups outside the date/discount/quantity ranges never decode."""
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR)
+    pushed = " ".join(pa.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert sorted(pa.read_schema_columns(df)) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
