@@ -1,0 +1,111 @@
+"""Connected components — near-duplicate CLUSTERS from pair graphs.
+
+Pairwise dedup output (ngram/MinHash/SimHash pairs) is not yet a dedup
+decision: duplicates are transitive (A~B, B~C ⇒ {A,B,C} is one group even
+if A,C never paired), so corpus dedup keeps ONE representative per
+CONNECTED COMPONENT of the pair graph. This module closes that gap.
+
+Algorithm: iterative min-label propagation — every node starts labeled
+with itself; each round takes the min of its own and its neighbors'
+labels; fixpoint = every node carries its component's minimum id, which
+doubles as the representative. Rounds needed = graph diameter, and
+near-dup components are overwhelmingly tiny cliques (diameter 1-2), so
+convergence is 2-3 joins in practice with a hard iteration cap.
+
+Scale notes: this is the driver-loop-with-converged-check shape that
+GraphX/GraphFrames CC uses internally — per-round cost is one shuffle
+join on node id + one aggregate; `localCheckpoint` truncates lineage each
+round so plan depth stays constant instead of growing per iteration (at
+iteration k an un-checkpointed plan replays all k-1 prior joins). The
+driver-side `.count()` per round is a scalar convergence probe, not a
+data collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..queries import query
+from .dedup import _DUCK_SHINGLES, _DUCK_WORDS, JACCARD_T
+
+
+def connected_components(edges: DataFrame, src: str, dst: str,
+                         max_iter: int = 25) -> DataFrame:
+    """(node, cluster_id) for every node in `edges`; cluster_id is the
+    smallest node id in the component (the canonical representative).
+    Nodes with no edges are not emitted — a doc with no near-dup pair is
+    its own trivial cluster and needs no row."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionAll(edges.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b"))))
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["b"] == labels["node"])
+               .groupBy(sym["a"].alias("node"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.alias("l")
+                      .join(nbr.alias("r"), "node", "left")
+                      .select(F.col("node"),
+                              F.least(F.col("l.label"),
+                                      F.coalesce(F.col("r.nbr_min"),
+                                                 F.col("l.label")))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sh AS (
+        SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM documents WHERE len({_DUCK_WORDS}) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter_cnt
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT i.doc1, i.doc2
+        FROM inter i
+        JOIN sizes s1 ON i.doc1 = s1.doc_id
+        JOIN sizes s2 ON i.doc2 = s2.doc_id
+        WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt)
+              >= {JACCARD_T}
+    ),
+    sym AS (SELECT doc1 AS a, doc2 AS b FROM edges
+            UNION ALL SELECT doc2, doc1 FROM edges),
+    reach(node, r) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the exact-Jaccard pair graph (J >= 0.6):
+    every clustered doc labeled with its component's min doc_id — the doc
+    to KEEP. The oracle computes the same components by recursive
+    transitive closure (tractable at oracle scale; the Spark side's
+    label propagation is the 100 TB path)."""
+    from .dedup import ngram_jaccard_threshold
+
+    pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
+    return connected_components(pairs, "doc1", "doc2")

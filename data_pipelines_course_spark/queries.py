@@ -63,6 +63,7 @@ def load_registry() -> None:
         sampling,
         curation,
         tpch,
+        graph,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -74,7 +75,7 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling, curation, tpch):
+                    sampling, curation, tpch, graph):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

@@ -59,3 +59,20 @@ def test_rowwise_sig_matches_aggregated_sig(spark):
     agg = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
     row = {r["doc_id"]: r["sig"] for r in rowwise_minhash_sig(docs).collect()}
     assert agg == row
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Label propagation must close transitive chains (diameter > 1) and
+    keep disjoint components apart; cluster_id is the component min."""
+    from data_pipelines_course_spark.operators.graph import (
+        connected_components,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),     # chain: component min 1
+         (10, 11), (11, 10),                 # dup edge both ways: min 10
+         (20, 21)],                          # pair: min 20
+        "src long, dst long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20}
