@@ -48,6 +48,11 @@ EXTRA = (
     "decontaminate_exact",
     "decontaminate_lsh",
     "mixture_sample_events",
+    "corpus_curation",
+    "dedup_clusters",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q6_forecast_revenue",
+    "price_quantiles",
 )
 
 

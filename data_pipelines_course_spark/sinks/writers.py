@@ -103,3 +103,37 @@ def year_partitioned_orders(orders: DataFrame) -> DataFrame:
     """The W2 exemplar dataset: orders with a derived o_year partition
     column (the dask yearly-divisions case, 1995-2001 → 7-8 partitions)."""
     return orders.withColumn("o_year", F.year("o_orderdate"))
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(bytes / target) files and atomically swap it in. Returns the new
+    file count.
+
+    Why it exists: streaming appends, per-trigger micro-batches, and
+    over-parallel writers all accrete small files, and at 100 TB a scan's
+    task count (and the namenode's memory) is file-count-bound — the
+    standard hygiene job is periodic compaction toward the scan split
+    size (spark.sql.files.maxPartitionBytes, 128 MB here).
+
+    The rewrite goes to a sibling temp dir first and the swap is two
+    renames, so a concurrent reader sees the old or the new layout, never
+    a half-written one (same recovery story as the reference's
+    rename-as-processed sentinel, twitter_airflow.py:119)."""
+    import math
+    import shutil
+
+    from py4j.protocol import Py4JJavaError  # noqa: F401  (doc: jvm errs)
+
+    df = spark.read.parquet(path)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -95,3 +95,20 @@ def test_partitioned_write_file_counts(spark, tmp_path):
 def test_collect_rows_mock_sink(spark):
     rows = collect_rows(load(spark, SF_DIR, "region"))
     assert {r.r_name for r in rows} >= {"AFRICA", "AMERICA"}
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """32 writer tasks → 32 small files; compaction rewrites toward the
+    scan split size and preserves every row."""
+    import glob
+
+    from data_pipelines_course_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "many_files")
+    spark.range(10_000).repartition(32).write.parquet(path)
+    before = len(glob.glob(f"{path}/part-*.parquet"))
+    assert before == 32
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = glob.glob(f"{path}/part-*.parquet")
+    assert len(after) == n == 1  # 80 KB of data → one 128 MB-target file
+    assert spark.read.parquet(path).count() == 10_000
