@@ -170,3 +170,35 @@ def explode_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label")
             .agg((fround(F.avg(F.col("u").cast("double")), 4) + F.lit(0.0)).alias("comp_mean"),
                  F.count(F.lit(1)).alias("comp_cnt")))
+
+
+# ---------------------------------------------------------------------------
+# VariantType (Spark 4): schema-on-read semi-structured access without a
+# declared struct. Where from_json needs the full target schema up front
+# (PROPS_SCHEMA above), parse_json keeps the value as a binary-encoded
+# VARIANT and typed access happens per-path at query time — the right
+# model when event payloads evolve faster than schemas (the reference's
+# ad-hoc dict probing, Learning Dask Bags.ipynb:53, done engine-side).
+# Variant pathing is JVM codegen, not a Python JSON loop.
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER)
+               AS absent
+    FROM events
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed per-path extraction from a VARIANT column; absent paths are
+    NULL under try_variant_get (no declared schema anywhere)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.try_variant_get(v, "$.missing", "int").alias("absent"),
+    )
