@@ -114,3 +114,109 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("q75"),
         F.expr("percentile(l_extendedprice, 0.95)").alias("q95"))
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: funnel and cohort retention — the two canonical
+# product-analytics shapes over an event stream, both expressible as
+# conditional aggregation + window logic (no joins per stage).
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS viewed,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS clicked_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS purchased_after_click
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase funnel: each stage counts users
+    whose stage event happens strictly AFTER their previous stage's first
+    event. One pass: per-user conditional mins computed stage-by-stage in
+    a single aggregate (min-if), then three global counts — no per-stage
+    self-joins, one shuffle on user_id."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def min_if(cond):
+        return F.min(F.when(cond, F.col("ts")))
+
+    per_user = (ev.groupBy("user_id")
+                .agg(min_if(F.col("event_type") == "view").alias("t_view"),
+                     F.collect_list(F.when(F.col("event_type") == "click",
+                                           F.col("ts"))).alias("clicks"),
+                     F.collect_list(F.when(F.col("event_type") == "purchase",
+                                           F.col("ts"))).alias("purchases")))
+    t_click = F.array_min(F.filter("clicks", lambda t: t > F.col("t_view")))
+    staged = per_user.select(
+        "t_view",
+        F.when(F.col("t_view").isNotNull(), t_click).alias("t_click"),
+        "purchases")
+    t_purch = F.array_min(F.filter("purchases",
+                                   lambda t: t > F.col("t_click")))
+    staged = staged.select(
+        "t_view", "t_click",
+        F.when(F.col("t_click").isNotNull(), t_purch).alias("t_purchase"))
+    return staged.agg(
+        F.count("t_view").cast("bigint").alias("viewed"),
+        F.count("t_click").cast("bigint").alias("clicked_after_view"),
+        F.count("t_purchase").cast("bigint").alias("purchased_after_click"))
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE)
+               - CAST((CAST(min(ts) AS DATE) - DATE '2024-01-01') % 7
+                      AS INTEGER) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST((CAST(e.ts AS DATE) - f.cohort_week) // 7 AS INTEGER)
+                   AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week
+    (weeks anchored at 2024-01-01), counted once per later week they
+    return. Two shuffles: the per-user first-event aggregate, then the
+    distinct-activity count — the first-event side broadcasts back onto
+    the event scan."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    anchor = F.to_date(F.lit("2024-01-01"))
+    first = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+             .select("user_id",
+                     F.date_sub(F.to_date("first_ts"),
+                                F.datediff(F.to_date("first_ts"), anchor) % 7)
+                     .alias("cohort_week")))
+    activity = (ev.join(F.broadcast(first), "user_id")
+                .select("user_id", "cohort_week",
+                        F.floor(F.datediff(F.to_date("ts"),
+                                           F.col("cohort_week")) / 7)
+                        .cast("int").alias("week_offset"))
+                .distinct())
+    return (activity.groupBy("cohort_week", "week_offset")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("active_users")))
