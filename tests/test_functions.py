@@ -93,3 +93,23 @@ def test_fround_boundary_determinism(spark):
     ).head()
     assert got["f"] == 34.28
     assert got["native"] == 34.29  # documents the engine disagreement
+
+
+def test_approx_quantiles_within_documented_error(spark):
+    """The documented 100 TB swap for price_quantiles: percentile_approx
+    (single-pass sketch, no global sort) must land within 1% relative
+    error of the exact quantiles at sf0.01 — the bound a user accepts
+    when they flip the switch."""
+    from data_pipelines_course_spark.datasets import load
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    exact = li.agg(*[F.expr(
+        f"percentile(l_extendedprice, {q})").alias(f"e{i}")
+        for i, q in enumerate(qs)]).first()
+    approx = li.agg(*[F.expr(
+        f"percentile_approx(l_extendedprice, {q}, 10000)").alias(f"a{i}")
+        for i, q in enumerate(qs)]).first()
+    for i in range(len(qs)):
+        rel = abs(approx[f"a{i}"] - exact[f"e{i}"]) / exact[f"e{i}"]
+        assert rel < 0.01, (qs[i], exact[f"e{i}"], approx[f"a{i}"])

@@ -112,3 +112,30 @@ def test_compact_parquet_small_files(spark, tmp_path):
     after = glob.glob(f"{path}/part-*.parquet")
     assert len(after) == n == 1  # 80 KB of data → one 128 MB-target file
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Incremental rewrite pattern: with partitionOverwriteMode=dynamic,
+    overwriting a partitioned table touches ONLY the partitions present
+    in the incoming batch — the others' files survive. This is how a
+    daily job re-lands one day of a 100 TB table without rewriting it."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dyn_part")
+    base = spark.range(100).withColumn("day", (F.col("id") % 4).cast("int"))
+    base.write.partitionBy("day").parquet(path)
+    assert spark.read.parquet(path).count() == 100
+
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = (spark.range(1000, 1010)
+                 .withColumn("day", F.lit(2).cast("int")))
+        patch.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+
+    back = spark.read.parquet(path)
+    assert back.filter("day = 2").count() == 10      # replaced
+    assert back.filter("day != 2").count() == 75     # untouched (3 × 25)
+    assert back.count() == 85
