@@ -256,3 +256,51 @@ def decontaminate_stream(stream_docs: DataFrame,
     return (stream_bands
             .join(F.broadcast(bench_bands), ["band", "band_hash"])
             .select("doc_id", "bench_id"))
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """running_user_totals on the transformWithStateInPandas API (Spark
+    4.x's successor to applyInPandasWithState): state is a typed
+    ValueState handle managed by the state store (RocksDB-backed on a
+    real cluster) instead of an opaque tuple, with explicit lifecycle
+    (init/handleInputRows/close) and first-class TTL/timer support.
+
+    Same semantics as running_user_totals — per-user (count, total)
+    carried across micro-batches — so tests can assert the two APIs
+    agree batch-for-batch. Keyed state partitions by user_id; each key's
+    state is two scalars.
+
+    Runtime dependency: the transformWithState JVM↔Python state protocol
+    is protobuf-based; environments without google.protobuf can build
+    the plan but not run it (the parity test importorskips). The
+    applyInPandasWithState twin has no such dependency and remains the
+    default."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    import pandas as pd  # noqa: F401 (processor runs in Arrow workers)
+
+    out_schema = "user_id bigint, n bigint, total double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+            n, total = 0, 0.0
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(), outputStructType=out_schema,
+                outputMode="Update", timeMode="None"))
