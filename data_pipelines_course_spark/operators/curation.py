@@ -122,3 +122,48 @@ def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_tokens").alias("total_tokens"),
                  F.min("n_tokens").alias("min_tokens"),
                  F.max("n_tokens").alias("max_tokens")))
+
+
+@query(
+    "token_length_histogram",
+    oracle="""
+    SELECT CAST(floor(len(string_split_regex(trim(text), '\\s+')) / 10)
+                * 10 AS INTEGER) AS bucket_start,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram in 10-token buckets — the length-
+    distribution check every corpus intake runs (one scan, one agg on a
+    derived int; bucket arithmetic identical on both engines because
+    token counts are non-negative ints)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    bucket = (F.floor(n_tokens / 10) * 10).cast("int")
+    return (docs.groupBy(bucket.alias("bucket_start"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+@query(
+    "duplicate_ratio_report",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+                  / count(*)) * 10000 + 0.5) / 10000 AS dup_ratio
+    FROM documents
+    """,
+)
+def duplicate_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report: exact-duplicate ratio by content
+    hash — the first number a dedup pass is judged by (before/after)."""
+    from ..functions.scalar import fround
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+        fround(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double")
+               / F.count(F.lit(1)), 4).alias("dup_ratio"))
