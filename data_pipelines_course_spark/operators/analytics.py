@@ -226,3 +226,23 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .distinct())
     return (activity.groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).cast("bigint").alias("active_users")))
+
+
+@query(
+    "quantity_quantiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantity_quantiles_by_flag(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """GROUPED exact quantiles — per-group sort inside the aggregate
+    (each group's cost bounded by its own rows, unlike the global
+    single-reducer price_quantiles; same approx swap applies at scale)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+                 F.expr("percentile(l_quantity, 0.9)").alias("p90_qty")))

@@ -156,3 +156,34 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
                  .alias("low_line_count")))
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT {fround_sql(
+        "100.0 * sum(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+        "/ sum(l.l_extendedprice * (1 - l.l_discount))", 4)}
+        AS promo_pct,
+        CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-03-01'
+      AND l.l_shipdate < DATE '1997-04-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promotional revenue share for one month — fact⨝dim with
+    a conditional ratio in one aggregate (the part dim broadcasts; the
+    date filter reaches the lineitem scan)."""
+    li = (load(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-03-01")
+                  & (F.col("l_shipdate") < "1997-04-01"))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(fround(F.lit(100.0) * promo / F.sum(rev), 4)
+                 .alias("promo_pct"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
