@@ -56,8 +56,9 @@ def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-    joined = orders.join(F.broadcast(cust),
-                         orders.o_custkey == cust.c_custkey)
+    # customer grows with SF — no hard broadcast hint; stats/AQE pick the
+    # strategy (broadcast while it fits, shuffle join beyond).
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (topk_per_group(joined, "c_mktsegment", "o_totalprice", 3,
                            "o_orderkey")
             .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn"))
@@ -124,8 +125,9 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Event analytics: funnel and cohort retention — the two canonical
-# product-analytics shapes over an event stream, both expressible as
-# conditional aggregation + window logic (no joins per stage).
+# product-analytics shapes over an event stream, built from conditional
+# aggregation plus user_id-co-partitioned stage joins (bounded state;
+# no per-user event arrays anywhere).
 # ---------------------------------------------------------------------------
 
 @query(
@@ -155,34 +157,34 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view → click → purchase funnel: each stage counts users
     whose stage event happens strictly AFTER their previous stage's first
-    event. One pass: per-user conditional mins computed stage-by-stage in
-    a single aggregate (min-if), then three global counts — no per-stage
-    self-joins, one shuffle on user_id."""
+    event.
+
+    Staged conditional-min: each stage is filter → join previous stage →
+    min aggregate. Per-group state is ONE timestamp (a running min) at
+    every stage — never a per-user event array, so a bot user with 10^7
+    events costs its tasks nothing beyond the scan (the r2 collect_list
+    formulation buffered every click/purchase per user and would OOM a
+    task on such a key). Every shuffle keys on user_id, so the stage
+    joins co-partition with the aggregates; the three final counts are
+    single-row and cross-joined for free."""
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
 
-    def min_if(cond):
-        return F.min(F.when(cond, F.col("ts")))
-
-    per_user = (ev.groupBy("user_id")
-                .agg(min_if(F.col("event_type") == "view").alias("t_view"),
-                     F.collect_list(F.when(F.col("event_type") == "click",
-                                           F.col("ts"))).alias("clicks"),
-                     F.collect_list(F.when(F.col("event_type") == "purchase",
-                                           F.col("ts"))).alias("purchases")))
-    t_click = F.array_min(F.filter("clicks", lambda t: t > F.col("t_view")))
-    staged = per_user.select(
-        "t_view",
-        F.when(F.col("t_view").isNotNull(), t_click).alias("t_click"),
-        "purchases")
-    t_purch = F.array_min(F.filter("purchases",
-                                   lambda t: t > F.col("t_click")))
-    staged = staged.select(
-        "t_view", "t_click",
-        F.when(F.col("t_click").isNotNull(), t_purch).alias("t_purchase"))
-    return staged.agg(
-        F.count("t_view").cast("bigint").alias("viewed"),
-        F.count("t_click").cast("bigint").alias("clicked_after_view"),
-        F.count("t_purchase").cast("bigint").alias("purchased_after_click"))
+    views = (ev.filter(F.col("event_type") == "view")
+             .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .join(views, "user_id")
+              .filter(F.col("ts") > F.col("t_view"))
+              .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .join(clicks.select("user_id", "t_click"), "user_id")
+                 .filter(F.col("ts") > F.col("t_click"))
+                 .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    v = views.agg(F.count("t_view").cast("bigint").alias("viewed"))
+    c = clicks.agg(F.count("t_click").cast("bigint")
+                   .alias("clicked_after_view"))
+    p = purchases.agg(F.count("t_purchase").cast("bigint")
+                      .alias("purchased_after_click"))
+    return v.crossJoin(c).crossJoin(p)
 
 
 @query(
@@ -208,9 +210,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week
     (weeks anchored at 2024-01-01), counted once per later week they
-    return. Two shuffles: the per-user first-event aggregate, then the
-    distinct-activity count — the first-event side broadcasts back onto
-    the event scan."""
+    return. The per-user first-event aggregate is UNBOUNDED (one row per
+    user), so it must never carry a broadcast hint — the join back onto
+    the event scan keys on user_id, the same key as the aggregate's
+    shuffle, so both sides co-partition and the join adds no exchange
+    beyond the one the groupBy already paid."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     anchor = F.to_date(F.lit("2024-01-01"))
     first = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
@@ -218,7 +222,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.date_sub(F.to_date("first_ts"),
                                 F.datediff(F.to_date("first_ts"), anchor) % 7)
                      .alias("cohort_week")))
-    activity = (ev.join(F.broadcast(first), "user_id")
+    activity = (ev.join(first, "user_id")
                 .select("user_id", "cohort_week",
                         F.floor(F.datediff(F.to_date("ts"),
                                            F.col("cohort_week")) / 7)

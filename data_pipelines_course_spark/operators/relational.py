@@ -374,8 +374,12 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # J1 — broadcast equi-join (reference: per-city dict merge of current ⋈
-# forecast, Dask Distributed.ipynb:122-146). customer is the small dim —
-# broadcast explicitly; no shuffle of the orders side.
+# forecast, Dask Distributed.ipynb:122-146). customer is the smaller side
+# but GROWS with SF — no hard F.broadcast hint (a hint bypasses AQE's size
+# check and forces an OOM broadcast at 100 TB). Catalyst's size stats /
+# AQE pick BroadcastHashJoin while customer fits the threshold and fall
+# back to shuffle join when it doesn't; test_plans asserts the stats-based
+# broadcast fires at test SF with no hint present.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -389,16 +393,17 @@ def broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_mktsegment")
-    return (orders.join(F.broadcast(cust),
-                        orders.o_custkey == cust.c_custkey)
+    return (orders.join(cust, orders.o_custkey == cust.c_custkey)
             .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment"))
 
 
 # ---------------------------------------------------------------------------
 # Multi-way join + grouped revenue (beyond-reference engine surface; the
 # TPC-H Q5 shape). Scale: lineitem⋈orders is the only big-big join (sort-
-# merge / shuffle on orderkey); customer/nation/region are broadcast so the
-# fact table shuffles once.
+# merge / shuffle on orderkey); nation/region are FIXED-cardinality dims
+# (25/5 rows at every SF) so they carry explicit broadcast hints; customer
+# grows with SF so its strategy is left to size stats / AQE — broadcast
+# while it fits, shuffle join beyond, never a forced OOM.
 # ---------------------------------------------------------------------------
 
 @query(
@@ -423,7 +428,7 @@ def join_multiway_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")

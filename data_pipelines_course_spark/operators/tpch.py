@@ -7,11 +7,15 @@ join + top-k (Q10), conditional aggregation (Q12). Adapted to the columns
 the driver testdata actually carries (no o_shippriority / l_shipmode /
 l_commitdate), keeping each query's structural point intact.
 
-Scale notes: every dim side broadcasts; fact-fact joins key on
-l_orderkey/o_orderkey (uniform); date filters reach the parquet scan
-(PushedFilters — plan-asserted for Q6); top-k plans TakeOrderedAndProject
-(no global sort). Sort tie-breaks include the group key so LIMIT is
-deterministic for the oracle hash.
+Scale notes: only FIXED-cardinality dims (nation: 25 rows at every SF)
+carry explicit broadcast hints; customer and part grow linearly with SF,
+so their join strategy is left to Catalyst size stats / AQE — broadcast
+while they fit `spark.sql.autoBroadcastJoinThreshold`, shuffle join
+beyond (a hard hint would force a driver OOM at TPC-H-at-100-TB scale).
+Fact-fact joins key on l_orderkey/o_orderkey (uniform); date filters
+reach the parquet scan (PushedFilters — plan-asserted for Q6); top-k
+plans TakeOrderedAndProject (no global sort). Sort tie-breaks include
+the group key so LIMIT is deterministic for the oracle hash.
 """
 
 from __future__ import annotations
@@ -55,7 +59,7 @@ def tpch_q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("l_shipdate") > "1998-06-01")
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
             .agg(fround(F.sum(F.expr(_REV)), 2).alias("revenue"))
             .orderBy(F.desc("revenue"), "l_orderkey")
@@ -120,7 +124,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_orderkey", "l_extendedprice", "l_discount"))
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation),
                   cust.c_nationkey == nation.n_nationkey)
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
@@ -174,8 +178,9 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14 shape: promotional revenue share for one month — fact⨝dim with
-    a conditional ratio in one aggregate (the part dim broadcasts; the
-    date filter reaches the lineitem scan)."""
+    a conditional ratio in one aggregate (part grows with SF, so its join
+    strategy is stats/AQE-chosen, not hinted; the date filter reaches the
+    lineitem scan)."""
     li = (load(spark, sf_dir, "lineitem")
           .filter((F.col("l_shipdate") >= "1997-03-01")
                   & (F.col("l_shipdate") < "1997-04-01"))
@@ -183,7 +188,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (li.join(part, li.l_partkey == part.p_partkey)
             .agg(fround(F.lit(100.0) * promo / F.sum(rev), 4)
                  .alias("promo_pct"),
                  F.count(F.lit(1)).cast("bigint").alias("n_lines")))

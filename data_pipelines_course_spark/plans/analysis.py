@@ -36,6 +36,7 @@ __all__ = [
     "partition_filters",
     "read_schema_columns",
     "join_strategies",
+    "broadcast_hint_count",
     "exchange_count",
     "codegen_stage_count",
     "python_eval_nodes",
@@ -114,6 +115,19 @@ def join_strategies(df: DataFrame) -> list[str]:
     return re.findall(
         r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
         r"|BroadcastNestedLoopJoin|CartesianProduct)\b", plan)
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the analyzed logical plan.
+
+    A `BroadcastHashJoin` in the physical plan can come from two places:
+    Catalyst size statistics / AQE (safe — falls back to shuffle join
+    when the side outgrows `autoBroadcastJoinThreshold`) or a hard
+    `F.broadcast` hint (bypasses the size check; a forced OOM if the
+    hinted side grows with the data). This counts only the latter, so
+    tests can pin the policy: hints on fixed-cardinality dims ONLY."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -62,6 +62,38 @@ def test_small_dim_join_is_broadcast(spark):
     assert strategies and set(strategies) == {"BroadcastHashJoin"}, strategies
 
 
+def test_broadcast_hints_only_on_fixed_cardinality_dims(spark):
+    """Policy test (r2 verdict): hard F.broadcast hints are allowed ONLY
+    on sides whose cardinality is fixed at every SF (nation 25, region 5,
+    stopwords, the bounded decontamination bench set). Sides that grow
+    with the data (customer, part, any per-user aggregate) must carry NO
+    hint — stats/AQE pick broadcast while they fit and fall back to a
+    shuffle join beyond, instead of a forced OOM at 100 TB."""
+    expected_hints = {
+        "broadcast_join": 0,                # customer grows with SF
+        "join_multiway_revenue": 2,         # nation + region only
+        "topk_orders_per_segment": 0,       # customer
+        "retention_cohorts": 0,             # per-user aggregate: unbounded
+        "event_funnel": 0,                  # per-user stage aggregates
+        "tpch_q3_unshipped_revenue": 0,     # customer
+        "tpch_q10_returned_items": 1,       # nation only
+        "tpch_q14_promo_revenue": 0,        # part grows with SF
+        "anti_join_stopwords": 1,           # fixed stopword set: hint OK
+    }
+    got = {name: pa.broadcast_hint_count(QUERIES[name](spark, SF_DIR))
+           for name in expected_hints}
+    assert got == expected_hints, got
+
+
+def test_stats_pick_broadcast_without_hint(spark):
+    """With the hint gone, Catalyst's size statistics must still plan
+    customer as the broadcast side at test SF — proof the strategy now
+    comes from the optimizer's size check, not the query author."""
+    df = QUERIES["tpch_q3_unshipped_revenue"](spark, SF_DIR)
+    assert pa.broadcast_hint_count(df) == 0
+    assert "BroadcastHashJoin" in pa.join_strategies(df)
+
+
 def test_multiway_join_broadcasts_all_dims(spark):
     # orders⋈customer⋈nation⋈region: every dim is broadcast-able, so the
     # plan must not pay a single shuffle-side sort-merge join.
