@@ -47,7 +47,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-_CACHED: dict[tuple[str, str], DataFrame] = {}
+# Keyed by (applicationId, sf_dir, name): a DataFrame handle is bound to
+# the SparkSession that built it, so after a session stop/restart the old
+# entries must not be returned (their JVM plans are dead). Guarded by a
+# lock — cache_table may be called from pipeline stages running in
+# threads.
+_CACHED: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE_LOCK = __import__("threading").Lock()
+
+
+def _cache_key(spark: SparkSession, sf_dir: str,
+               name: str) -> tuple[str, str, str]:
+    return (spark.sparkContext.applicationId, sf_dir, name)
 
 
 def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,22 +77,29 @@ def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     MEMORY_AND_DISK (the `cache()` default) degrades gracefully when a
     partition doesn't fit.
     """
-    key = (sf_dir, name)
-    if key not in _CACHED:
-        _CACHED[key] = load(spark, sf_dir, name).cache()
-    return _CACHED[key]
+    key = _cache_key(spark, sf_dir, name)
+    with _CACHE_LOCK:
+        if key not in _CACHED:
+            _CACHED[key] = load(spark, sf_dir, name).cache()
+        return _CACHED[key]
 
 
 def uncache_table(spark: SparkSession, sf_dir: str, name: str) -> None:
-    df = _CACHED.pop((sf_dir, name), None)
+    with _CACHE_LOCK:
+        df = _CACHED.pop(_cache_key(spark, sf_dir, name), None)
     if df is not None:
         df.unpersist()
 
 
 def uncache_all() -> None:
-    for df in _CACHED.values():
-        df.unpersist()
-    _CACHED.clear()
+    with _CACHE_LOCK:
+        dfs = list(_CACHED.values())
+        _CACHED.clear()
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # handle may belong to an already-stopped session
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -27,7 +27,7 @@ checks plus pytest ground-truth tests against planted duplicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..datasets import load
 from ..functions.scalar import fround
@@ -62,13 +62,23 @@ def _widen(df: DataFrame) -> DataFrame:
 
     Streaming frames pass through untouched: `.rdd` is illegal on them,
     and a micro-batch's parallelism is the source's concern (e.g.
-    maxFilesPerTrigger), not a repartition's."""
+    maxFilesPerTrigger), not a repartition's.
+
+    The width probe is `inputFiles()` — pure metadata, no RDD
+    conversion (the r2 `df.rdd.getNumPartitions()` probe forced a plan
+    analysis + Py4J round-trip per call). One file can split into many
+    tasks but never the reverse, so `files >= n` proves the scan is
+    already wide; fewer files (or a non-file frame, which reports [])
+    pays the one linear row-shuffle."""
     if df.isStreaming:
         return df
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() >= n:
-        return df
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n, F.col("doc_id"))
 
 # --------------------------------------------------------------------------
@@ -253,6 +263,18 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         F.array(*[F.col(f"s{i}") for i in range(NUM_PERM)]).alias("sig"))
 
 
+# LSH skew guard: a bucket of m docs yields m(m-1)/2 candidate pairs, so
+# one adversarial bucket (boilerplate/templated text all agreeing on a
+# band) turns the linear banding plan quadratic. Buckets above this
+# ceiling are dropped before the self-join — the standard LSH guard.
+# Recall impact: only pairs whose EVERY agreeing band is oversized are
+# lost; members of such mega-clusters are near-identical and already
+# collapsed by dedup_exact / represented via dedup_clusters. The current
+# corpus' largest bucket is 4 docs (measured, sf0.1), so at test SF the
+# guard changes nothing (asserted by the recall-floor test).
+MAX_BUCKET = 256
+
+
 @query("minhash_lsh_pairs")  # rows-only: hash permutations not SQL-oracle-able
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs with signature-estimated Jaccard.
@@ -260,6 +282,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH banding: docs land in a bucket per (band, hash of 4 signature
     rows); only same-bucket docs are joined. est_jaccard = fraction of
     agreeing signature components; pairs below 0.5 are dropped.
+
+    Skew guard: buckets larger than MAX_BUCKET are excluded via a window
+    count over (band, band_hash) — the window's hash partitioning is the
+    self-join's key, so the guard reuses the `_fanout` exchange and adds
+    zero extra shuffles.
     """
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
@@ -277,6 +304,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band", "band_hash"),
     )
     bands = _fanout(bands, "band", "band_hash")
+    bucket_w = Window.partitionBy("band", "band_hash")
+    bands = (bands
+             .withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+             .filter(F.col("bucket_n") <= MAX_BUCKET)
+             .drop("bucket_n"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

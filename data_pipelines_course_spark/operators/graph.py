@@ -48,6 +48,7 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
+    changed = -1
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                .groupBy(sym["a"].alias("node"))
@@ -67,6 +68,16 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exiting via the cap means labels have NOT reached the fixpoint:
+        # some nodes still carry a non-minimal label and the returned
+        # cluster ids would be silently wrong. Min-label propagation needs
+        # `diameter` rounds, so hitting 25 implies a pathological chain
+        # graph, not a near-dup clique — surface it instead of guessing.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter for "
+            f"graphs with diameter > {max_iter}")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 

@@ -117,23 +117,48 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     size (spark.sql.files.maxPartitionBytes, 128 MB here).
 
     The rewrite goes to a sibling temp dir first and the swap is two
-    renames, so a concurrent reader sees the old or the new layout, never
-    a half-written one (same recovery story as the reference's
-    rename-as-processed sentinel, twitter_airflow.py:119)."""
+    directory renames through the Hadoop FileSystem API (so it works on
+    any FS Spark can write — local, HDFS, object stores with a rename
+    primitive — and raises instead of silently corrupting elsewhere).
+    Directory renames cannot be a single atomic exchange on HDFS, so
+    there IS a reader-visible gap between rename(path → ._compact_old)
+    and rename(._compact_tmp → path): a reader in that window fails and
+    must retry (same recovery story as the reference's
+    rename-as-processed sentinel, twitter_airflow.py:119). Crash safety:
+    ._compact_old is kept until the new path is verified readable, and a
+    stranded ._compact_old from a previous crash is restored on entry —
+    so the data always exists under `path` or `path._compact_old`,
+    never nowhere."""
     import math
-    import shutil
 
-    from py4j.protocol import Py4JJavaError  # noqa: F401  (doc: jvm errs)
-
-    df = spark.read.parquet(path)
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    old = hpath(path.rstrip("/") + "._compact_old")
+    tmp_s = path.rstrip("/") + "._compact_tmp"
+    tmp = hpath(tmp_s)
+    # Crash recovery: a previous run that died mid-swap leaves the data
+    # under ._compact_old and nothing under path — restore it first.
+    if fs.exists(old) and not fs.exists(jvm_path):
+        if not fs.rename(old, jvm_path):
+            raise IOError(f"compact_parquet: crash-recovery rename "
+                          f"{old} -> {path} failed")
+    df = spark.read.parquet(path)
     total_bytes = fs.getContentSummary(jvm_path).getLength()
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "._compact_old"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_s)
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(jvm_path, old):
+        raise IOError(f"compact_parquet: rename {path} -> {old} failed")
+    if not fs.rename(tmp, jvm_path):
+        # Put the original back rather than leaving the path empty.
+        fs.rename(old, jvm_path)
+        raise IOError(f"compact_parquet: rename {tmp_s} -> {path} failed; "
+                      f"original restored")
+    # Verify the new layout is readable before dropping the old one.
+    spark.read.parquet(path).schema
+    fs.delete(old, True)
     return n_files

@@ -30,6 +30,12 @@ def main() -> None:
           "actually read from parquet (pruning); joins = physical join "
           "strategies; py = Python execution nodes (Arrow-batched only; "
           "BatchEvalPython is test-banned); oracle = has DuckDB oracle.\n")
+    print("NOTE: `dedup_clusters` executes EAGERLY at construction (its "
+          "convergence loop runs per-round localCheckpoint + count before "
+          "the function returns), so its row below describes only the "
+          "final scan of the checkpointed labels — the real work (one "
+          "shuffle join + aggregate per round) happens during "
+          "construction and is invisible to this static audit.\n")
     print("| query | exch | scan-cols | joins | py | oracle |")
     print("|---|---|---|---|---|---|")
     for name in sorted(queries):

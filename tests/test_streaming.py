@@ -347,29 +347,38 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
         spark, tmp_path):
     """The transformWithStateInPandas port must produce the same running
     totals as the applyInPandasWithState original across two checkpointed
-    drains — one semantics, two state APIs.
+    drains — one semantics, two state APIs. Both twins actually RUN over
+    the same input here and their per-user results are compared (plus a
+    fixed expectation so a shared bug in both can't self-certify).
 
     Gated: the transformWithState protocol speaks protobuf between the
     JVM and the Python state driver; this container ships no
     google.protobuf (and installs are out of scope), so the test runs
-    wherever the dependency exists and skips here."""
+    wherever the dependency exists and SKIPS here — i.e. the tws path is
+    unexecuted in this container (noted in COVERAGE.md)."""
     pytest.importorskip("google.protobuf.descriptor",
                         reason="transformWithState needs protobuf")
     src = tmp_path / "tws_in"
     src.mkdir()
-    ckpt = str(tmp_path / "tws_ckpt")
-    emitted: dict[int, tuple[int, float]] = {}
 
-    def drain():
+    results: dict[str, dict[int, tuple[int, float]]] = {
+        "tws": {}, "aipws": {}}
+    ckpts = {"tws": str(tmp_path / "tws_ckpt"),
+             "aipws": str(tmp_path / "aipws_ckpt")}
+    ops = {"tws": jobs.running_user_totals_tws,
+           "aipws": jobs.running_user_totals}
+
+    def drain(kind):
         events = (spark.readStream
                   .schema("ts timestamp, user_id bigint, value double")
                   .json(str(src)))
-        q = (jobs.running_user_totals_tws(events)
+        emitted = results[kind]
+        q = (ops[kind](events)
              .writeStream.outputMode("update")
              .foreachBatch(lambda df, _e: emitted.update(
                  {r["user_id"]: (r["n"], r["total"])
                   for r in df.collect()}))
-             .option("checkpointLocation", ckpt)
+             .option("checkpointLocation", ckpts[kind])
              .trigger(availableNow=True).start())
         q.awaitTermination()
         q.stop()
@@ -379,12 +388,16 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
         '{"ts": "2024-01-01T00:00:01", "user_id": 1, "value": 2.0}',
         '{"ts": "2024-01-01T00:00:02", "user_id": 2, "value": 5.0}',
     ]) + "\n")
-    drain()
-    assert emitted[1] == (2, 3.0)
-    assert emitted[2] == (1, 5.0)
+    drain("tws")
+    drain("aipws")
+    assert results["tws"] == results["aipws"]
+    assert results["tws"][1] == (2, 3.0)
+    assert results["tws"][2] == (1, 5.0)
 
     (src / "b2.json").write_text(
         '{"ts": "2024-01-01T00:01:00", "user_id": 1, "value": 4.0}\n')
-    drain()
-    assert emitted[1] == (3, 7.0)  # state survived the restart
-    assert emitted[2] == (1, 5.0)
+    drain("tws")
+    drain("aipws")
+    assert results["tws"] == results["aipws"]
+    assert results["tws"][1] == (3, 7.0)  # state survived the restart
+    assert results["tws"][2] == (1, 5.0)
