@@ -123,6 +123,26 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.95)").alias("q95"))
 
 
+@query("price_quantiles_approx")  # rows-only: sketch values differ from
+#                                   DuckDB's approx_quantile sketch
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for price_quantiles, registered as a first-class
+    query (not just a test note): percentile_approx's KLL-like sketch
+    merges map-side, so the aggregate is one narrow shuffle of constant-
+    size sketches instead of funneling every value through a single
+    ObjectHashAggregate reducer. Accuracy 10000 ⇒ rank error ≤ 1/10000;
+    tests/test_functions.py asserts <1% relative error against the exact
+    twin on the real corpus. No SQL oracle: DuckDB's approx_quantile is
+    a different sketch with different (valid) outputs — the exact twin
+    price_quantiles IS the ground truth the driver hash-checks."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = 10000
+    return li.agg(*[
+        F.expr(f"percentile_approx(l_extendedprice, {q}, {acc})")
+        .alias(f"q{int(q * 100)}")
+        for q in (0.25, 0.5, 0.75, 0.95)])
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: funnel and cohort retention — the two canonical
 # product-analytics shapes over an event stream, built from conditional

@@ -26,11 +26,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..datasets import load
-from ..queries import query
+from ..functions.scalar import fround
+from ..queries import ORACLES, query
+from .dedup import _DUCK_WORDS
 from .sampling import _bucket_sql, hash_bucket
 from .textops import STOP_DE, STOP_EN, STOP_FR, _duck_hits, _spark_hits
 
 _MIN_TOKENS = 20
+
+# Word/bigram expressions shared by the repetition and type-token reports.
+# Spark and DuckDB forms are kept structurally identical (lowercased
+# whitespace tokens; bigrams by adjacent-position concat) so the per-doc
+# values are bit-equal across engines.
+_SPARK_WORDS = "split(lower(trim(text)), '\\\\s+')"
+_SPARK_BIGRAMS = (
+    f"transform(sequence(1, size({_SPARK_WORDS}) - 1),"
+    f" i -> concat_ws(' ', element_at({_SPARK_WORDS}, i),"
+    f" element_at({_SPARK_WORDS}, i + 1)))"
+)
+_DUCK_BIGRAMS = (
+    f"list_transform(range(1, len({_DUCK_WORDS})),"
+    f" i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1])"
+)
 
 
 def curate(docs: DataFrame, min_tokens: int = _MIN_TOKENS,
@@ -144,6 +161,87 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.floor(n_tokens / 10) * 10).cast("int")
     return (docs.groupBy(bucket.alias("bucket_start"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+
+
+@query(
+    "repetition_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_BIGRAMS}) AS BIGINT) AS n_bigrams,
+           floor((1.0 - CAST(len(list_distinct({_DUCK_BIGRAMS})) AS DOUBLE)
+                  / len({_DUCK_BIGRAMS})) * 10000 + 0.5) / 10000
+               AS rep_ratio
+    FROM documents
+    WHERE len({_DUCK_WORDS}) >= 2
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram repetition ratio (1 - distinct/total adjacent
+    word pairs) — the standard boilerplate/spam signal a quality filter
+    thresholds on (high repetition ⇒ templated or degenerate text).
+    Pure JVM array HOFs on the scan: no shuffle, no Python."""
+    docs = load(spark, sf_dir, "documents")
+    n_bi = F.expr(f"size({_SPARK_BIGRAMS})")
+    n_uniq = F.expr(f"size(array_distinct({_SPARK_BIGRAMS}))")
+    return (docs.filter(F.expr(f"size({_SPARK_WORDS})") >= 2)
+            .select("doc_id",
+                    n_bi.cast("bigint").alias("n_bigrams"),
+                    fround(F.lit(1.0) - n_uniq.cast("double") / n_bi, 4)
+                    .alias("rep_ratio")))
+
+
+@query(
+    "type_token_ratio_by_source",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, unnest({_DUCK_WORDS}) AS word FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_types,
+           floor(CAST(count(DISTINCT word) AS DOUBLE) / count(*) * 10000
+                 + 0.5) / 10000 AS ttr
+    FROM w GROUP BY source
+    """,
+)
+def type_token_ratio_by_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-source type/token ratio — vocabulary diversity per provenance
+    bucket (low TTR ⇒ repetitive source worth down-weighting in a mix).
+    One explode + one two-level aggregate; the distinct-count shuffles
+    on (source, word), which is near-uniform — no skew key exists."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select("source",
+                        F.explode(F.expr(_SPARK_WORDS)).alias("word"))
+    return (words.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                 F.countDistinct("word").cast("bigint").alias("n_types"),
+                 fround(F.countDistinct("word").cast("double")
+                        / F.count(F.lit(1)), 4).alias("ttr")))
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH hits AS ({ORACLES['decontaminate_exact']})
+    SELECT bench_id,
+           CAST(count(*) AS BIGINT) AS n_contaminating,
+           max(jaccard) AS max_jaccard
+    FROM hits GROUP BY bench_id
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-document contamination summary: how many training
+    docs near-duplicate it and the worst overlap — the report a
+    decontamination run is signed off on. Composes the exact
+    decontamination query (its jaccard is already rounded identically on
+    both engines, so max() agrees bit-for-bit)."""
+    from .dedup import decontaminate_exact
+
+    hits = decontaminate_exact(spark, sf_dir)
+    return (hits.groupBy("bench_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminating"),
+                 F.max("jaccard").alias("max_jaccard")))
 
 
 @query(

@@ -106,6 +106,38 @@ def train_eval_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_per_source",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Equal-allocation stratified sample: exactly 5 docs per source,
+    chosen by md5-of-key order — deterministic across runs, partitionings
+    and engines (hex md5 sorts identically everywhere), unlike a seeded
+    sampleBy. The balancing op for over/under-represented provenance
+    buckets in a data mix. One shuffle on source; row_number cuts each
+    stratum to k rows immediately, so nothing beyond 5/stratum survives
+    the window stage."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = (Window.partitionBy("source")
+         .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+    return (docs.select("doc_id", "source",
+                        F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 5))
+
+
+@query(
     "mixture_sample_events",
     oracle=f"""
     SELECT event_id, event_type

@@ -228,6 +228,39 @@ def label_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("dim")))
 
 
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH norms AS (
+        SELECT label,
+               floor(sqrt({_duck_dot('embedding', 'embedding')}) * 1000000
+                     + 0.5) / 1000000 AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           floor(avg(nrm) * 10000 + 0.5) / 10000 AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm stats — the first health check on an
+    embedding column (un-normalized or collapsed vectors show up here
+    before any similarity search is worth running). Per-row norms are
+    sequential double sums (bit-identical across engines, rounded 1e-6);
+    min/max commute with rounding, the group avg re-rounds at 1e-4. One
+    scan + one tiny exchange on label."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select("label", fround(norm("embedding"), 6).alias("nrm"))
+    return (norms.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.min("nrm").alias("min_norm"),
+                 F.max("nrm").alias("max_norm"),
+                 fround(F.avg("nrm"), 4).alias("avg_norm")))
+
+
 # --------------------------------------------------------------------------
 # IVF-bucketed approximate nearest neighbors (the second ANN scale path,
 # complementing the LSH variant: IVF wins on clustered corpora, LSH needs

@@ -30,6 +30,43 @@ _REV = "l_extendedprice * (1 - l_discount)"
 
 
 @query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {fround_sql("sum(l_quantity)")} AS sum_qty,
+           {fround_sql("sum(l_extendedprice)")} AS sum_base_price,
+           {fround_sql(f"sum({_REV})")} AS sum_disc_price,
+           {fround_sql(f"sum({_REV} * (1 + l_tax))")} AS sum_charge,
+           {fround_sql("avg(l_quantity)", 4)} AS avg_qty,
+           {fround_sql("avg(l_extendedprice)", 4)} AS avg_price,
+           {fround_sql("avg(l_discount)", 4)} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1999-12-31'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 shape: the canonical scan + wide multi-aggregate — 8 aggregates
+    over one pass, grouped by two low-cardinality flags. The whole query
+    is map-side partials + one 6-group exchange; at 100 TB it is purely
+    scan-bound, which is the point of the shape."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= "1999-12-31")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 fround(F.sum(rev), 2).alias("sum_disc_price"),
+                 fround(F.sum(rev * (1 + F.col("l_tax"))), 2)
+                 .alias("sum_charge"),
+                 fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 fround(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).cast("bigint").alias("count_order")))
+
+
+@query(
     "tpch_q3_unshipped_revenue",
     oracle=f"""
     SELECT l.l_orderkey,
@@ -132,6 +169,135 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20)
             .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name"))
+
+
+@query(
+    "tpch_q4_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_late_shipment_priority(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS decorrelated to a left_semi join — orders in a
+    window with at least one lineitem shipped after the order date,
+    counted by priority. The semi join carries the non-equi residual
+    (l_shipdate > o_orderdate) on top of the orderkey equi-key, so it
+    hash-partitions on orderkey like any equi-join and never expands
+    rows (semi join emits each order at most once)."""
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1997-07-01"))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (orders.join(
+                li, (orders.o_orderkey == li.l_orderkey)
+                & (li.l_shipdate > orders.o_orderdate), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("order_count")))
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {fround_sql(f"sum({_REV})")} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Q5 shape: the 6-way join with the customer-nation = supplier-nation
+    correlation — revenue shipped by suppliers to same-nation customers
+    within a region and year. lineitem⋈orders is the one big-big shuffle;
+    supplier and customer are stats/AQE-sized (no hints — they grow with
+    SF); nation and region are fixed-cardinality and hinted. The
+    same-nation correlation lands as a residual equality once both dims
+    are attached."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = (load(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= "1997-01-01")
+                      & (F.col("o_orderdate") < "1998-01-01"))
+              .select("o_orderkey", "o_custkey"))
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    region = (load(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA").select("r_regionkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(cust, (orders.o_custkey == cust.c_custkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(fround(F.sum(rev), 2).alias("revenue")))
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, {fround_sql("sum(l.l_quantity)")} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-subquery decorrelated to an aggregate + semi
+    join — orders whose total quantity exceeds a threshold, with their
+    customer, top-20 by price. The qualifying-orders aggregate and the
+    main lineitem join both key on orderkey, so they share one hash
+    partitioning; the qualifier side (few rows after HAVING) is left to
+    AQE, which broadcasts it at any realistic selectivity."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 250)
+           .select(F.col("l_orderkey").alias("big_orderkey")))
+    return (li.join(big, li.l_orderkey == big.big_orderkey, "left_semi")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(fround(F.sum("l_quantity"), 2).alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(20)
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    "o_totalprice", "total_qty"))
 
 
 @query(

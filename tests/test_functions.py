@@ -96,20 +96,19 @@ def test_fround_boundary_determinism(spark):
 
 
 def test_approx_quantiles_within_documented_error(spark):
-    """The documented 100 TB swap for price_quantiles: percentile_approx
-    (single-pass sketch, no global sort) must land within 1% relative
-    error of the exact quantiles at sf0.01 — the bound a user accepts
-    when they flip the switch."""
-    from data_pipelines_course_spark.datasets import load
+    """The 100 TB scale path for price_quantiles is itself a REGISTERED
+    query (price_quantiles_approx, rows-only driver check): its sketch
+    values must land within 1% relative error of the exact registered
+    twin at sf0.01 — the bound a user accepts when they flip the
+    switch — and the two must share a schema so the swap is drop-in."""
+    from data_pipelines_course_spark.queries import all_queries
 
-    li = load(spark, "/root/testdata/sf0.01", "lineitem")
-    qs = [0.25, 0.5, 0.75, 0.95]
-    exact = li.agg(*[F.expr(
-        f"percentile(l_extendedprice, {q})").alias(f"e{i}")
-        for i, q in enumerate(qs)]).first()
-    approx = li.agg(*[F.expr(
-        f"percentile_approx(l_extendedprice, {q}, 10000)").alias(f"a{i}")
-        for i, q in enumerate(qs)]).first()
-    for i in range(len(qs)):
-        rel = abs(approx[f"a{i}"] - exact[f"e{i}"]) / exact[f"e{i}"]
-        assert rel < 0.01, (qs[i], exact[f"e{i}"], approx[f"a{i}"])
+    queries = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = queries["price_quantiles"](spark, sf)
+    approx = queries["price_quantiles_approx"](spark, sf)
+    assert approx.columns == exact.columns  # drop-in swap
+    e, a = exact.first(), approx.first()
+    for col in exact.columns:
+        rel = abs(a[col] - e[col]) / e[col]
+        assert rel < 0.01, (col, e[col], a[col])
