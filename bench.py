@@ -53,6 +53,19 @@ EXTRA = (
     "tpch_q3_unshipped_revenue",
     "tpch_q6_forecast_revenue",
     "price_quantiles",
+    # r3 additions
+    "price_quantiles_approx",
+    "tpch_q1_pricing_summary",
+    "tpch_q4_late_shipment_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_orders",
+    "repetition_ratio",
+    "type_token_ratio_by_source",
+    "contamination_report",
+    "stratified_sample_per_source",
+    "embedding_norm_stats",
+    "event_funnel",
+    "retention_cohorts",
 )
 
 

@@ -329,6 +329,77 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {fround_sql(f"sum({_REV})")} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Q19 shape: an equi-join whose payload predicate is a DISJUNCTION
+    of brand/size/quantity clauses — the optimizer stress-test for
+    residual-filter placement. Catalyst extracts the common equi-key
+    (partkey) for the join and keeps the OR as a post-join filter, while
+    the single-side implications it can derive (p_size >= 1, quantity
+    ranges' union) are pushed to the scans; part's strategy is
+    stats/AQE-chosen (grows with SF)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 45)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.filter(clause)
+            .agg(fround(F.sum(rev), 2).alias("revenue"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines")))
+
+
+@query(
+    "tpch_q2_top_acctbal_per_nation",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def tpch_q2_top_acctbal_per_nation(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Q2's structural core: a CORRELATED scalar subquery selecting the
+    per-group argmax (the min-cost-supplier pattern, adapted to the
+    tables this testdata carries). Spark expresses it as a window max
+    over the group + filter — one shuffle on the group key, no
+    self-join, no decorrelation surprises; ties all surface, exactly as
+    the correlated form does."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = Window.partitionBy("c_nationkey")
+    top = (cust.withColumn("max_bal", F.max("c_acctbal").over(w))
+           .filter(F.col("c_acctbal") == F.col("max_bal")))
+    return (top.join(F.broadcast(nation),
+                     top.c_nationkey == nation.n_nationkey)
+            .select("c_custkey", "c_name", "c_acctbal", "n_name"))
+
+
+@query(
     "tpch_q14_promo_revenue",
     oracle=f"""
     SELECT {fround_sql(
