@@ -21,3 +21,23 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def explain(spark, name: str, sf_dir: str | None = None,
+            mode: str = "formatted") -> str:
+    """The engine's `visualize()` story (SURVEY §4.2 diagnostics row):
+    the physical plan of a registered query by name, as a string.
+
+    Equivalent of the reference's dask `visualize()` task graphs
+    (`Chapter 4 - First Steps with Dask.ipynb:163`) — but checkable text
+    (PushedFilters / ReadSchema / join strategies / Exchange nodes)
+    instead of a picture. No execution is triggered."""
+    from .datasets import DEFAULT_SF_DIR
+    from .plans.analysis import formatted_plan
+    from .queries import all_queries
+
+    queries = all_queries()
+    if name not in queries:
+        raise KeyError(f"unknown query {name!r}; see queries.all_queries()")
+    return formatted_plan(queries[name](spark, sf_dir or DEFAULT_SF_DIR),
+                          mode=mode)

@@ -228,6 +228,45 @@ def test_no_rowwise_python_anywhere_in_registry(spark):
     assert not offenders, offenders
 
 
+def test_engine_explain_by_name(spark):
+    """SURVEY §4.2 diagnostics: engine.explain(name) must return the
+    formatted plan of the registered query without executing it."""
+    import data_pipelines_course_spark as engine
+
+    plan = engine.explain(spark, "tpch_q6_forecast_revenue", SF_DIR)
+    assert "PushedFilters" in plan and "Scan parquet" in plan
+    with pytest.raises(KeyError):
+        engine.explain(spark, "no_such_query", SF_DIR)
+
+
+def test_q1_single_exchange_wide_agg(spark):
+    """Q1 is scan + 8 partial aggregates + ONE exchange on the two group
+    flags — nothing else; the shipdate filter reaches the scan."""
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+    assert any("l_shipdate" in f for f in pa.pushed_filters(df))
+
+
+def test_q19_disjunction_implications_push_to_scans(spark):
+    """Q19's OR predicate: Catalyst must still push the derivable
+    single-side implications into both scans (brand/size union on part,
+    quantity union on lineitem) rather than filtering only post-join."""
+    df = QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    pushed = " ".join(pa.pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert "l_quantity" in pushed, pushed
+
+
+def test_q2_argmax_single_window_shuffle(spark):
+    """The correlated-argmax rewrite: one exchange for the nationkey
+    window (plus the broadcast for nation — no shuffle), never a
+    self-join of customer against its own aggregate."""
+    df = QUERIES["tpch_q2_top_acctbal_per_nation"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+    strategies = pa.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") == len(strategies)
+
+
 def test_q6_predicates_push_to_scan(spark):
     """Q6's whole point: every predicate must reach the parquet scan so
     row groups outside the date/discount/quantity ranges never decode."""
