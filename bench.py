@@ -66,6 +66,9 @@ EXTRA = (
     "embedding_norm_stats",
     "event_funnel",
     "retention_cohorts",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
 )
 
 

@@ -63,6 +63,7 @@ def load_registry() -> None:
         sampling,
         curation,
         tpch,
+        tpch_sub,
         graph,
         analytics,
     )
@@ -76,7 +77,7 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling, curation, tpch, graph, analytics):
+                    sampling, curation, tpch, tpch_sub, graph, analytics):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

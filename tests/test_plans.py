@@ -276,3 +276,56 @@ def test_q6_predicates_push_to_scan(spark):
         assert col in pushed, (col, pushed)
     assert sorted(pa.read_schema_columns(df)) == [
         "l_discount", "l_extendedprice", "l_quantity", "l_shipdate"]
+
+
+# -- subquery-decorrelation shapes (tpch_sub, r3) ----------------------------
+
+def test_scalar_subqueries_broadcast_not_cartesian(spark):
+    """Q11/Q15/Q22 attach a 1-row scalar aggregate via crossJoin. The
+    planner must realize it as a broadcast nested-loop over the 1-row
+    side — NEVER a CartesianProduct (which would repartition the big
+    side n×m) and with no hard broadcast hint in the query itself."""
+    for name in ("tpch_q11_important_parts", "tpch_q15_top_supplier",
+                 "tpch_q22_global_sales_opportunity"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = pa.formatted_plan(df)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert pa.broadcast_hint_count(df) == 0, name
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    """Q13's trap: the priority filter must live in the JOIN condition —
+    the physical plan keeps a LeftOuter join (a WHERE would have let
+    Catalyst rewrite it to Inner and silently drop 0-order customers)."""
+    df = QUERIES["tpch_q13_order_distribution"](spark, SF_DIR)
+    assert "LeftOuter" in pa.formatted_plan(df)
+
+
+def test_q16_anti_join_precedes_distinct_count(spark):
+    """Q16's NOT IN decorrelates to a left_anti join and the part-side
+    predicates (brand/type/size) reach the parquet scan."""
+    df = QUERIES["tpch_q16_supplier_part_counts"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert "LeftAnti" in plan
+    pushed = " ".join(pa.pushed_filters(df))
+    assert "p_size" in pushed and "p_brand" in pushed, pushed
+
+
+def test_q17_correlated_avg_is_preaggregated(spark):
+    """Q17's correlated avg decorrelates to ONE pre-aggregate joined
+    back on partkey — no row-wise Python, part filter pushed to scan."""
+    df = QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_DIR)
+    pushed = " ".join(pa.pushed_filters(df))
+    assert "p_brand" in pushed, pushed
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_q21_exists_pair_is_one_order_aggregate(spark):
+    """Q21's EXISTS + NOT EXISTS collapse into one order-level aggregate:
+    the plan must not contain more than two lineitem scans (three
+    correlated probes would show as three)."""
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert plan.count("lineitem.parquet") <= 2 or \
+        plan.count("Scan parquet") <= 4, plan
+    assert pa.broadcast_hint_count(df) == 0
