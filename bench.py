@@ -69,6 +69,8 @@ EXTRA = (
     "tpch_q13_order_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_suppliers",
+    "pii_redaction",
+    "boilerplate_ngrams",
 )
 
 

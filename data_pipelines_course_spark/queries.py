@@ -66,6 +66,7 @@ def load_registry() -> None:
         tpch_sub,
         graph,
         analytics,
+        textprep,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -77,7 +78,8 @@ def load_registry() -> None:
 
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
-                    sampling, curation, tpch, tpch_sub, graph, analytics):
+                    sampling, curation, tpch, tpch_sub, graph, analytics,
+                    textprep):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

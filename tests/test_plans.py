@@ -329,3 +329,33 @@ def test_q21_exists_pair_is_one_order_aggregate(spark):
     assert plan.count("lineitem.parquet") <= 2 or \
         plan.count("Scan parquet") <= 4, plan
     assert pa.broadcast_hint_count(df) == 0
+
+
+# -- text-prep family (textprep, r3) -----------------------------------------
+
+def test_pii_redaction_is_map_only(spark):
+    """Redaction is a pure regexp_replace chain: zero exchanges, one
+    scan reading only (doc_id, text), fully inside codegen."""
+    df = QUERIES["pii_redaction"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 0, pa.formatted_plan(df)
+    assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_boilerplate_ngrams_single_scan_no_join(spark):
+    """The array-slide n-gram build must not reproduce the oracle's
+    3-way positional self-join: exactly one documents scan, no joins,
+    then agg + top-k."""
+    df = QUERIES["boilerplate_ngrams"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert not pa.join_strategies(df), plan
+    # one "Location:" detail line per physical scan
+    assert plan.count("Location:") == 1, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_df_computed_over_aggregated_vocab(spark):
+    """Document frequency is a window over the (source, term) AGGREGATE
+    — one documents scan total, not a second corpus pass."""
+    df = QUERIES["tfidf_top_terms"](spark, SF_DIR)
+    assert pa.formatted_plan(df).count("Location:") == 1
