@@ -215,6 +215,41 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame,
     return stream.join(F.broadcast(dim), on, how)
 
 
+def interval_join_view_clicks(views: DataFrame, clicks: DataFrame,
+                              horizon: str = "10 minutes",
+                              watermark: str = "20 minutes",
+                              how: str = "inner") -> DataFrame:
+    """Stream-STREAM join on user_id with an event-time interval: each
+    click attaches to a view by the same user that happened at most
+    `horizon` before it (attribution). Completes the join matrix next to
+    the stream-static `enrich_stream_with_dim` (beyond-reference surface
+    — the course's DStreams never join two streams).
+
+    State-boundedness is the whole design: BOTH sides carry a watermark
+    and the join condition constrains the two event times to a bounded
+    interval, so Spark derives a state-eviction watermark for each side
+    — a view older than watermark+horizon can never match a future click
+    and its buffered state is dropped. Without the time bound the state
+    would grow forever; Spark refuses outer stream-stream joins in that
+    case for exactly that reason. `how="left_outer"` emits unmatched
+    views once their interval expires (attribution misses)."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("ts").alias("view_ts"),
+                 F.col("event_id").alias("view_id")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("click_ts"),
+                 F.col("event_id").alias("click_id")))
+    cond = ((F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") <= F.col("view_ts")
+               + F.expr(f"INTERVAL {horizon}")))
+    return (v.join(c, cond, how)
+            .select(F.col("v_user").alias("user_id"), "view_id", "view_ts",
+                    "click_id", "click_ts"))
+
+
 def decontaminate_stream(stream_docs: DataFrame,
                          bench_docs: DataFrame) -> DataFrame:
     """Streaming decontamination: flag incoming documents that MinHash-LSH

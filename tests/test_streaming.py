@@ -401,3 +401,73 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     assert results["tws"] == results["aipws"]
     assert results["tws"][1] == (3, 7.0)  # state survived the restart
     assert results["tws"][2] == (1, 5.0)
+
+
+def _write_events(path, rows):
+    path.write_text("\n".join(
+        f'{{"event_id": {i}, "ts": "{ts}", "user_id": {u}}}'
+        for i, ts, u in rows) + "\n")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner interval join (clicks attribute to a view by
+    the same user within the horizon) must equal the identical batch
+    join over the same files — and a click outside the horizon must not
+    match."""
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(); cdir.mkdir()
+    _write_events(vdir / "v1.json", [
+        (1, "2024-01-01T00:00:00", 7),
+        (2, "2024-01-01T00:00:00", 8),   # never clicked
+        (3, "2024-01-01T01:00:00", 9),
+    ])
+    _write_events(cdir / "c1.json", [
+        (101, "2024-01-01T00:05:00", 7),   # within 10 min of view 1
+        (102, "2024-01-01T02:00:00", 9),   # 60 min after view 3: outside
+    ])
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    sv = spark.readStream.schema(schema).json(str(vdir))
+    sc = spark.readStream.schema(schema).json(str(cdir))
+    result = jobs.interval_join_view_clicks(sv, sc)
+    q = jobs.run_available_now_to_memory(result, "ssj", mode="append")
+    q.stop()
+    got = sorted((r["view_id"], r["click_id"])
+                 for r in spark.sql("SELECT * FROM ssj").collect())
+    # Batch parity: same function, batch inputs.
+    bv = spark.read.schema(schema).json(str(vdir))
+    bc = spark.read.schema(schema).json(str(cdir))
+    want = sorted((r["view_id"], r["click_id"])
+                  for r in jobs.interval_join_view_clicks(bv, bc).collect())
+    assert got == want == [(1, 101)]
+
+
+def test_stream_stream_left_outer_emits_expired_views(spark, tmp_path):
+    """left_outer: a view with no click inside its horizon is emitted
+    (null click) once the watermark passes view_ts + horizon — proof the
+    join state is evicted, not held forever."""
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(); cdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(vdir / "v1.json", [(1, "2024-01-01T00:00:00", 7)])
+    _write_events(cdir / "c1.json", [(900, "2024-01-01T00:00:01", 99)])
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+
+    def drain():
+        sv = spark.readStream.schema(schema).json(str(vdir))
+        sc = spark.readStream.schema(schema).json(str(cdir))
+        result = jobs.interval_join_view_clicks(sv, sc, how="left_outer")
+        q = (result.writeStream.outputMode("append").format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(); q.stop()
+
+    drain()  # watermark still at batch-1 max; view 1 unexpired
+    # Advance both watermarks far past view_ts + horizon + watermark.
+    _write_events(vdir / "v2.json", [(2, "2024-01-01T05:00:00", 7)])
+    _write_events(cdir / "c2.json", [(901, "2024-01-01T05:00:00", 99)])
+    drain()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    unmatched = [(r["view_id"], r["click_id"]) for r in rows
+                 if r["click_id"] is None]
+    assert (1, None) in unmatched
