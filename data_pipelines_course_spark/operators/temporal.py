@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..datasets import load
+from ..functions.scalar import fround
 from ..queries import query
 
 # ---------------------------------------------------------------------------
@@ -252,3 +253,61 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill (beyond-reference): dense daily series with explicit
+# zero rows for silent days — the resample/reindex shape every time-series
+# report needs, built from a sequence() date spine instead of a driver-side
+# date loop.
+# ---------------------------------------------------------------------------
+
+@query(
+    "daily_event_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               floor(sum(value) * 100 + 0.5) / 100 AS revenue
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(ts AS DATE)
+    )
+    SELECT spine.day,
+           coalesce(daily.n_purchases, 0) AS n_purchases,
+           coalesce(daily.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY spine.day
+    """,
+)
+def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily purchase series: days with no purchases appear as
+    explicit zero rows. The date spine is sequence(min_day, max_day)
+    exploded FROM THE 1-ROW BOUNDS AGGREGATE — generated distributed,
+    never a driver-side date loop — and the daily aggregate left-joins
+    onto it. The spine side is tiny (one row per calendar day: ~36k rows
+    even for a century), so Catalyst broadcasts the AGGREGATE onto the
+    spine or vice versa; either way the only real shuffle is the daily
+    groupBy. At 100 TB the pattern holds: the spine is O(days), data-size
+    independent."""
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "purchase")
+          .select(F.to_date("ts").alias("day"), "value"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (ev.groupBy("day")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+                  fround(F.sum("value"), 2).alias("revenue")))
+    return (spine.join(daily, "day", "left_outer")
+            .select("day",
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                    F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
+            .orderBy("day"))

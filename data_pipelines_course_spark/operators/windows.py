@@ -171,3 +171,38 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         fround(total / n, 2).alias("ma3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-position window pack (§2.7 beyond): ntile / percent_rank /
+# cume_dist — the ranking functions the earlier rank query doesn't cover.
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_value_deciles",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ntile(10) OVER w AS INTEGER) AS decile,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pct_rank,
+           floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier assignment per market segment: decile bucket plus the
+    two normalized positions (percent_rank, cume_dist). One shuffle on
+    the segment key; at 100 TB the per-partition sort is the cost, and
+    the 5-segment partitioning is the skew risk — for a truly heavy tier
+    job the two-pass approxQuantile cut is the alternative (see
+    price_quantiles_approx). Ties break on c_custkey so every engine
+    orders identically."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), "c_custkey")
+    return cust.select(
+        "c_mktsegment", "c_custkey",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        fround(F.percent_rank().over(w), 4).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 4).alias("cume"))
