@@ -359,3 +359,25 @@ def test_tfidf_df_computed_over_aggregated_vocab(spark):
     — one documents scan total, not a second corpus pass."""
     df = QUERIES["tfidf_top_terms"](spark, SF_DIR)
     assert pa.formatted_plan(df).count("Location:") == 1
+
+
+def test_lateral_decorrelates_to_window_not_loop(spark):
+    """The correlated LATERAL + LIMIT must decorrelate into a Window
+    rank over customer (one nationkey shuffle) — broadcast joins only,
+    no CartesianProduct, no per-nation re-scan."""
+    df = QUERIES["lateral_topk_per_nation"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    strategies = pa.join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") == len(strategies)
+
+
+def test_unpivot_is_single_pass_expand(spark):
+    """melt plans as ONE Expand over one scan — never the per-column
+    UNION ALL a hand-rolled melt pays."""
+    df = QUERIES["unpivot_part_attrs"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert "Expand" in plan
+    assert plan.count("Location:") == 1
+    assert "Union" not in plan
