@@ -39,11 +39,9 @@ _MIN_TOKENS = 20
 # whitespace tokens; bigrams by adjacent-position concat) so the per-doc
 # values are bit-equal across engines.
 _SPARK_WORDS = "split(lower(trim(text)), '\\\\s+')"
-_SPARK_BIGRAMS = (
-    f"transform(sequence(1, size({_SPARK_WORDS}) - 1),"
-    f" i -> concat_ws(' ', element_at({_SPARK_WORDS}, i),"
-    f" element_at({_SPARK_WORDS}, i + 1)))"
-)
+# NOTE: never inline _SPARK_WORDS inside a transform/filter LAMBDA body —
+# the lambda re-evaluates it per element (O(tokens²) per doc). Stage the
+# array through a projection first (see repetition_ratio).
 _DUCK_BIGRAMS = (
     f"list_transform(range(1, len({_DUCK_WORDS})),"
     f" i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1])"
@@ -179,14 +177,26 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bigram repetition ratio (1 - distinct/total adjacent
     word pairs) — the standard boilerplate/spam signal a quality filter
     thresholds on (high repetition ⇒ templated or degenerate text).
-    Pure JVM array HOFs on the scan: no shuffle, no Python."""
+    Pure JVM array HOFs on the scan: no shuffle, no Python.
+
+    The words and bigram arrays are STAGED through intermediate
+    projections instead of inlined: inlining re-evaluates split() inside
+    the transform lambda per element (O(tokens²) work per doc — measured
+    4.6 s at sf0.1 vs 0.28 s staged, 16×). CollapseProject keeps the
+    staging because each alias is non-cheap and referenced more than
+    once, so each array is computed exactly once per row."""
     docs = load(spark, sf_dir, "documents")
-    n_bi = F.expr(f"size({_SPARK_BIGRAMS})")
-    n_uniq = F.expr(f"size(array_distinct({_SPARK_BIGRAMS}))")
-    return (docs.filter(F.expr(f"size({_SPARK_WORDS})") >= 2)
+    return (docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+            .filter(F.size("w") >= 2)
             .select("doc_id",
-                    n_bi.cast("bigint").alias("n_bigrams"),
-                    fround(F.lit(1.0) - n_uniq.cast("double") / n_bi, 4)
+                    F.expr("transform(sequence(1, size(w) - 1),"
+                           " i -> concat_ws(' ', element_at(w, i),"
+                           " element_at(w, i + 1)))").alias("bg"))
+            .select("doc_id",
+                    F.size("bg").cast("bigint").alias("n_bigrams"),
+                    fround(F.lit(1.0)
+                           - F.size(F.array_distinct("bg")).cast("double")
+                           / F.size("bg"), 4)
                     .alias("rep_ratio")))
 
 

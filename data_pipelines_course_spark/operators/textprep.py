@@ -213,13 +213,18 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence(0, size-3) start offsets -> concat_ws of the 3-token
     # slide; documents shorter than 3 tokens contribute an empty array
     # (sequence(0, negative) would flip to a DESCENDING range — guarded).
+    # The token array is STAGED through a projection: inlining split()
+    # into the lambda re-splits per element (O(tokens²) per doc; see
+    # repetition_ratio for the measured 16× cost of that shape).
     ngrams = F.expr(
-        "CASE WHEN size(split(trim(text), '\\\\s+')) >= 3 THEN"
-        " transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3),"
-        " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'),"
-        " i + 1, 3)))"
+        "CASE WHEN size(toks) >= 3 THEN"
+        " transform(sequence(0, size(toks) - 3),"
+        " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
         " ELSE array() END")
-    return (docs.select("doc_id", F.explode(ngrams).alias("ngram"))
+    return (docs
+            .select("doc_id",
+                    F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+            .select("doc_id", F.explode(ngrams).alias("ngram"))
             .groupBy("ngram")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
