@@ -106,18 +106,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _WORDS = "split(lower(trim(text)), '\\\\s+')"
-_SHINGLES = (
-    f"array_distinct(transform(sequence(1, size({_WORDS}) - 2),"
-    f" i -> concat_ws(' ', element_at({_WORDS}, i),"
-    f" element_at({_WORDS}, i + 1), element_at({_WORDS}, i + 2))))"
+# Shingles over a STAGED words column `w` — never inline _WORDS into the
+# lambda body: the lambda re-evaluates the split per element, turning the
+# per-doc cost O(tokens²) (measured 16× on repetition_ratio's identical
+# shape). The staging projections below survive CollapseProject because
+# each alias is non-cheap and referenced more than once.
+_SHINGLES_OF_W = (
+    "array_distinct(transform(sequence(1, size(w) - 2),"
+    " i -> concat_ws(' ', element_at(w, i),"
+    " element_at(w, i + 1), element_at(w, i + 2))))"
 )
+
+
+def _shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr): distinct 3-gram shingle array per document;
+    documents with <3 words dropped. split() runs once per row."""
+    return (_widen(docs)
+            .select("doc_id", F.expr(_WORDS).alias("w"))
+            .filter(F.size("w") >= 3)
+            .select("doc_id", F.expr(_SHINGLES_OF_W).alias("sh_arr")))
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs; documents with <3 words dropped."""
-    return (_widen(docs)
-            .filter(F.expr(f"size({_WORDS})") >= 3)
-            .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")))
+    return (_shingle_arrays(docs)
+            .select("doc_id", F.explode("sh_arr").alias("shingle")))
 
 
 def sized_shingle_hashes(docs: DataFrame) -> DataFrame:
@@ -131,9 +144,7 @@ def sized_shingle_hashes(docs: DataFrame) -> DataFrame:
     at 100 TB the shingle self-join's shuffle volume drops ~3× for a
     collision risk of ~(distinct shingles)²/2⁶⁴, which is negligible
     against the LSH paths' intrinsic approximation."""
-    return (_widen(docs)
-            .filter(F.expr(f"size({_WORDS})") >= 3)
-            .select("doc_id", F.expr(_SHINGLES).alias("sh_arr"))
+    return (_shingle_arrays(docs)
             .select("doc_id", F.size("sh_arr").alias("n"),
                     F.explode("sh_arr").alias("shingle"))
             .select("doc_id", "n", F.xxhash64("shingle").alias("h")))
@@ -688,16 +699,17 @@ def rowwise_minhash_sig(docs: DataFrame) -> DataFrame:
     array_min over a transform per permutation, so it is STATELESS: legal
     on a streaming DataFrame ahead of a join, and shuffle-free in batch.
     The batch path keeps the groupBy form because partial-aggregate min()
-    is codegen while HOF lambdas are interpreted — measured 1.35 s (agg)
-    vs 13.3 s (rowwise) for 5k docs at sf0.1, so batch uses the aggregate
-    and only streams pay the interpreted form for statelessness."""
-    hash_arr = (f"transform({_SHINGLES},"
-                f" s -> xxhash64(s) & {_MASK32}L)")
+    is codegen while HOF lambdas are interpreted; the shingle and hash
+    arrays are staged through projections so each is computed once per
+    row (the r2 shape inlined them per permutation — 16 recomputes of
+    the shingle hash array per doc on top of the per-element split)."""
     sig = F.array(*[
-        F.expr(f"array_min(transform({hash_arr},"
+        F.expr(f"array_min(transform(harr,"
                f" h -> ({a}L * h + {b}L) % {_MERSENNE_P}L))")
         for a, b in PERMS
     ])
-    return (_widen(docs)
-            .filter(F.expr(f"size({_WORDS})") >= 3)
+    return (_shingle_arrays(docs)
+            .select("doc_id",
+                    F.expr(f"transform(sh_arr,"
+                           f" s -> xxhash64(s) & {_MASK32}L)").alias("harr"))
             .select("doc_id", sig.alias("sig")))
