@@ -202,3 +202,42 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "int").alias("k"),
         F.try_variant_get(v, "$.missing", "int").alias("absent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAP-typed columns (beyond-reference): JSON payload → map<string,string> →
+# explode — the schema-free key/value profile of an evolving event payload
+# (completes the nested family next to struct/array/variant access).
+# ---------------------------------------------------------------------------
+
+@query(
+    "props_map_stats",
+    oracle="""
+    SELECT k AS prop_key,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT json_extract_string(props, '$.' || k))
+                AS BIGINT) AS n_values,
+           min(json_extract_string(props, '$.' || k)) AS min_val,
+           max(json_extract_string(props, '$.' || k)) AS max_val
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    ORDER BY prop_key
+    """,
+)
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key/value profile of the props payload treated as a MAP (no
+    declared schema): every key that occurs, its row count, distinct
+    values, and lexicographic value range. `explode(from_json(...,
+    map<string,string>))` emits one (key, value) row per entry in one
+    pass — the payload-auditing sweep run before promoting a raw JSON
+    feed to typed columns. One hash aggregate on the (bounded) key
+    space; values compare as strings on both engines."""
+    ev = load(spark, sf_dir, "events")
+    kv = ev.select(F.explode(
+        F.from_json("props", "map<string,string>")).alias("prop_key", "val"))
+    return (kv.groupBy("prop_key")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.countDistinct("val").cast("bigint").alias("n_values"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"))
+            .orderBy("prop_key"))

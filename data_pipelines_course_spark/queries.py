@@ -68,6 +68,7 @@ def load_registry() -> None:
         analytics,
         textprep,
         reshape,
+        sketches,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -80,7 +81,7 @@ def load_registry() -> None:
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
                     sampling, curation, tpch, tpch_sub, graph, analytics,
-                    textprep, reshape):
+                    textprep, reshape, sketches):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there
