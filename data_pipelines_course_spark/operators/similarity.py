@@ -321,3 +321,182 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      + F.lit(0.0)).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(TOP_K))
+
+
+# --------------------------------------------------------------------------
+# Spherical k-means trainer — the coarse quantizer ivf_topk promises
+# ("a production build would k-means them"). Driver-loop Lloyd iterations,
+# the MLlib KMeans shape re-expressed on the DataFrame API:
+#   broadcast K·dim centroid literals -> one scan assigns cells (pure JVM
+#   projection, no join) -> one map-side-combinable aggregate produces
+#   K×(dim avgs) rows -> driver normalizes and re-broadcasts.
+# Per iteration exactly one shuffle of K rows; the input is persisted once
+# across iterations (the only multi-pass operator in the registry, which
+# is what Lloyd's algorithm *is* — each pass is a new plan, so this is a
+# driver loop by nature, not an accident).
+# --------------------------------------------------------------------------
+
+KMEANS_K = IVF_K
+KMEANS_MAX_ITER = 8
+KMEANS_TOL = 1e-7  # max centroid movement (1 - cos(old, new)) to stop
+
+
+def _unit(v: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n > 0.0 else list(v)
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    """Stage unit-norm double vectors as a real column (computed once per
+    row, reused by every centroid dot product in the same projection)."""
+    return (emb.withColumn("_nrm", norm("embedding"))
+            .withColumn("nv", F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_nrm")))
+            .drop("_nrm"))
+
+
+def _best_cell(cents: list[list[float]]) -> Column:
+    """struct(s=cos to nearest centroid, c=its index) — argmax over the
+    broadcast centroid literals, ties to the higher index (deterministic)."""
+    scores = F.array(*[
+        F.struct(dot("nv", _arr_sql(c)).alias("s"), F.lit(i).alias("c"))
+        for i, c in enumerate(cents)])
+    return F.element_at(F.sort_array(scores, asc=False), 1)
+
+
+def kmeans_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    max_iter: int = KMEANS_MAX_ITER,
+) -> tuple[list[list[float]], list[float]]:
+    """Train unit-sphere centroids; returns (centroids, per-iteration mean
+    cosine history). Init is the first k vectors by vec_id (deterministic,
+    same seed rule as ivf_topk's untrained quantizer). Empty cells keep
+    their previous centroid. The history is the spherical-k-means objective
+    measured at each assignment step — monotone non-decreasing by Lloyd's
+    argument, asserted in tests/test_similarity.py."""
+    base = _normalized(load(spark, sf_dir, "embeddings")).select("vec_id", "nv")
+    base = base.persist()
+    try:
+        dim = len(base.head()["nv"])
+        init = {int(r["vec_id"]): [float(x) for x in r["nv"]]
+                for r in base.filter(F.col("vec_id") < k).collect()}
+        cents = [init[i] for i in sorted(init)]
+        history: list[float] = []
+        for _ in range(max_iter):
+            best = _best_cell(cents)
+            agg = (base.withColumn("_b", best)
+                   .select(F.col("_b")["c"].alias("cell"),
+                           F.col("_b")["s"].alias("sc"), "nv")
+                   .groupBy("cell")
+                   .agg(F.count(F.lit(1)).alias("n"),
+                        F.sum("sc").alias("sum_cos"),
+                        *[F.avg(F.col("nv")[i]).alias(f"d{i}")
+                          for i in range(dim)]))
+            rows = agg.collect()
+            new_cents = [list(c) for c in cents]
+            tot_n, tot_cos = 0, 0.0
+            for r in rows:
+                c, n = int(r["cell"]), int(r["n"])
+                new_cents[c] = _unit([float(r[f"d{i}"]) for i in range(dim)])
+                tot_n += n
+                tot_cos += float(r["sum_cos"])
+            history.append(tot_cos / tot_n)
+            shift = max(1.0 - sum(a * b for a, b in zip(o, w))
+                        for o, w in zip(cents, new_cents))
+            cents = new_cents
+            if shift < KMEANS_TOL:
+                break
+        return cents, history
+    finally:
+        base.unpersist()
+
+
+@query("embedding_kmeans")  # rows-only: iterative training is not oracle SQL
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell summary of the trained spherical-k-means quantizer: size,
+    mean and min cosine of members to their centroid. This is the training
+    half of the IVF index (ivf_topk documents the serving half); the same
+    cells double as SemDeDup-style partitions for within-cell near-dup
+    search. Final assignment is one scan; training cost is
+    KMEANS_MAX_ITER scans of a persisted (vec_id, nv) projection.
+
+    At 100 TB: identical loop — centroid literals are KB-sized broadcasts,
+    the per-iteration aggregate returns K rows regardless of corpus size,
+    and the persisted projection is the only thing that scales."""
+    cents, _ = kmeans_train(spark, sf_dir)
+    emb = _normalized(load(spark, sf_dir, "embeddings"))
+    best = _best_cell(cents)
+    return (emb.withColumn("_b", best)
+            .select(F.col("_b")["c"].alias("cell"), F.col("_b")["s"].alias("sc"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 fround(F.avg("sc"), 4).alias("avg_cos"),
+                 fround(F.min("sc"), 4).alias("min_cos"))
+            .orderBy("cell"))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style within-cell near-duplicate candidates — the scale path
+# for embedding-cosine dedup (embedding_neardup_topk is the O(n²) exact
+# twin). Abbas et al., "SemDeDup" (arXiv:2303.09540): k-means the corpus,
+# search pairs only inside each cluster. Soft top-2 assignment halves the
+# miss rate at the cluster boundary for 2× candidate rows.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_SOFT = 2       # each vector joins its top-N cells
+SEMDEDUP_CELL_CAP = 4096  # skew guard: cells above this are sub-split
+
+
+@query("semdedup_candidates")  # rows-only: k-means cells are not oracle SQL
+def semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 near-dup pairs found WITHIN trained k-means cells (soft
+    top-2 assignment), exact-cosine scored — same output shape as the
+    exact twin embedding_neardup_topk, so recall is directly measurable:
+    tests/test_similarity.py records 13/20 on this isotropic corpus whose
+    'top pairs' sit at cos≈0.45-0.51 (the hardest case for any
+    partition-based method — these are not duplicates, just the least
+    dissimilar random pairs). For actual duplicates (cos→1) both members'
+    argmax centroid coincides and co-location probability →1, which is
+    the regime SemDeDup targets.
+
+    At 100 TB: the quadratic stage is bounded per cell (skew guard
+    sub-splits cells over SEMDEDUP_CELL_CAP rows by a hash of vec_id —
+    recall within the split is sacrificed, the standard cap tradeoff);
+    one shuffle by cell id; centroids stay a KB broadcast."""
+    cents, _ = kmeans_train(spark, sf_dir)
+    emb = _normalized(load(spark, sf_dir, "embeddings"))
+    scores = F.array(*[
+        F.struct(dot("nv", _arr_sql(c)).alias("s"), F.lit(i).alias("c"))
+        for i, c in enumerate(cents)])
+    cells = F.slice(F.sort_array(scores, asc=False), 1, SEMDEDUP_SOFT)
+    assigned = emb.select(
+        "vec_id", "nv",
+        F.explode(F.transform(cells, lambda x: x["c"])).alias("cell"))
+    # Skew guard: sub-split any cell above the cap into ceil(n/cap)
+    # hash sub-buckets (pairs straddling sub-buckets are sacrificed —
+    # the documented cap tradeoff; inert on this corpus, every cell
+    # far below the cap). The per-cell count table is K·SOFT rows —
+    # a broadcast, never a shuffle of the corpus side.
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    side = (assigned
+            .join(F.broadcast(counts), on="cell")
+            .withColumn("_splits", F.ceil(F.col("_n") / SEMDEDUP_CELL_CAP))
+            .withColumn("cell", F.concat_ws(
+                "#", F.col("cell"),
+                F.pmod(F.xxhash64("vec_id"), F.col("_splits")).cast("int")))
+            .drop("_n", "_splits"))
+    a = side.select(F.col("cell"), F.col("vec_id").alias("id1"),
+                    F.col("nv").alias("nv1"))
+    b = side.select(F.col("cell"), F.col("vec_id").alias("id2"),
+                    F.col("nv").alias("nv2"))
+    pairs = (a.join(b, on="cell")
+             .filter(F.col("id1") < F.col("id2"))
+             .select("id1", "id2",
+                     fround(dot("nv1", "nv2"), 6).alias("cos_sim"))
+             .groupBy("id1", "id2")
+             .agg(F.first("cos_sim").alias("cos_sim")))
+    return pairs.orderBy(F.desc("cos_sim"), "id1", "id2").limit(20)
