@@ -713,3 +713,71 @@ def rowwise_minhash_sig(docs: DataFrame) -> DataFrame:
                     F.expr(f"transform(sh_arr,"
                            f" s -> xxhash64(s) & {_MASK32}L)").alias("harr"))
             .select("doc_id", sig.alias("sig")))
+
+
+# --------------------------------------------------------------------------
+# N-gram-overlap decontamination (the GPT-3 appendix-C style): a training
+# document is contaminated if it shares ANY word n-gram with the benchmark
+# set — no similarity threshold, the strictest leakage rule. Complements
+# decontaminate_exact/lsh (whole-doc Jaccard): n-gram hits catch a
+# benchmark QUOTED INSIDE an otherwise-different train doc, which
+# document-level Jaccard misses.
+# --------------------------------------------------------------------------
+
+_NGRAM_N = 5  # GPT-3 used 13-grams; the synthetic docs are short
+
+_GRAMS5_OF_W = (
+    "array_distinct(transform(sequence(1, size(w) - 4),"
+    " i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),"
+    " element_at(w, i + 2), element_at(w, i + 3), element_at(w, i + 4))))"
+)
+
+_DUCK_GRAMS5 = (
+    f"list_distinct(list_transform(range(1, len({_DUCK_WORDS}) - 3),"
+    f" i -> {_DUCK_WORDS}[i] || ' ' || {_DUCK_WORDS}[i+1]"
+    f" || ' ' || {_DUCK_WORDS}[i+2] || ' ' || {_DUCK_WORDS}[i+3]"
+    f" || ' ' || {_DUCK_WORDS}[i+4]))"
+)
+
+
+@query(
+    "decontaminate_ngram_hit",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_DUCK_GRAMS5}) AS gram
+        FROM documents WHERE len({_DUCK_WORDS}) >= {_NGRAM_N}
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+    SELECT g.doc_id AS train_id, count(DISTINCT g.gram) AS hit_ngrams
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 10 <> 0
+    GROUP BY 1
+    """,
+)
+def decontaminate_ngram_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(train_id, hit_ngrams): every training doc sharing >= 1 distinct
+    5-gram with the benchmark split (doc_id % 10 == 0), with how many of
+    its distinct 5-grams are contaminated.
+
+    Scale design mirrors decontaminate_lsh's asymmetry: the benchmark's
+    distinct-gram table is bounded by the benchmark corpus (10^4-10^6
+    docs), hashed to 8-byte keys and BROADCAST — the train side is a
+    map-side hash probe over the scan, never shuffled for the join; the
+    only exchange is the per-doc count of the (tiny) hit set. Gram
+    staging runs once per branch off a shared exchange (the doc_id%10
+    split predicates push to the two scans). At 100 TB the bench gram
+    set outgrowing the broadcast ceiling is the signal to switch to a
+    bloom-filter pre-probe + shuffled semi-join — same answer, one more
+    exchange."""
+    docs = load(spark, sf_dir, "documents")
+    grams = (_widen(docs)
+             .select("doc_id", F.expr(_WORDS).alias("w"))
+             .filter(F.size("w") >= _NGRAM_N)
+             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
+    bench = (grams.filter(F.col("doc_id") % 10 == 0)
+             .select(F.xxhash64("gram").alias("gh")).distinct())
+    train = (grams.filter(F.col("doc_id") % 10 != 0)
+             .select("doc_id", F.xxhash64("gram").alias("gh")))
+    return (train.join(F.broadcast(bench), "gh")
+            .groupBy(F.col("doc_id").alias("train_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("hit_ngrams")))

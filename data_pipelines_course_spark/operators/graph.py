@@ -82,9 +82,9 @@ def connected_components(edges: DataFrame, src: str, dst: str,
                          F.col("label").alias("cluster_id"))
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+# Shared recursive-CTE oracle prefix: exact-Jaccard edges (J >= 0.6)
+# over 3-gram shingles -> symmetric closure -> transitive reachability.
+_DUCK_CC_CTES = f"""
     WITH RECURSIVE
     sh AS (
         SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
@@ -110,7 +110,12 @@ def connected_components(edges: DataFrame, src: str, dst: str,
         SELECT DISTINCT a, a FROM sym
         UNION
         SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
-    )
+    )"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=_DUCK_CC_CTES + """
     SELECT node AS doc_id, min(r) AS cluster_id
     FROM reach GROUP BY node
     """,
@@ -125,3 +130,43 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
     return connected_components(pairs, "doc1", "doc2")
+
+
+@query(
+    "dedup_keep_best",
+    oracle=_DUCK_CC_CTES + """
+    , clusters AS (
+        SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY len(d.text) DESC, c.doc_id) AS rn,
+               count(*) OVER (PARTITION BY c.cluster_id) AS n
+        FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n - 1 AS dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization — the dedup DECISION the cluster labels exist
+    for: per near-dup cluster keep the longest member (ties -> lowest
+    doc_id; truncated copies are the common near-dup, so longest is the
+    information-preserving representative), count the rest as dropped.
+
+    One aggregate past dedup_clusters: the cluster table joins documents
+    on doc_id (co-partitioned with the corpus scan's natural key), then
+    a single max_by hash-aggregate on cluster_id — partial map-side, no
+    window, no second shuffle of the corpus. The oracle ranks the same
+    clusters with a window; max_by(doc_id, struct(tl, -doc_id)) encodes
+    the identical (length DESC, doc_id ASC) order."""
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", F.length("text").alias("tl")))
+    clusters = dedup_clusters(spark, sf_dir)
+    return (clusters.join(docs, "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.expr("max_by(doc_id, struct(tl, -doc_id))")
+                 .alias("keep_doc_id"),
+                 (F.count(F.lit(1)) - F.lit(1)).cast("bigint")
+                 .alias("dropped")))
