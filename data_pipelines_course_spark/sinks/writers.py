@@ -162,3 +162,43 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     spark.read.parquet(path).schema
     fs.delete(old, True)
     return n_files
+
+
+def incremental_daily_rollup(events: DataFrame, rollup_path: str,
+                             since: str | None = None) -> int:
+    """Incremental ETL for an append-mostly event stream: maintain a
+    daily (event_date, event_type) rollup table, recomputing ONLY the
+    date partitions at/after `since` (the late-arrival watermark) and
+    dynamic-partition-overwriting them in place. Partitions older than
+    the watermark are not read, not recomputed, and not rewritten — at
+    100 TB the daily delta touches O(days-in-flight) partitions instead
+    of re-running the full-history aggregate (the luigi date-range
+    re-run pattern, expressed as partition-granular overwrite).
+
+    `since=None` (re)builds the whole table. Returns the number of date
+    partitions written. The `event_date >= since` filter prunes at the
+    SCAN when events are date-partitioned; on the flat test parquet it
+    is an ordinary pushed filter."""
+    spark = events.sparkSession
+    daily = (events
+             .withColumn("event_date", F.to_date("ts"))
+             .groupBy("event_date", "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("value").alias("sum_value")))
+    if since is not None:
+        daily = daily.filter(F.col("event_date") >= F.lit(since))
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    # Persist the (tiny: days × types rows) rollup delta so the returned
+    # partition count is a scan of the cached aggregate, not a second
+    # pass over events.
+    daily = daily.persist()
+    try:
+        (daily.repartitionByRange("event_date")
+         .write.mode("overwrite").partitionBy("event_date")
+         .parquet(rollup_path))
+        return daily.select("event_date").distinct().count()
+    finally:
+        spark.conf.set(key, old)
+        daily.unpersist()

@@ -339,3 +339,31 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             .transformWithStateInPandas(
                 RunningTotals(), outputStructType=out_schema,
                 outputMode="Update", timeMode="None"))
+
+
+def idempotent_batch_sink(path: str):
+    """Exactly-once-style parquet sink for foreachBatch: each micro-batch
+    lands in its own `_batch_id=` partition via dynamic partition
+    overwrite, so a REPLAYED batch (Structured Streaming's contract after
+    failure is at-least-once delivery to the sink fn) replaces its own
+    partition instead of appending duplicates — idempotent writes turn
+    at-least-once delivery into exactly-once table state, the standard
+    recipe for non-transactional sinks.
+
+    At 100 TB nothing changes: overwrite granularity is one micro-batch
+    partition; committed partitions are never rewritten, and readers see
+    whole partitions (parquet commit protocol) rather than torn batches."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (df.withColumn("_batch_id", F.lit(int(batch_id)))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .parquet(path))
+        finally:
+            spark.conf.set(key, old)
+
+    return write_batch

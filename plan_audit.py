@@ -30,12 +30,14 @@ def main() -> None:
           "actually read from parquet (pruning); joins = physical join "
           "strategies; py = Python execution nodes (Arrow-batched only; "
           "BatchEvalPython is test-banned); oracle = has DuckDB oracle.\n")
-    print("NOTE: `dedup_clusters` executes EAGERLY at construction (its "
-          "convergence loop runs per-round localCheckpoint + count before "
-          "the function returns), so its row below describes only the "
-          "final scan of the checkpointed labels — the real work (one "
-          "shuffle join + aggregate per round) happens during "
-          "construction and is invisible to this static audit.\n")
+    print("NOTE: the driver-loop queries execute EAGERLY at construction "
+          "— `dedup_clusters` / `dedup_keep_best` (label-propagation "
+          "rounds: per-round localCheckpoint + count) and "
+          "`embedding_kmeans` / `semdedup_candidates` (Lloyd iterations: "
+          "per-round K-row collect) — so their rows below describe only "
+          "the final plan over the trained/converged state; the "
+          "iterative work happens during construction and is invisible "
+          "to this static audit.\n")
     print("| query | exch | scan-cols | joins | py | oracle |")
     print("|---|---|---|---|---|---|")
     for name in sorted(queries):

@@ -139,3 +139,39 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert back.filter("day = 2").count() == 10      # replaced
     assert back.filter("day != 2").count() == 75     # untouched (3 × 25)
     assert back.count() == 85
+
+
+def test_incremental_daily_rollup_matches_full_recompute(spark, tmp_path):
+    """The incremental path (watermark-filtered delta + dynamic partition
+    overwrite) must converge to exactly the full-recompute table, and
+    must NOT rewrite partitions older than the watermark."""
+    import os
+
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.sinks.writers import (
+        incremental_daily_rollup,
+    )
+
+    events = load(spark, SF_DIR, "events")
+    path = str(tmp_path / "rollup")
+
+    n_full = incremental_daily_rollup(events, path)  # initial full build
+    assert n_full > 1
+    full = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # pick a mid-corpus watermark date
+    dates = sorted(d[0].isoformat() for d in
+                   spark.read.parquet(path).select("event_date")
+                   .distinct().collect())
+    since = dates[len(dates) // 2]
+    old_dirs = {d: os.path.getmtime(os.path.join(path, d))
+                for d in os.listdir(path) if d.startswith("event_date=")
+                and d < f"event_date={since}"}
+
+    n_inc = incremental_daily_rollup(events, path, since=since)
+    assert 0 < n_inc < n_full
+    # table state identical to the full recompute
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == full
+    # partitions below the watermark were not touched
+    for d, mtime in old_dirs.items():
+        assert os.path.getmtime(os.path.join(path, d)) == mtime

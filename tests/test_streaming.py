@@ -471,3 +471,53 @@ def test_stream_stream_left_outer_emits_expired_views(spark, tmp_path):
     unmatched = [(r["view_id"], r["click_id"]) for r in rows
                  if r["click_id"] is None]
     assert (1, None) in unmatched
+
+
+def test_idempotent_batch_sink_replay_does_not_duplicate(spark, tmp_path):
+    """foreachBatch's contract is at-least-once delivery of each batch;
+    the idempotent sink must turn a batch REPLAY into a no-op overwrite
+    of that batch's own partition, leaving other batches untouched."""
+    from data_pipelines_course_spark.streaming.jobs import (
+        idempotent_batch_sink,
+    )
+
+    path = str(tmp_path / "sink")
+    write_batch = idempotent_batch_sink(path)
+    b0 = spark.range(0, 5).withColumnRenamed("id", "v")
+    b1 = spark.range(100, 103).withColumnRenamed("id", "v")
+
+    write_batch(b0, 0)
+    write_batch(b1, 1)
+    write_batch(b0, 0)  # failure-recovery replay of batch 0
+
+    out = spark.read.parquet(path)
+    got = sorted(r["v"] for r in out.collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+    assert sorted(set(r["_batch_id"] for r in out.collect())) == [0, 1]
+
+
+def test_idempotent_batch_sink_via_stream(spark, tmp_path):
+    """End-to-end: a real availableNow file stream drained through
+    foreachBatch + the idempotent sink lands every input row exactly
+    once."""
+    from data_pipelines_course_spark.streaming.jobs import (
+        file_lines,
+        idempotent_batch_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha\nbeta\n")
+    (src / "b.txt").write_text("gamma\n")
+    path = str(tmp_path / "sink")
+
+    lines = file_lines(spark, str(src))
+    q = (lines.writeStream
+         .foreachBatch(idempotent_batch_sink(path))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(60)
+
+    got = sorted(r["value"] for r in spark.read.parquet(path).collect())
+    assert got == ["alpha", "beta", "gamma"]
