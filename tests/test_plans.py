@@ -381,3 +381,43 @@ def test_unpivot_is_single_pass_expand(spark):
     assert "Expand" in plan
     assert plan.count("Location:") == 1
     assert "Union" not in plan
+
+
+def test_runtime_bloom_filter_injects_when_broadcast_impossible(spark):
+    """The 100 TB fallback story for selective dim joins: when the dim
+    outgrows broadcast (simulated by disabling broadcast), Catalyst's
+    InjectRuntimeFilter builds a bloom filter from the FILTERED creation
+    side and probes it on the fact side before the shuffle — non-matching
+    fact rows are dropped at the scan instead of being shuffled. Assert
+    the rewrite fires under this session's confs (it is sized-gated:
+    the app-side scan threshold is lowered to admit test-scale data)."""
+    from data_pipelines_course_spark.datasets import load
+
+    saved = {}
+    tweaks = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    for k, v in tweaks.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        orders = (load(spark, SF_DIR, "orders")
+                  .filter(F.col("o_orderpriority") == "1-URGENT"))
+        li = load(spark, SF_DIR, "lineitem")
+        j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
