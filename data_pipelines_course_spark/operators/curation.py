@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import ORACLES, query
-from .dedup import _DUCK_WORDS
+from .dedup import _DUCK_GRAMS5, _DUCK_WORDS, _NGRAM_N
 from .sampling import _bucket_sql, hash_bucket
 from .textops import STOP_DE, STOP_EN, STOP_FR, _duck_hits, _spark_hits
 
@@ -275,3 +275,63 @@ def duplicate_ratio_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
         fround(F.lit(1.0) - F.countDistinct(F.md5("text")).cast("double")
                / F.count(F.lit(1)), 4).alias("dup_ratio"))
+
+
+@query(
+    "corpus_curation_full",
+    oracle=f"""
+    WITH kept AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 10 <> 0
+          AND len(string_split_regex(trim(text), '\\s+')) >= {_MIN_TOKENS}
+          AND {_duck_hits(STOP_EN)} > 0
+    ),
+    reps AS (
+        SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM kept GROUP BY md5(text)
+    ),
+    g AS (
+        SELECT doc_id, unnest({_DUCK_GRAMS5}) AS gram
+        FROM documents WHERE len({_DUCK_WORDS}) >= {_NGRAM_N}
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 10 <> 0
+    )
+    SELECT r.doc_id, r.dup_count,
+           CASE WHEN {_bucket_sql('r.doc_id')} < 10
+                THEN 'eval' ELSE 'train' END AS split
+    FROM reps r
+    WHERE r.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data pipeline over the raw corpus, one lazy
+    plan: quality filter → exact dedup (canonical rep per content hash)
+    → benchmark decontamination (drop any surviving doc sharing a 5-gram
+    with the held-out bench split) → stable train/eval assignment.
+
+    Plan shape: the curation branch is scan → codegen filter → one
+    md5-hash shuffle; the decontamination branch re-derives the gram
+    table (documents scanned once more per side — the price of gram
+    semantics differing from content-hash semantics) but its bench gram
+    set broadcasts and the contaminated-id set is tiny, so the final
+    LEFT ANTI lands as a broadcast join under AQE. At 100 TB the only
+    unavoidable corpus shuffles remain the content-hash groupBy and the
+    per-doc gram count — everything else is map-side."""
+    from .dedup import _GRAMS5_OF_W, _widen, _WORDS
+
+    docs = load(spark, sf_dir, "documents")
+    curated = curate(docs.filter(F.col("doc_id") % 10 != 0))
+    grams = (_widen(docs)
+             .select("doc_id", F.expr(_WORDS).alias("w"))
+             .filter(F.size("w") >= _NGRAM_N)
+             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
+    bench_g = (grams.filter(F.col("doc_id") % 10 == 0)
+               .select(F.xxhash64("gram").alias("gh")).distinct())
+    contaminated = (grams.filter(F.col("doc_id") % 10 != 0)
+                    .select("doc_id", F.xxhash64("gram").alias("gh"))
+                    .join(F.broadcast(bench_g), "gh")
+                    .select("doc_id").distinct())
+    return curated.join(contaminated, "doc_id", "left_anti")

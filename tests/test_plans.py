@@ -421,3 +421,15 @@ def test_runtime_bloom_filter_injects_when_broadcast_impossible(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_curation_full_anti_join_is_broadcast(spark):
+    """The decontamination stage must not shuffle the curated corpus:
+    the contaminated-id set is tiny (bench gram hits), so the LEFT ANTI
+    join lands as a broadcast hash join, and the quality filter still
+    evaluates at the scan of the curation branch."""
+    df = QUERIES["corpus_curation_full"](spark, SF_DIR)
+    strategies = pa.join_strategies(df)
+    assert any("BroadcastHashJoin" in s for s in strategies), strategies
+    # no sort-merge join anywhere: nothing in this pipeline needs one
+    assert not any("SortMergeJoin" in s for s in strategies), strategies
