@@ -140,3 +140,76 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         *[F.coalesce(F.col(s), F.lit(0)).alias(f"status_{s}")
           for s in _STATUSES])
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map applyInPandas: per-user click→purchase conversion lag.
+# The one UDF family the registry did not yet exercise: TWO tables
+# co-partitioned on the same key, each group pair handed to pandas
+# together. The imperative core is pd.merge_asof — the per-group as-of
+# match that operators/temporal.py expresses natively for the global
+# case; here it runs inside the cogroup to showcase the API on semantics
+# (nearest-preceding match + per-user reduction) pandas states naturally.
+# ---------------------------------------------------------------------------
+
+@query(
+    "cogroup_conversion_lag",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    matched AS (
+        SELECT p.user_id, p.event_id, p.ts, max(c.ts) AS click_ts
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, count(*) AS n_conv,
+           {fround_sql("avg(date_diff('microsecond', click_ts, ts)"
+                       " / 1000000.0)", 3)} AS avg_lag_s
+    FROM matched GROUP BY user_id
+    """,
+)
+def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user average seconds between each purchase and the latest
+    preceding click (purchases with no prior click are not conversions).
+
+    Scale design: cogroup shuffles BOTH event slices once on user_id and
+    streams each (clicks, purchases) group pair through Arrow; state is
+    bounded by the largest single user (the event_funnel bot caveat
+    applies — a 10^7-event user needs pre-capping). The oracle states the
+    same nearest-preceding-click match as an inequality join + argmax;
+    the pandas side is merge_asof over the two sorted group frames —
+    identical semantics, linear per group instead of quadratic."""
+    import pandas as pd
+
+    events = load(spark, sf_dir, "events")
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", "ts"))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "event_id", "ts"))
+
+    empty = {"user_id": [], "n_conv": [], "avg_lag_s": []}
+
+    def lag_stats(clicks_pdf: "pd.DataFrame",
+                  purch_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        if purch_pdf.empty or clicks_pdf.empty:
+            return pd.DataFrame(empty)
+        cl = clicks_pdf[["ts"]].sort_values("ts")
+        cl["click_ts"] = cl["ts"]
+        m = (pd.merge_asof(purch_pdf.sort_values("ts"), cl,
+                           on="ts", direction="backward")
+             .dropna(subset=["click_ts"]))
+        if m.empty:
+            return pd.DataFrame(empty)
+        avg = float((m["ts"] - m["click_ts"]).dt.total_seconds().mean())
+        return pd.DataFrame({"user_id": [purch_pdf["user_id"].iloc[0]],
+                             "n_conv": [len(m)],
+                             "avg_lag_s": [math.floor(avg * 1000 + 0.5)
+                                           / 1000]})
+
+    return (clicks.groupBy("user_id")
+            .cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(lag_stats,
+                           "user_id bigint, n_conv bigint, avg_lag_s double"))
