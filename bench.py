@@ -71,6 +71,16 @@ EXTRA = (
     "tpch_q21_waiting_suppliers",
     "pii_redaction",
     "boilerplate_ngrams",
+    # late-r3 additions. embedding_kmeans / semdedup_candidates are
+    # EXCLUDED on purpose: they train eagerly at query construction
+    # (driver-loop Lloyd iterations), so a cold/warm split here would
+    # mis-attribute the training cost — their wall-clock lives in
+    # NOTES_r03.md instead.
+    "decontaminate_ngram_hit",
+    "dedup_keep_best",
+    "corpus_curation_full",
+    "cogroup_conversion_lag",
+    "conversion_lag_native",  # JVM twin of the cogroup exemplar (same oracle)
 )
 
 
