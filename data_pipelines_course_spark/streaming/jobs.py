@@ -367,3 +367,37 @@ def idempotent_batch_sink(path: str):
             spark.conf.set(key, old)
 
     return write_batch
+
+
+def rollup_maintenance_sink(rollup_path: str):
+    """foreachBatch function that keeps the daily rollup table current as
+    event micro-batches arrive, composing the two sink primitives into an
+    exactly-once pipeline:
+
+    1. the raw batch lands in an event log via idempotent_batch_sink —
+       a REPLAYED batch overwrites its own `_batch_id=` partition, so
+       the log never holds duplicates;
+    2. only the date partitions this batch touches are recomputed from
+       the full log via incremental_daily_rollup (dynamic partition
+       overwrite) — dates older than the batch's minimum are untouched.
+
+    Streaming ingest and the batch incremental ETL therefore converge on
+    the same table contract, and a failure/replay at any point re-runs
+    into identical state. At 100 TB both steps stay partition-granular:
+    the log write is one batch, the recompute reads only the in-flight
+    dates' slice of the log (date-partitioning the log turns that into
+    partition pruning)."""
+    from ..sinks.writers import incremental_daily_rollup
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        log_path = rollup_path + "_events"
+        idempotent_batch_sink(log_path)(batch_df, batch_id)
+        since = batch_df.select(F.min(F.to_date("ts"))).head()[0]
+        log = spark.read.parquet(log_path).drop("_batch_id")
+        incremental_daily_rollup(log, rollup_path,
+                                 since=since.isoformat())
+
+    return update

@@ -521,3 +521,76 @@ def test_idempotent_batch_sink_via_stream(spark, tmp_path):
 
     got = sorted(r["value"] for r in spark.read.parquet(path).collect())
     assert got == ["alpha", "beta", "gamma"]
+
+
+def test_rollup_maintenance_stream_matches_batch(spark, tmp_path):
+    """Drain the events table through a file stream + foreachBatch
+    rollup maintenance; the resulting rollup table must equal the
+    one-shot batch incremental_daily_rollup over the same events."""
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.sinks.writers import (
+        incremental_daily_rollup,
+    )
+    from data_pipelines_course_spark.streaming.jobs import (
+        rollup_maintenance_sink,
+    )
+    from .conftest import SF_DIR
+
+    events = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    # several files => several micro-batches with maxFilesPerTrigger
+    events.repartition(4).write.parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    rollup = str(tmp_path / "rollup")
+    q = (stream.writeStream
+         .foreachBatch(rollup_maintenance_sink(rollup))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    q.awaitTermination(180)
+
+    batch_rollup = str(tmp_path / "batch_rollup")
+    incremental_daily_rollup(events, batch_rollup)
+    # keys and counts must match exactly; sum_value only to 1e-6 — the
+    # two paths sum doubles in different partition orders (event-log
+    # file layout vs one-pass scan), which legitimately differs in ulps
+    got = {(r["event_date"], r["event_type"]): r
+           for r in spark.read.parquet(rollup).collect()}
+    want = {(r["event_date"], r["event_type"]): r
+            for r in spark.read.parquet(batch_rollup).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 1e-6
+
+
+def test_rollup_maintenance_replay_is_exactly_once(spark, tmp_path):
+    """Replaying a batch through the maintenance sink must leave the
+    rollup identical: the event log is idempotent per batch id, so the
+    recompute sees each event once no matter how often a batch retries."""
+    from pyspark.sql import functions as F
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.streaming.jobs import (
+        rollup_maintenance_sink,
+    )
+    from .conftest import SF_DIR
+
+    events = load(spark, SF_DIR, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    rollup = str(tmp_path / "rollup")
+    update = rollup_maintenance_sink(rollup)
+
+    update(b0, 0)
+    update(b1, 1)
+    before = {(r["event_date"], r["event_type"]): (r["n_events"], r["sum_value"])
+              for r in spark.read.parquet(rollup).collect()}
+    update(b0, 0)  # failure-recovery replay
+    after = {(r["event_date"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in spark.read.parquet(rollup).collect()}
+    assert before.keys() == after.keys()
+    for k in before:
+        assert before[k][0] == after[k][0]
+        assert abs(before[k][1] - after[k][1]) < 1e-6
