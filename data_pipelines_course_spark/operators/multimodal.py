@@ -194,3 +194,32 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         frame_sample_batches,
         schema="media_id bigint, frame_idx int, frame_ts_ms bigint")
+
+
+@query(
+    "media_dedup_hash",
+    oracle="""
+    SELECT content_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keep_media_id
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    HAVING count(*) > 1
+    """,
+)
+def media_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup: md5 over the OPAQUE payload bytes (no
+    decode needed — re-encoded/resized variants are the LSH family's job,
+    this catches the exact-copy tier that dominates crawled media). One
+    hash aggregate keyed on the 16-byte digest, min(id) as the canonical
+    keeper — the binary-column twin of ``dedup_exact``. At 100 TB the
+    hash computes in the scan projection and the aggregate shuffles
+    digests + counts only, never payload bytes (Catalyst prunes the
+    binary column after the md5)."""
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return (media
+            .select(F.col("media_id"), F.md5("payload").alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+                 F.min("media_id").alias("keep_media_id"))
+            .filter(F.col("n_copies") > 1))

@@ -1,0 +1,202 @@
+"""Corpus quality gates and memorization-risk reports for training data.
+
+Three curation signals that real LLM-data pipelines run before training,
+each one scan-shaped and oracle-checkable:
+
+- ``gopher_quality_flags`` — the rule-based document filter popularized by
+  Gopher/MassiveText (word-count bounds, mean-word-length bounds, minimum
+  stopword evidence). All thresholds are evaluated in INTEGER arithmetic
+  (``3*n <= sum_len`` instead of ``sum_len/n >= 3.0``) so the keep/drop
+  decision is bit-identical across engines — a float division at the
+  boundary could flip a flag between Spark and the oracle.
+- ``unigram_logprob_score`` — a corpus-self-trained unigram language
+  model scoring every document by mean token log-probability (the CCNet
+  move of ranking documents by LM perplexity, collapsed to order-0). Rare
+  -token gibberish scores low; boilerplate scores high.
+- ``ngram_novelty_report`` — per-document fraction of distinct 5-grams
+  that occur in NO other document. Low novelty = heavily duplicated
+  content (memorization risk); the per-doc complement of the corpus-wide
+  ``duplicate_ratio_report``.
+
+Reference lineage: the course's quality gates are row-level filters in
+the Dask/pandas notebooks (dask-pipeline/Dask-Pipeline.ipynb: dropna/
+str-length masks); these queries are the at-scale generalization of that
+"filter before you aggregate" stage.
+
+Scale notes: every query is one documents scan plus hash aggregates on
+bounded keys (token / 5-gram vocabularies grow sublinearly in corpus
+size). The unigram join keys on the token string — Zipf-skewed, but the
+count table is vocabulary-sized and AQE picks a broadcast at any
+realistic vocab/corpus ratio; no hint is hard-coded (VERDICT r2 rule:
+hints only on fixed-cardinality sides). Token arrays are STAGED through
+a projection before any lambda touches them (the measured O(tokens²)
+re-split trap documented in dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..functions.scalar import fround, fround_sql
+from ..queries import query
+from .dedup import _DUCK_WORDS, _GRAMS5_OF_W, _DUCK_GRAMS5
+
+# Gopher-style thresholds, integer-exact on both engines.
+MIN_WORDS, MAX_WORDS = 10, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3, 10  # mean chars/word bounds
+MIN_STOP_HITS = 2                   # "contains at least 2 stopwords"
+
+_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is")
+
+_SPARK_WORDS = "split(lower(trim(text)), '\\\\s+')"
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    SELECT doc_id, n_words,
+           {fround_sql('CAST(sum_len AS DOUBLE) / n_words', 4)}
+               AS mean_word_len,
+           stop_hits,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+            AND {MIN_MEAN_LEN} * n_words <= sum_len
+            AND sum_len <= {MAX_MEAN_LEN} * n_words
+            AND stop_hits >= {MIN_STOP_HITS}) AS keep
+    FROM (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(w, x -> x IN
+                    {tuple(_STOPWORDS)!r})) AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents))
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText rule-based document filter: word-count bounds,
+    mean-word-length bounds, minimum stopword evidence, and the combined
+    keep decision. Pure HOF expressions over ONE staged token array —
+    zero shuffles, zero Python; the whole query is a map over the scan
+    and at 100 TB runs at parquet-read speed. Thresholds compare in
+    integer space (``3*n <= sum_len``) so keep/drop never depends on
+    float rounding."""
+    docs = load(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    staged = docs.select(
+        "doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    stats = staged.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+            .alias("sum_len"),
+        F.expr(f"size(filter(w, x -> x IN ({stops})))")
+            .cast("bigint").alias("stop_hits"),
+    )
+    keep = (F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+            & (F.lit(MIN_MEAN_LEN) * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= F.lit(MAX_MEAN_LEN) * F.col("n_words"))
+            & (F.col("stop_hits") >= MIN_STOP_HITS))
+    return stats.select(
+        "doc_id", "n_words",
+        fround(F.col("sum_len").cast("double") / F.col("n_words"), 4)
+            .alias("mean_word_len"),
+        "stop_hits", keep.alias("keep"))
+
+
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts)
+    SELECT doc_id,
+           {fround_sql('avg(ln(c) - ln(t))', 4)} AS avg_logprob
+    FROM toks JOIN counts USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-0 LM quality score: mean ln p(token) per document under the
+    corpus's own unigram distribution (CCNet's perplexity ranking with
+    the model collapsed to unigrams — no external LM needed).
+
+    Plan (the oracle's join-on-every-token-instance is the spec; this is
+    the 100 TB shape): the scoring join attaches vocab counts to token
+    instances WITHOUT shuffling the corpus — the count table is
+    vocabulary-sized (sublinear in corpus), so AQE broadcasts it; a
+    window `count() over (partition by token)` would instead shuffle
+    every token instance on a Zipf-skewed key ("the" lands in one task).
+    avg(ln c − ln T) is decomposed as sum(ln c)/n − ln(T) so the corpus
+    total T comes from a LIGHT third branch (sum of array sizes — no
+    explode, no token shuffle, 1-row broadcast) instead of a second
+    explode→aggregate chain; identical to 4 decimals. The per-doc
+    aggregate is the only corpus-sized shuffle, keyed on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr(_SPARK_WORDS)).alias("token"))
+    counts = (toks.groupBy("token")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    total = docs.select(F.expr(_SPARK_WORDS).alias("w")).agg(
+        F.sum(F.size("w")).cast("double").alias("t"))
+    per_doc = (toks.join(counts, "token")
+               .groupBy("doc_id")
+               .agg(F.sum(F.log("c")).alias("sum_ln_c"),
+                    F.count(F.lit(1)).cast("double").alias("n")))
+    return (per_doc.crossJoin(F.broadcast(total))
+            .select("doc_id",
+                    fround(F.col("sum_ln_c") / F.col("n") - F.log("t"), 4)
+                    .alias("avg_logprob")))
+
+
+@query(
+    "ngram_novelty_report",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, unnest(g) AS gram
+        FROM (SELECT doc_id, {_DUCK_GRAMS5} AS g
+              FROM documents
+              WHERE len({_DUCK_WORDS}) >= 5)),
+    gram_docs AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+        FROM grams GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(*) FILTER (WHERE n_docs = 1) AS BIGINT)
+               AS novel_grams,
+           {fround_sql(
+               'CAST(count(*) FILTER (WHERE n_docs = 1) AS DOUBLE)'
+               ' / count(*)', 4)} AS novelty
+    FROM grams JOIN gram_docs USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization risk: the fraction of a document's
+    distinct 5-grams found in no other document (grams are distinct per
+    doc, so corpus occurrence count == document count). Low novelty =
+    near-duplicate of something else in the corpus — the per-doc view
+    of ``duplicate_ratio_report``. Plan: grams staged as an array and
+    exploded ONCE into both the gram-frequency aggregate and the
+    scoring join; the gram table is n-gram-vocabulary-sized, join left
+    to AQE (no hint — it outgrows broadcast at 100 TB and lands as a
+    shuffle join co-keyed with nothing, the unavoidable exchange of any
+    global-frequency attribution)."""
+    docs = load(spark, sf_dir, "documents")
+    grams = (docs
+             .select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+             .filter(F.size("w") >= 5)
+             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
+    gram_docs = (grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("bigint")
+    n_grams = F.count(F.lit(1)).cast("bigint")
+    return (grams.join(gram_docs, "gram")
+            .groupBy("doc_id")
+            .agg(n_grams.alias("n_grams"),
+                 novel.alias("novel_grams"),
+                 fround(novel.cast("double") / n_grams, 4).alias("novelty")))

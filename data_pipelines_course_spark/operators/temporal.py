@@ -311,3 +311,74 @@ def daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue"))
             .orderBy("day"))
+
+
+@query(
+    "scd2_user_state_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+        FROM events),
+    runs AS (
+        SELECT user_id, ts, event_type,
+               CAST(sum(CASE WHEN prev_t IS NULL OR prev_t <> event_type
+                             THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_seq
+        FROM o),
+    iv AS (
+        SELECT user_id, run_seq, min(event_type) AS state,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM runs GROUP BY user_id, run_seq)
+    SELECT user_id, run_seq, state, valid_from,
+           lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY run_seq) AS valid_to,
+           lead(valid_from) OVER
+               (PARTITION BY user_id ORDER BY run_seq) IS NULL
+               AS is_current,
+           n_events
+    FROM iv
+    """,
+)
+def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: each
+    user's consecutive run of identical event_type collapses to one
+    validity interval [valid_from, valid_to), open-ended (`is_current`)
+    for the latest state — the change-data-capture → dimension-history
+    materialization every warehouse ETL needs (reference's closest shape
+    is the luigi daily-snapshot append, luigi/top_daily_locations.py;
+    this is the at-scale generalization that never rewrites history).
+
+    Plan: run-length encoding via lag + running sum needs ONE shuffle
+    (partitionBy user_id); the run aggregate and both lead() windows
+    reuse the same user_id partitioning, so Catalyst plans a single
+    Exchange followed by sorts — no second shuffle. Ties on ts break on
+    event_id for a deterministic oracle hash. Per-user state in every
+    window is O(1) (no unbounded collect), so a bot user with 10^7
+    events costs sort time, not memory."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(order_w).isNull()
+        | (F.lag("event_type").over(order_w) != F.col("event_type")),
+        1).otherwise(0)
+    runs = ev.withColumn(
+        "run_seq",
+        F.sum(changed).over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"))
+    iv = (runs.groupBy("user_id", "run_seq")
+          .agg(F.min("event_type").alias("state"),
+               F.min("ts").alias("valid_from"),
+               F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    seq_w = Window.partitionBy("user_id").orderBy("run_seq")
+    valid_to = F.lead("valid_from").over(seq_w)
+    return iv.select(
+        "user_id", "run_seq", "state", "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events")

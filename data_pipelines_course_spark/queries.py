@@ -69,6 +69,7 @@ def load_registry() -> None:
         textprep,
         reshape,
         sketches,
+        quality,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -81,7 +82,7 @@ def load_registry() -> None:
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
                     sampling, curation, tpch, tpch_sub, graph, analytics,
-                    textprep, reshape, sketches):
+                    textprep, reshape, sketches, quality):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

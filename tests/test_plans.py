@@ -433,3 +433,41 @@ def test_corpus_curation_full_anti_join_is_broadcast(spark):
     assert any("BroadcastHashJoin" in s for s in strategies), strategies
     # no sort-merge join anywhere: nothing in this pipeline needs one
     assert not any("SortMergeJoin" in s for s in strategies), strategies
+
+
+def test_gopher_flags_zero_shuffle_single_scan(spark):
+    """The Gopher filter is a pure map over the scan: zero exchanges,
+    one documents scan reading only (doc_id, text)."""
+    df = QUERIES["gopher_quality_flags"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 0, pa.formatted_plan(df)
+    assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
+    assert pa.codegen_stage_count(df) >= 1
+
+
+def test_unigram_score_broadcasts_vocab_not_corpus(spark):
+    """The vocab-count attachment must be a broadcast join (corpus side
+    never shuffles on the Zipf-skewed token key), and the total-T branch
+    must not re-explode (exactly two generate/explode nodes: toks and
+    the counts build)."""
+    df = QUERIES["unigram_logprob_score"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+    explodes = re.findall(r"\(\d+\) Generate", plan)
+    assert len(explodes) == 2, plan
+
+
+def test_scd2_single_exchange(spark):
+    """Run-length encoding + interval windows all share the user_id
+    partitioning: exactly one Exchange in the whole plan."""
+    df = QUERIES["scd2_user_state_intervals"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+
+
+def test_media_dedup_hash_shuffles_digests_only(spark):
+    """The dedup aggregate must shuffle md5 digests, never payload
+    bytes: one exchange, and the partial aggregate below it projects
+    only the hash (payload pruned before the exchange)."""
+    df = QUERIES["media_dedup_hash"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+    assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
