@@ -202,3 +202,10 @@ def incremental_daily_rollup(events: DataFrame, rollup_path: str,
     finally:
         spark.conf.set(key, old)
         daily.unpersist()
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row",
+              mode: str = "overwrite") -> None:
+    """XML twin of write_csv for feed-style exports (see
+    sources.readers.read_xml; Spark-4 native)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)

@@ -141,3 +141,31 @@ def synthetic_timeseries(spark: SparkSession, start: str, days: int,
                                F.col("id").cast("int")).alias("date"),
                     F.randn(seed).alias("a"),
                     (F.rand(seed) * 1000).cast("long").alias("b")))
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row",
+             schema: T.StructType | None = None) -> DataFrame:
+    """XML scan — source-format breadth for the feeds the reference's
+    REST/CSV world doesn't cover (sitemaps, RSS/Atom, SOAP exports,
+    Wikipedia dumps — the classic crawl-adjacent corpus formats).
+    Built into Spark 4 (SPARK-44265, the Databricks spark-xml donation):
+    each `row_tag` element becomes a row, attributes surface as
+    `_attr` columns, and schema inference works like JSON. Pass an
+    explicit schema in production — inference reads the data twice,
+    the same rule the CSV readers here follow."""
+    configure(spark)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def xml_column_extract(df: DataFrame, col: str, schema_ddl: str) -> DataFrame:
+    """Parse an embedded-XML string column into a typed struct with
+    `from_xml` (the F17 JSON-parse shape for XML payloads): stays fully
+    JVM-side, so a million-row column of XML fragments never touches
+    Python. Malformed fragments yield null structs — the quarantine
+    pattern (P4) applies downstream unchanged."""
+    from pyspark.sql import functions as F
+    return df.withColumn(f"{col}_parsed",
+                         F.expr(f"from_xml({col}, '{schema_ddl}')"))

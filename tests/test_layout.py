@@ -87,3 +87,60 @@ def test_bucketed_agg_on_bucket_key_has_no_exchange(bucketed_tables,
     agg = spark.table(li_b).groupBy("l_orderkey").agg(
         F.sum("l_quantity").alias("qty"))
     assert exchange_count(agg) == 0, formatted_plan(agg)
+
+
+def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
+    """The Morton layout's promise, measured on the actual parquet
+    footers: after zorder_layout(orders, o_custkey, o_orderkey) every
+    file's min/max span is narrow on BOTH columns, while a linear sort
+    on o_custkey leaves o_orderkey spans at ~full range (no skipping
+    possible for o_orderkey predicates)."""
+    import glob
+    import pyarrow.parquet as pq
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.plans.layout import zorder_layout
+
+    orders = load(spark, "/root/testdata/sf0.01", "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_layout(orders, zpath, "o_custkey", "o_orderkey", num_files=16)
+    (orders.repartitionByRange(16, "o_custkey")
+     .sortWithinPartitions("o_custkey").write.parquet(lpath))
+
+    def spans(path):
+        """MEAN normalized min/max span per file and column — the
+        expected fraction of files a point predicate must read. (Max
+        span is the wrong statistic: a single file straddling a major
+        Morton quadrant boundary legitimately spans ~full range in one
+        dim without hurting aggregate skipping.)"""
+        cols = ("o_custkey", "o_orderkey")
+        per_file = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name
+                     for i in range(len(md.schema.to_arrow_schema()))]
+            fmin, fmax = {}, {}
+            for rg in range(md.num_row_groups):
+                for i, name in enumerate(names):
+                    st = md.row_group(rg).column(i).statistics
+                    if name in cols:
+                        fmin[name] = min(fmin.get(name, st.min), st.min)
+                        fmax[name] = max(fmax.get(name, st.max), st.max)
+            per_file.append((fmin, fmax))
+        out = {}
+        for c in cols:
+            gmin = min(f[0][c] for f in per_file)
+            gmax = max(f[1][c] for f in per_file)
+            ss = [(f[1][c] - f[0][c]) / (gmax - gmin) for f in per_file]
+            out[c] = sum(ss) / len(ss)
+        return out
+
+    zs, ls = spans(zpath), spans(lpath)
+    # Linear sort: near-perfect on the sort column, useless on the other
+    # (measured 0.06 / 1.00 on this corpus).
+    assert ls["o_custkey"] <= 0.15, ls
+    assert ls["o_orderkey"] >= 0.80, ls
+    # Z-order: BOTH columns' mean file span well below full range
+    # (measured 0.30 / 0.39) — row-group skipping fires on either.
+    assert zs["o_custkey"] <= 0.55, zs
+    assert zs["o_orderkey"] <= 0.55, zs

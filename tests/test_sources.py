@@ -119,3 +119,31 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     filtered = back.filter(F.col("n_regionkey") == 0).select("n_name")
     assert "n_regionkey" in " ".join(pa.pushed_filters(filtered))
     assert filtered.count() == nation.filter("n_regionkey = 0").count()
+
+
+def test_xml_roundtrip_and_embedded_extract(spark, tmp_path):
+    """XML write → read preserves values and types where XML can
+    (attributes/elements inferred); from_xml parses embedded fragments
+    JVM-side with null-on-malformed quarantine semantics."""
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.sinks.writers import write_xml
+    from data_pipelines_course_spark.sources.readers import (
+        read_xml, xml_column_extract)
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nation_xml")
+    nation = load(spark, "/root/testdata/sf0.01", "nation")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(spark, path, row_tag="nation")
+    assert back.count() == 25
+    assert (sorted(back.select("n_nationkey", "n_name").collect())
+            == sorted(nation.select("n_nationkey", "n_name").collect()))
+
+    frags = spark.createDataFrame(
+        [(1, "<r><qty>7</qty><who>ann</who></r>"),
+         (2, "not xml at all")],
+        "id int, payload string")
+    parsed = xml_column_extract(frags, "payload", "qty INT, who STRING")
+    rows = {r["id"]: r["payload_parsed"] for r in parsed.collect()}
+    assert rows[1]["qty"] == 7 and rows[1]["who"] == "ann"
+    assert rows[2] is None or rows[2]["qty"] is None  # malformed -> null
