@@ -1,0 +1,160 @@
+"""Data-quality auditing: snapshot diffing and table profiling.
+
+Two warehouse-operations surfaces every production pipeline grows:
+
+- ``snapshot_diff`` — classify rows as added / removed / changed between
+  two snapshots of a keyed table (the data-diff that gates a backfill
+  deploy: "this rewrite changed 0.3% of rows, all in column X"). The
+  reference's closest shape is luigi's re-read-what-you-wrote target
+  verification (`luigi/top_daily_locations.py`); diffing generalizes it
+  from "did the write land" to "what exactly changed".
+- ``table_profile`` — per-column null and distinct counts in one pass
+  (the reference profiles interactively with pandas `.describe()` in its
+  EDA notebooks; this is the distributed equivalent).
+
+Scale notes: the diff is ONE full-outer sort-merge join on the snapshot
+key — both sides shuffle once on the key, no other corpus-sized stage;
+at 100 TB this is the minimal possible plan for an unordered diff (any
+content-addressed scheme still reads both sides fully). The profile's
+exact count(distinct) per column expands rows ×(#profiled columns)
+before the aggregate (Spark's Expand); the documented at-scale swap is
+approx_count_distinct, which drops the expansion to a constant-memory
+sketch per column — exact kept here as the oracle ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..datasets import load
+from ..queries import query
+
+
+def snapshot_diff(base: DataFrame, nxt: DataFrame, key: str,
+                  compare_cols: list[str]) -> DataFrame:
+    """Keyed diff of two snapshots → (key, change_type) for every row
+    that is not identical: 'added' (key only in nxt), 'removed' (key
+    only in base), 'changed' (key in both, any compare column differs,
+    null-safe). One full-outer join on the key; comparison stays
+    columnar (no row-serialization hash, which would be engine- and
+    format-sensitive)."""
+    b = base.select(key, *compare_cols)
+    n = nxt.select(key, *compare_cols)
+    joined = b.alias("b").join(n.alias("n"), on=F.col(f"b.{key}") ==
+                               F.col(f"n.{key}"), how="full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"n.{c}"))
+    return (joined.select(
+        F.coalesce(F.col(f"b.{key}"), F.col(f"n.{key}")).alias(key),
+        F.when(F.col(f"b.{key}").isNull(), F.lit("added"))
+         .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+         .when(changed, F.lit("changed"))
+         .otherwise(F.lit("unchanged")).alias("change_type"))
+        .filter(F.col("change_type") != "unchanged"))
+
+
+# Deterministic simulated "next" snapshot of orders, identical on both
+# engines: ~5% of keys deleted, ~14% repriced, ~7.7% re-keyed as inserts.
+_DEL, _UPD, _ADD = 20, 7, 13
+_ADD_OFFSET = 10_000_000
+
+
+def _simulate_next(orders: DataFrame) -> DataFrame:
+    kept = (orders.filter(F.col("o_orderkey") % _DEL != 0)
+            .withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % _UPD == 3,
+                       F.col("o_totalprice") * 1.1)
+                .otherwise(F.col("o_totalprice"))))
+    added = (orders.filter(F.col("o_orderkey") % _ADD == 5)
+             .withColumn("o_orderkey",
+                         F.col("o_orderkey") + _ADD_OFFSET))
+    return kept.unionByName(added)
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH nxt AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % {_UPD} = 3
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END
+                   AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % {_DEL} <> 0
+        UNION ALL
+        SELECT o_orderkey + {_ADD_OFFSET}, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % {_ADD} = 5),
+    b AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders)
+    SELECT coalesce(b.o_orderkey, nxt.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                WHEN nxt.o_orderkey IS NULL THEN 'removed'
+                WHEN b.o_totalprice IS DISTINCT FROM nxt.o_totalprice
+                     OR b.o_orderstatus IS DISTINCT FROM nxt.o_orderstatus
+                    THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM b FULL OUTER JOIN nxt ON b.o_orderkey = nxt.o_orderkey
+    WHERE CASE WHEN b.o_orderkey IS NULL THEN 'added'
+               WHEN nxt.o_orderkey IS NULL THEN 'removed'
+               WHEN b.o_totalprice IS DISTINCT FROM nxt.o_totalprice
+                    OR b.o_orderstatus IS DISTINCT FROM nxt.o_orderstatus
+                   THEN 'changed'
+               ELSE 'unchanged' END <> 'unchanged'
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff the orders table against a deterministic simulated rewrite
+    (5% deletes, 14% reprices, 7.7% inserts): every non-identical key
+    classified added/removed/changed. The float reprice (*1.1) is IEEE-
+    identical on both engines, so 'changed' is exact, not tolerance-
+    based."""
+    orders = load(spark, sf_dir, "orders")
+    return snapshot_diff(orders, _simulate_next(orders), "o_orderkey",
+                         ["o_totalprice", "o_orderstatus"])
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+               AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT)
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (null count + exact distinct count per
+    column) over orders, unpivoted to a (column_name, n_nulls,
+    n_distinct) report. Spark plans the multi-distinct aggregate as one
+    scan with an Expand (×4 rows pre-aggregate); the oracle's 4-scan
+    UNION is the spec. At 100 TB swap count(distinct) for
+    approx_count_distinct and the Expand disappears into per-column HLL
+    sketches — same report schema, documented error bound."""
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    agg = orders.agg(*(
+        [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint")
+         .alias(f"{c}__nulls") for c in cols]
+        + [F.countDistinct(c).cast("bigint").alias(f"{c}__distinct")
+           for c in cols]))
+    stack = ", ".join(f"'{c}', {c}__nulls, {c}__distinct" for c in cols)
+    return agg.select(F.expr(
+        f"stack({len(cols)}, {stack}) "
+        "AS (column_name, n_nulls, n_distinct)"))

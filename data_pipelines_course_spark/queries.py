@@ -70,6 +70,7 @@ def load_registry() -> None:
         reshape,
         sketches,
         quality,
+        audit,
     )
     # The verify driver imports this package from /root/repo but spawns
     # Python workers whose sys.path may not include it. Functions shipped
@@ -82,7 +83,7 @@ def load_registry() -> None:
         for mod in (relational, windows, nested, textops, dedup,
                     similarity, multimodal, temporal, grouped, skew,
                     sampling, curation, tpch, tpch_sub, graph, analytics,
-                    textprep, reshape, sketches, quality):
+                    textprep, reshape, sketches, quality, audit):
             cloudpickle.register_pickle_by_value(mod)
     except Exception:
         pass  # older cloudpickle: UDF bodies are closure-only there

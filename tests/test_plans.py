@@ -471,3 +471,24 @@ def test_media_dedup_hash_shuffles_digests_only(spark):
     df = QUERIES["media_dedup_hash"](spark, SF_DIR)
     assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
     assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
+
+
+def test_snapshot_diff_single_join_no_extra_shuffle(spark):
+    """The keyed diff is exactly one full-outer join (both sides
+    exchange once on the key) — no row-serialization hash stage, no
+    second corpus pass."""
+    df = QUERIES["snapshot_diff_orders"](spark, SF_DIR)
+    import re
+    plan = pa.formatted_plan(df)
+    # one join NODE (formatted plans list each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", plan)) == 1, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_table_profile_one_scan_expand(spark):
+    """The multi-distinct profile is ONE orders scan with an Expand —
+    not the oracle's 4-scan UNION."""
+    df = QUERIES["table_profile_orders"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert plan.count("Location:") == 1, plan
+    assert "Expand" in plan, plan
