@@ -81,6 +81,14 @@ EXTRA = (
     "corpus_curation_full",
     "cogroup_conversion_lag",
     "conversion_lag_native",  # JVM twin of the cogroup exemplar (same oracle)
+    # quality/audit family (late r3)
+    "gopher_quality_flags",
+    "unigram_logprob_score",
+    "ngram_novelty_report",
+    "scd2_user_state_intervals",
+    "snapshot_diff_orders",
+    "table_profile_orders",
+    "media_dedup_hash",
 )
 
 
