@@ -89,6 +89,7 @@ EXTRA = (
     "snapshot_diff_orders",
     "table_profile_orders",
     "media_dedup_hash",
+    "pq_topk",
 )
 
 
