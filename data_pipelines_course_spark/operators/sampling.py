@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..datasets import load
+from ..functions.scalar import fround, fround_sql
 from ..queries import query
 
 BUCKETS = 100
@@ -158,3 +159,32 @@ def mixture_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                            rates={"purchase": 100, "click": 20},
                            default_pct=5)
             .select("event_id", "event_type"))
+
+
+@query(
+    "weighted_sample_docs",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           {fround_sql('ln((' + _bucket_sql('doc_id', 65536)
+                       + ' + 0.5) / 65536.0) / n_chars', 6)} AS es_key
+    FROM documents
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis, IPL 2006): each doc gets key u^(1/w) — here the monotone-
+    equivalent ln(u)/w with weight w = n_chars and u derived from the
+    md5 bucket ((b+0.5)/65536, never 0) — and the sample is the top-k by
+    key. Long documents are proportionally likelier, yet the draw is a
+    pure function of doc_id: re-runs, repartitions and engines agree
+    row-for-row (a seeded rand() would not survive any of those). One
+    scan + TakeOrderedAndProject — the distributed one-pass weighted
+    reservoir; no shuffle beyond the top-k merge."""
+    docs = load(spark, sf_dir, "documents")
+    u = (hash_bucket(F.col("doc_id"), 65536).cast("double") + 0.5) / 65536.0
+    es_key = fround(F.log(u) / F.col("n_chars"), 6)
+    return (docs.select("doc_id", "n_chars", es_key.alias("es_key"))
+            .orderBy(F.desc("es_key"), "doc_id")
+            .limit(100))

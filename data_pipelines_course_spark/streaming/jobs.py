@@ -401,3 +401,57 @@ def rollup_maintenance_sink(rollup_path: str):
                                  since=since.isoformat())
 
     return update
+
+
+def trending_terms(lines: DataFrame, ts_col: str = "timestamp",
+                   text_col: str = "value",
+                   window: str = "60 seconds", slide: str = "30 seconds",
+                   watermark: str = "1 minutes") -> DataFrame:
+    """Sliding-window term counts over a text stream — the aggregation
+    half of a 'trending now' feed. Watermarked, so state for old windows
+    is evicted; append mode emits each (window, word) exactly once with
+    its FINAL count when the watermark closes the window — which is what
+    makes per-window ranking in the sink correct (all of a closed
+    window's rows arrive in the same micro-batch)."""
+    words = lines.select(
+        F.col(ts_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+    return (words
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window, slide), "word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window.start").alias("window_start"),
+                    "word", "cnt"))
+
+
+def trending_topk_sink(path: str, k: int = 3):
+    """foreachBatch half of the trending feed: rank each closed window's
+    words and keep the top-k, landing in a `window_start=` partition via
+    dynamic partition overwrite — so a replayed batch rewrites its own
+    windows (exactly-once table state, same recipe as
+    idempotent_batch_sink) and the serving table holds exactly k rows
+    per window. The rank is a window function over the MICRO-BATCH (a
+    few closed windows × vocab), never over the stream's history; at
+    100 TB the state that matters is in the upstream windowed aggregate,
+    bounded by the watermark."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        if df.isEmpty():
+            return
+        from pyspark.sql import Window
+
+        spark = df.sparkSession
+        w = (Window.partitionBy("window_start")
+             .orderBy(F.desc("cnt"), "word"))
+        top = (df.withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") <= k))
+        key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (top.write.mode("overwrite").partitionBy("window_start")
+             .parquet(path))
+        finally:
+            spark.conf.set(key, old)
+
+    return write_batch

@@ -594,3 +594,64 @@ def test_rollup_maintenance_replay_is_exactly_once(spark, tmp_path):
     for k in before:
         assert before[k][0] == after[k][0]
         assert abs(before[k][1] - after[k][1]) < 1e-6
+
+
+def test_trending_topk_matches_batch_and_replays_idempotent(spark, tmp_path):
+    """Trending top-k: append-mode sliding counts + per-window rank in
+    foreachBatch. The served table must (a) match a batch computation of
+    the same top-k on the same rows, and (b) be idempotent under batch
+    replay (dynamic partition overwrite of the windows it owns)."""
+    src = tmp_path / "trend_in"
+    src.mkdir()
+    (src / "f1.json").write_text("\n".join([
+        '{"timestamp": "2024-01-01T00:00:05", "value": "spark spark flink"}',
+        '{"timestamp": "2024-01-01T00:00:15", "value": "spark duck duck"}',
+        '{"timestamp": "2024-01-01T00:01:10", "value": "flink flink duck"}',
+        # Far-future advancer closes every window above.
+        '{"timestamp": "2024-01-01T01:00:00", "value": "zz"}',
+    ]) + "\n")
+    lines = (spark.readStream
+             .schema("timestamp timestamp, value string")
+             .json(str(src)))
+    result = jobs.trending_terms(lines, window="60 seconds",
+                                 slide="60 seconds", watermark="1 minutes")
+    out = str(tmp_path / "trend_out")
+    sink = jobs.trending_topk_sink(out, k=2)
+    q = (result.writeStream.outputMode("append")
+         .foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    q.stop()
+
+    served = spark.read.parquet(out)
+    got = {(str(r["window_start"]), r["word"], r["cnt"], r["rnk"])
+           for r in served.collect()}
+
+    # Batch twin over the same rows (tumbling 60s, same top-2 rule).
+    batch = (spark.read.schema("timestamp timestamp, value string")
+             .json(str(src))
+             .select("timestamp",
+                     F.explode(F.split("value", r"\s+")).alias("word"))
+             .groupBy(F.window("timestamp", "60 seconds"), "word")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.col("window.start").alias("window_start"),
+                     "word", "cnt"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("window_start").orderBy(F.desc("cnt"), "word")
+    expect = {(str(r["window_start"]), r["word"], r["cnt"], r["rnk"])
+              for r in (batch.withColumn("rnk", F.row_number().over(w))
+                        .filter(F.col("rnk") <= 2)
+                        # the advancer's own window never closes, so the
+                        # stream never emits it
+                        .filter(F.col("word") != "zz")
+                        .collect())}
+    assert got == expect and got, (got, expect)
+
+    # Replay idempotence: re-running the sink fn on the same closed
+    # windows must leave the table identical (overwrites its partitions).
+    closed = served.select("window_start", "word", "cnt").drop("rnk")
+    sink(closed.select("window_start", "word", "cnt"), 99)
+    again = {(str(r["window_start"]), r["word"], r["cnt"], r["rnk"])
+             for r in spark.read.parquet(out).collect()}
+    assert again == got
