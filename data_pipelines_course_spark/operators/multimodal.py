@@ -223,3 +223,54 @@ def media_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_copies"),
                  F.min("media_id").alias("keep_media_id"))
             .filter(F.col("n_copies") > 1))
+
+
+def fake_decode_arrow(batches):
+    """mapInArrow twin of fake_decode_batches: identical feature math on
+    raw pyarrow RecordBatches — no Arrow→pandas→Arrow conversion, no
+    per-batch pandas allocation. For binary-payload pipelines this is
+    the cheaper UDF transport: payload bytes stay in Arrow buffers end
+    to end (pandas would copy every payload into Python bytes objects)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n = pc.cast(pc.binary_length(batch.column("payload")), pa.int64())
+        # pyarrow.compute has no modulo kernel; the int64 length column
+        # round-trips through numpy zero-copy — the PAYLOAD bytes never
+        # leave Arrow buffers, which is the point of this transport.
+        nv = n.to_numpy(zero_copy_only=False)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("media_id"),
+                batch.column("kind"),
+                n,
+                pa.array((nv % 640 + 16).astype("int32")),
+                pa.array((nv % 480 + 16).astype("int32")),
+                pc.multiply(n, 7),
+            ],
+            names=["media_id", "kind", "payload_bytes", "fake_width",
+                   "fake_height", "fake_duration_ms"])
+
+
+@query(
+    "media_feature_extract_arrow",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS fake_height,
+           CAST(octet_length(encode(text)) * 7 AS BIGINT) AS fake_duration_ms
+    FROM documents
+    """,
+)
+def media_feature_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow variant of media_feature_extract — SAME oracle, so the
+    two UDF transports are provably equivalent; the bench extra set
+    carries both to keep the pandas-vs-arrow overhead a measured number
+    (like the cogroup/native twin pair)."""
+    media = media_from_documents(load(spark, sf_dir, "documents"))
+    return media.mapInArrow(fake_decode_arrow, schema=FEATURE_SCHEMA)
