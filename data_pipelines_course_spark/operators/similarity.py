@@ -518,19 +518,24 @@ PQ_TRAIN_N = 256  # training sample: vec_id < N (deterministic)
 PQ_REFINE = 8     # ADC candidates = PQ_REFINE * TOP_K, exact re-ranked
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
-    """Per-subspace codebooks via driver-side Lloyd on a deterministic
-    sample (vec_id < PQ_TRAIN_N of the unit-normalized vectors). PQ
-    training state is PQ_M * PQ_KSUB * (dim/PQ_M) floats — KB-sized, a
-    driver/broadcast object by design (same rule as the k-means
-    centroid literals). numpy, fixed init (first PQ_KSUB sample rows),
-    10 iterations: deterministic across runs."""
+def _pq_codebooks(spark: SparkSession, sf_dir: str
+                  ) -> tuple[list[list[list[float]]], list[float]]:
+    """(codebooks, query_vector): per-subspace codebooks via driver-side
+    Lloyd on a deterministic sample (vec_id < PQ_TRAIN_N of the
+    unit-normalized vectors). PQ training state is PQ_M * PQ_KSUB *
+    (dim/PQ_M) floats — KB-sized, a driver/broadcast object by design
+    (same rule as the k-means centroid literals). numpy, fixed init
+    (first PQ_KSUB sample rows), 10 iterations: deterministic across
+    runs. The probe vector rides along from the same collect (QUERY_
+    VEC_ID < PQ_TRAIN_N), saving a second Spark job at construction."""
     import numpy as np
 
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     rows = (emb.filter(F.col("vec_id") < PQ_TRAIN_N)
             .select("vec_id", "nv").collect())
-    x = np.array([r["nv"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+    by_id = {int(r["vec_id"]): [float(v) for v in r["nv"]] for r in rows}
+    x = np.array([by_id[i] for i in sorted(by_id)])
+    qv = by_id[QUERY_VEC_ID]
     dim = x.shape[1]
     dsub = dim // PQ_M
     books: list[list[list[float]]] = []
@@ -545,30 +550,37 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
                 if mask.any():
                     cents[j] = sub[mask].mean(axis=0)
         books.append([[float(v) for v in c] for c in cents])
-    return books
+    return books, qv
 
 
-def _pq_encode(books: list[list[list[float]]], dsub: int) -> Column:
+def _sql_arr(vs: list[float]) -> str:
+    return "array(" + ",".join(f"{v!r}D" for v in vs) + ")"
+
+
+def _pq_encode_sql(books: list[list[list[float]]], dsub: int) -> str:
     """codes: array<int> of length PQ_M — per subspace, the index of the
-    nearest sub-centroid (squared-L2 over the staged slice `sub_m`).
-    Pure sort_array-over-struct argmin, JVM codegen, no UDF."""
-    cols = []
+    nearest sub-centroid (squared-L2 over a slice of `nv`), as an
+    argmin via array_sort over (distance, index) structs.
+
+    Emitted as ONE UNROLLED SQL string so construction is a single
+    parse on the JVM: building the same 8x16 tree through Column
+    operators cost ~5 s of py4j round-trips per construction (measured;
+    execution was fine). The tempting alternative — nested
+    transform()s over a literal 3-D codebook array — parses fast but
+    REBUILDS the 1024-literal array per lambda element at runtime
+    (CreateArray under a lambda escapes constant folding): measured
+    3x slower execution. Unrolled text keeps each candidate's codebook
+    row a small foldable literal. Still zero UDF, still codegen."""
+    subs = []
     for m, book in enumerate(books):
-        sub = F.slice("nv", m * dsub + 1, dsub)
-        cands = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(sub, _lit_arr(c),
-                               lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("d"),
-                F.lit(j).alias("j"))
-            for j, c in enumerate(book)])
-        cols.append(F.element_at(F.sort_array(cands), 1)["j"])
-    return F.array(*cols)
-
-
-def _lit_arr(vs: list[float]) -> Column:
-    return F.array(*[F.lit(float(v)).cast("double") for v in vs])
+        sub = f"slice(nv, {m * dsub + 1}, {dsub})"
+        cands = ",".join(
+            f"struct(aggregate(zip_with({sub}, {_sql_arr(c)}, "
+            f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, v) -> a + v) AS d, "
+            f"{j} AS j)"
+            for j, c in enumerate(book))
+        subs.append(f"element_at(array_sort(array({cands})), 1).j")
+    return "array(" + ",".join(subs) + ")"
 
 
 @query("pq_topk")  # rows-only: trained codebooks are not oracle SQL
@@ -587,28 +599,25 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (route, then ADC-scan the routed partitions).
     Recall@10 vs knn_brute_force is measured in
     tests/test_similarity.py, honest-number style, not asserted blindly."""
-    books = _pq_codebooks(spark, sf_dir)
+    books, qv = _pq_codebooks(spark, sf_dir)
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     dim = len(books[0][0]) * PQ_M
     dsub = dim // PQ_M
 
-    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
-    qv = [float(v) for v in qrow["nv"]]
     # query-side LUT: lut[m][j] = q_m . c_mj  (dot on unit-normalized
     # vectors ~ cosine, reconstructed additively across subspaces)
     luts = []
     for m, book in enumerate(books):
         qm = qv[m * dsub:(m + 1) * dsub]
         luts.append([sum(a * b for a, b in zip(qm, c)) for c in book])
+    adc_sql = " + ".join(
+        f"element_at({_sql_arr(luts[m])}, element_at(codes, {m + 1}) + 1)"
+        for m in range(PQ_M))
 
-    coded = emb.withColumn("codes", _pq_encode(books, dsub))
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(_lit_arr(luts[m]),
-                            F.col("codes")[m] + F.lit(1))
-        adc = term if adc is None else adc + term
+    coded = emb.withColumn("codes", F.expr(_pq_encode_sql(books, dsub)))
     cands = (coded.filter(F.col("vec_id") != QUERY_VEC_ID)
-             .select("vec_id", "label", "nv", adc.alias("adc_score"))
+             .select("vec_id", "label", "nv",
+                     F.expr(adc_sql).alias("adc_score"))
              .orderBy(F.desc("adc_score"), "vec_id")
              .limit(PQ_REFINE * TOP_K))
     return (cands

@@ -230,3 +230,110 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
             .orderBy(F.desc("n_occurrences"), "ngram")
             .limit(20))
+
+
+SEQ_LEN = 512  # packing target length (tokens per training sequence)
+
+
+@query(
+    "encode_docs_to_ids",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, pos - 1 AS pos, token
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS token,
+                     generate_subscripts(
+                         string_split_regex(trim(text), '\\s+'), 1) AS pos
+              FROM documents)),
+    vocab AS (
+        SELECT token,
+               CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+                   AS token_id
+        FROM (SELECT token, count(*) AS n FROM toks GROUP BY token))
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_id
+    FROM toks JOIN vocab USING (token)
+    """,
+)
+def encode_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the last mile of training-data prep: every
+    document becomes (doc_id, pos, token_id) rows under the corpus's own
+    frequency-ranked vocabulary (vocabulary_build's id assignment,
+    applied corpus-wide). The relational encoding (exploded rows, not an
+    array column) is deliberate: it is the shape the packing step
+    consumes, joins stay columnar, and the driver hash covers every id.
+
+    Plan: one posexplode feeds the vocab build; the id attachment joins
+    token instances to the vocab table — vocabulary-sized, AQE
+    broadcasts it at any realistic vocab/corpus ratio (no hard hint; at
+    extreme vocab it degrades to a shuffle join, not an OOM). The
+    full-vocab rank is ONE window over the aggregated vocab (vocab-sized
+    sort, not corpus-sized). A real BPE tokenizer replaces the vocab
+    CTE; the attachment plan is unchanged."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("pos", "token"))
+    vocab = (toks.groupBy("token")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .withColumn("token_id",
+                         F.row_number().over(
+                             Window.orderBy(F.desc("n"), "token"))
+                         .cast("bigint"))
+             .select("token", "token_id"))
+    return (toks.join(vocab, "token")
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    "token_id"))
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    binned AS (
+        SELECT source, n_tokens,
+               CAST((sum(n_tokens) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    // {SEQ_LEN} AS BIGINT) AS bin
+        FROM counts)
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM binned GROUP BY source, bin
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents are packed in doc_id order into
+    SEQ_LEN-token training bins, PER SOURCE — the sample-packing step
+    that turns a curated corpus into fixed-length training sequences
+    (bin = starting token offset // SEQ_LEN, the streaming-concat rule).
+
+    Packing is inherently sequential (each bin depends on the running
+    token total), so the running sum is partitioned BY SOURCE: each
+    shard packs independently and in parallel — the same contract real
+    pipelines use (pack within a shard, never globally), keeping the
+    cumulative-sum window off the single-reducer path a global ORDER BY
+    would force. One shuffle on source, one window, one aggregate."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    binned = counts.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(SEQ_LEN)).cast("bigint"))
+    return (binned.groupBy("source", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("n_tokens")))
