@@ -92,6 +92,8 @@ EXTRA = (
     "pq_topk",
     "media_feature_extract_arrow",  # mapInArrow twin of the pandas path
     "weighted_sample_docs",
+    "encode_docs_to_ids",
+    "pack_sequences",
 )
 
 

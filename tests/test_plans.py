@@ -492,3 +492,11 @@ def test_table_profile_one_scan_expand(spark):
     plan = pa.formatted_plan(df)
     assert plan.count("Location:") == 1, plan
     assert "Expand" in plan, plan
+
+
+def test_pack_sequences_single_source_exchange(spark):
+    """Packing must never force a global ORDER BY single-reducer: the
+    running-sum window partitions by source, so the plan has exactly
+    one exchange on source (window + aggregate share it)."""
+    df = QUERIES["pack_sequences"](spark, SF_DIR)
+    assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
