@@ -94,6 +94,8 @@ EXTRA = (
     "weighted_sample_docs",
     "encode_docs_to_ids",
     "pack_sequences",
+    "vocab_typo_pairs",
+    "value_outliers_by_type",
 )
 
 

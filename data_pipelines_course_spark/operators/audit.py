@@ -158,3 +158,39 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.expr(
         f"stack({len(cols)}, {stack}) "
         "AS (column_name, n_nulls, n_distinct)"))
+
+
+@query(
+    "value_outliers_by_type",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type,
+           floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000 AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((e.value - mu) / sigma) > 3.0
+    """,
+)
+def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging: events whose value is >3 sigma from
+    their event_type's mean (the data-quality gate before any value
+    aggregate is trusted). Two-pass by necessity — the mean/stddev must
+    close over the group before any row can be scored — but the stats
+    table is GROUP-CARDINALITY sized (5 rows here; bounded by distinct
+    event types at any scale), so the re-join is a broadcast and the
+    corpus is scanned twice with zero corpus-sized shuffles. The z-score
+    threshold compares UNROUNDED doubles identically on both engines
+    (same IEEE ops in the same order); only the reported zscore is
+    rounded for the hash."""
+    ev = load(spark, sf_dir, "events")
+    stats = (ev.groupBy("event_type")
+             .agg(F.avg("value").alias("mu"),
+                  F.stddev_samp("value").alias("sigma")))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    from ..functions.scalar import fround
+    return (ev.join(stats, "event_type")
+            .filter(F.abs(z) > 3.0)
+            .select("event_id", "event_type", fround(z, 4).alias("zscore")))

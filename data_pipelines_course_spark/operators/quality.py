@@ -200,3 +200,54 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(n_grams.alias("n_grams"),
                  novel.alias("novel_grams"),
                  fround(novel.cast("double") / n_grams, 4).alias("novelty")))
+
+
+@query(
+    "vocab_typo_pairs",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_WORDS}) AS token FROM documents)
+        GROUP BY token)
+    SELECT a.token AS token, b.token AS variant, a.n AS token_n,
+           b.n AS variant_n
+    FROM vocab a JOIN vocab b
+      ON substring(a.token, 1, 1) = substring(b.token, 1, 1)
+     AND abs(length(a.token) - length(b.token)) <= 1
+     AND a.token < b.token
+     AND levenshtein(a.token, b.token) = 1
+    WHERE a.n >= 10 * b.n
+    """,
+)
+def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo/variant detection over the corpus vocabulary — the entity-
+    resolution shape (blocked fuzzy self-join) applied to tokens: pairs
+    at edit distance 1 where one spelling is >=10x more frequent (the
+    classic 'rare variant of a common word' typo signal, the vocab-
+    cleanup step before id assignment).
+
+    Scale design: the join is on the VOCABULARY (sublinear in corpus),
+    never on token instances, and is BLOCKED — equality on the first
+    character plus a +/-1 length band — so Catalyst gets an equi-join
+    key and plans a hash join instead of a cartesian levenshtein sweep;
+    the quadratic edit-distance work only runs inside (first_char)
+    blocks. a.token < b.token halves the pairs and makes the output
+    deterministic."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(F.expr(_SPARK_WORDS)).alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    return (a.join(
+                b,
+                (F.expr("substring(a.token, 1, 1)")
+                 == F.expr("substring(b.token, 1, 1)"))
+                & (F.abs(F.length("a.token") - F.length("b.token")) <= 1)
+                & (F.col("a.token") < F.col("b.token"))
+                & (F.levenshtein("a.token", "b.token") == 1))
+            .filter(F.col("a.n") >= 10 * F.col("b.n"))
+            .select(F.col("a.token").alias("token"),
+                    F.col("b.token").alias("variant"),
+                    F.col("a.n").alias("token_n"),
+                    F.col("b.n").alias("variant_n")))
