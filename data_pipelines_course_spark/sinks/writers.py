@@ -209,3 +209,24 @@ def write_xml(df: DataFrame, path: str, row_tag: str = "row",
     """XML twin of write_csv for feed-style exports (see
     sources.readers.read_xml; Spark-4 native)."""
     df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def write_parquet_with_bloom(df: DataFrame, path: str, bloom_cols: list[str],
+                             expected_ndv: int = 100_000,
+                             mode: str = "overwrite") -> None:
+    """Parquet with per-column BLOOM FILTERS — the data-skipping layer for
+    point lookups on high-cardinality columns where min/max footer stats
+    are useless (a uuid/user_id predicate matches every file's [min,max]
+    range, but a bloom filter answers 'definitely not in this row group'
+    at ~1% false-positive cost). Z-order serves range predicates; blooms
+    serve equality on unsortable keys; both are write-time decisions the
+    reader exploits for free (parquet-mr consults the bloom before
+    decoding a row group). Size expected_ndv near the real per-row-group
+    distinct count: too low inflates false positives, too high wastes
+    footer bytes."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+             .option(f"parquet.bloom.filter.expected.ndv#{c}",
+                     str(expected_ndv)))
+    w.parquet(path)

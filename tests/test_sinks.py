@@ -175,3 +175,42 @@ def test_incremental_daily_rollup_matches_full_recompute(spark, tmp_path):
     # partitions below the watermark were not touched
     for d, mtime in old_dirs.items():
         assert os.path.getmtime(os.path.join(path, d)) == mtime
+
+
+def test_parquet_bloom_filter_written_and_content_identical(spark, tmp_path):
+    """write_parquet_with_bloom must (a) actually embed bloom bytes —
+    observable as a strictly larger on-disk footprint than the identical
+    data without blooms (pyarrow 16 doesn't expose bloom offsets) — and
+    (b) leave the data bit-identical.
+
+    The key must be HIGH-cardinality: parquet-mr drops the bloom when a
+    column stays fully dictionary-encoded (the dictionary already gives
+    exact membership), so a low-NDV column like o_custkey writes zero
+    bloom bytes — verified while building this test. That behavior is
+    the right default and exactly why the helper's docstring scopes
+    blooms to unsortable high-cardinality point-lookup keys."""
+    import glob
+    import os
+    from data_pipelines_course_spark.sinks.writers import (
+        write_parquet_with_bloom,
+    )
+
+    df = (spark.range(200_000)
+          .selectExpr("id", "md5(cast(id as string)) as k")
+          .repartition(1))
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    df.write.parquet(plain)
+    write_parquet_with_bloom(df, bloomed, ["k"], expected_ndv=200_000)
+
+    def total_bytes(p):
+        return sum(os.path.getsize(f)
+                   for f in glob.glob(f"{p}/part-*.parquet"))
+
+    # measured delta ~256 KiB of bloom bytes for 200k NDV
+    assert total_bytes(bloomed) > total_bytes(plain)
+    a = spark.read.parquet(plain)
+    b = spark.read.parquet(bloomed)
+    assert a.count() == b.count()
+    probe = "md5(cast(12345 as string))"
+    assert (b.filter(F.col("k") == F.expr(probe)).count()
+            == a.filter(F.col("k") == F.expr(probe)).count() == 1)
