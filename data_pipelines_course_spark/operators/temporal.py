@@ -361,6 +361,13 @@ def scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events costs sort time, not memory."""
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type")
+    return scd2_intervals(ev)
+
+
+def scd2_intervals(ev: DataFrame) -> DataFrame:
+    """Run-length → validity-interval builder over (user_id, event_id,
+    ts, event_type) rows; the reusable core of scd2_user_state_intervals
+    (also driven incrementally by streaming.jobs.scd2_maintenance_sink)."""
     order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changed = F.when(
         F.lag("event_type").over(order_w).isNull()

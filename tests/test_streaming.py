@@ -655,3 +655,62 @@ def test_trending_topk_matches_batch_and_replays_idempotent(spark, tmp_path):
     again = {(str(r["window_start"]), r["word"], r["cnt"], r["rnk"])
              for r in spark.read.parquet(out).collect()}
     assert again == got
+
+
+def test_scd2_maintenance_converges_and_touches_only_owned_buckets(
+        spark, tmp_path):
+    """CDC -> SCD2 streaming maintenance: after two availableNow drains
+    the dimension must equal the BATCH scd2 build over the full log, and
+    a drain whose batch touches only some user buckets must leave the
+    other bucket partitions' files untouched (mtime-stable)."""
+    import glob
+    import os
+    from data_pipelines_course_spark.operators.temporal import scd2_intervals
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    dim = str(tmp_path / "scd2_dim")
+    # users 1 and 2 live in different buckets (1 % 16 = 1, 18 % 16 = 2)
+    (src / "f1.json").write_text("\n".join([
+        '{"user_id": 1, "event_id": 10, "ts": "2024-01-01T00:00:00", "event_type": "view"}',
+        '{"user_id": 1, "event_id": 11, "ts": "2024-01-01T00:01:00", "event_type": "view"}',
+        '{"user_id": 1, "event_id": 12, "ts": "2024-01-01T00:02:00", "event_type": "click"}',
+        '{"user_id": 18, "event_id": 20, "ts": "2024-01-01T00:00:30", "event_type": "signup"}',
+    ]) + "\n")
+    schema = "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    sink = jobs.scd2_maintenance_sink(dim)
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    bucket2_files = {f: os.path.getmtime(f) for f in
+                     glob.glob(f"{dim}/bucket=2/*.parquet")}
+    assert bucket2_files  # user 18's history landed
+
+    # Batch 2: only user 1 changes state (click -> purchase).
+    (src / "f2.json").write_text(
+        '{"user_id": 1, "event_id": 13, "ts": "2024-01-01T00:03:00",'
+        ' "event_type": "purchase"}\n')
+    drain()
+
+    # Convergence: streamed dimension == batch build over the full log.
+    log = (spark.read.parquet(dim + "_events").drop("_batch_id")
+           .select("user_id", "event_id", "ts", "event_type"))
+    expect = sorted(map(tuple, scd2_intervals(log).collect()))
+    got = sorted(map(tuple,
+                     spark.read.parquet(dim).drop("bucket").collect()))
+    assert got == expect
+    # user 1 now has view -> click -> purchase = 3 intervals, last open.
+    u1 = [r for r in spark.read.parquet(dim).collect() if r["user_id"] == 1]
+    assert len(u1) == 3
+    assert sum(1 for r in u1 if r["is_current"]) == 1
+    # Untouched bucket: user 18's partition files were NOT rewritten.
+    after = {f: os.path.getmtime(f) for f in
+             glob.glob(f"{dim}/bucket=2/*.parquet")}
+    assert after == bucket2_files
