@@ -102,3 +102,67 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming half of the DataSource API (Spark 4): the same deterministic
+# generator exposed as a MICRO-BATCH source with real offset bookkeeping —
+# the declarative replacement for the reference's while-True socket feeder
+# (streaming/tweepy_stream.py:47-83).
+#
+# API choice, learned the hard way: the partition-parallel
+# DataSourceStreamReader derives `latestOffset()` from INSTANCE state, so
+# a restarted query (fresh reader, checkpointed start offset it never
+# sees) can only re-announce its own counter — the stream stalls at the
+# committed offset forever. That API fits sources with an EXTERNAL offset
+# authority (Kafka end-offsets, a cursor endpoint). A self-generating
+# source's authority is the offset itself, which is exactly what
+# SimpleDataSourceStreamReader models: `read(start)` receives the
+# committed offset and returns (rows, nextOffset) — restart-correct by
+# construction. Trade-off: rows for the CURRENT batch materialize on the
+# driver (fine for control-plane-sized batches); replays go through
+# readBetweenOffsets, which regenerates deterministically.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SyntheticEventsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch generator: each read() call publishes rows_per_batch
+    offsets per partition starting at the CHECKPOINTED offset, so a
+    restarted query resumes exactly where it committed — no duplicates,
+    no gaps (asserted across two checkpoint-sharing drains in
+    tests/test_pyds.py). Rows are the same pure function of (seed,
+    partition, offset) as the batch reader, so a replayed range is
+    bit-identical — what makes checkpoint recovery exactly-once for a
+    generator source."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.n_parts = int(options.get("partitions", 2))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, s: int, e: int):
+        return [_row(self.seed, p, i)
+                for p in range(self.n_parts) for i in range(s, e)]
+
+    def read(self, start):
+        s = start["i"]
+        e = s + self.rows_per_batch
+        return (iter(self._rows(s, e)), {"i": e})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["i"], end["i"]))
+
+    def commit(self, end):
+        pass  # nothing to clean up: data is regenerable by construction
+
+
+def _simple_stream_reader(self, schema):
+    return SyntheticEventsSimpleStreamReader(self.options)
+
+
+SyntheticEventsDataSource.simpleStreamReader = _simple_stream_reader
