@@ -337,3 +337,91 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (binned.groupBy("source", "bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("n_tokens")))
+
+
+BPE_MERGES = 20  # merge rounds to train (toy scale; the loop is the point)
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
+    """Train byte-pair-encoding merges on the corpus — the REAL BPE
+    formulation (Sennrich et al. 2016): training never touches the
+    corpus after one pass, it iterates on the (word, frequency) VOCAB
+    table, which is sublinear in corpus size. Each round:
+
+      1. explode each word's current symbol array into adjacent pairs,
+         weighted by the word's corpus frequency (one vocab-sized
+         aggregate);
+      2. pick the most frequent pair (ties broken lexicographically for
+         determinism) — a 1-row driver fetch, like the k-means centroid
+         collect;
+      3. rewrite the symbol arrays, merging every occurrence of that
+         pair — a pure-JVM fold over each word's symbols.
+
+    At 100 TB the shape is unchanged: the corpus contributes one
+    wordcount pass; the training loop runs on the vocab (10^5-10^7
+    rows) with one exchange per round. The merge list is KB-sized
+    driver state — exactly what a tokenizer ships as merges.txt.
+    Parity with a pure-Python reference BPE is asserted in
+    tests/test_textprep_bpe.py."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(
+                 F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                 .alias("word"))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).alias("freq"))
+             # chars -> initial symbol arrays; </w> marks word end so
+             # merges can't cross word boundaries (the Sennrich setup)
+             .withColumn("syms", F.expr(
+                 "concat(split(word, ''), array('</w>'))"))
+             .persist())
+    try:
+        merges: list[tuple[str, str]] = []
+        cur = vocab.select("freq", "syms")
+        for _ in range(n_merges):
+            # guard: a fully merged word has ONE symbol; sequence(1, 0)
+            # flips to a DESCENDING [1, 0] range (same trap documented
+            # at boilerplate_ngrams) and element_at then walks off the
+            # array under ANSI mode.
+            pairs = (cur.select(
+                "freq",
+                F.expr("CASE WHEN size(syms) >= 2 THEN "
+                       "transform(sequence(1, size(syms) - 1), "
+                       "i -> struct(element_at(syms, i) AS a, "
+                       "element_at(syms, i + 1) AS b)) "
+                       "ELSE array() END").alias("ps"))
+                .select("freq", F.explode("ps").alias("p"))
+                .groupBy("p").agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), F.col("p.a"), F.col("p.b"))
+                .head())
+            if pairs is None or pairs["n"] < 2:
+                break
+            a, b = pairs["p"]["a"], pairs["p"]["b"]
+            merges.append((a, b))
+            # merge every adjacent (a,b) left-to-right via an aggregate
+            # fold: O(symbols) per word, no Python.
+            qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+            cur = (cur.withColumn("syms", F.expr(
+                f"aggregate(syms, array(cast(null as string)), "
+                f"(acc, x) -> CASE WHEN size(acc) > 0 "
+                f"AND element_at(acc, -1) = '{qa}' AND x = '{qb}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), "
+                f"array('{qa}{qb}')) ELSE concat(acc, array(x)) END, "
+                f"acc -> slice(acc, 2, size(acc) - 1))"))
+                .localCheckpoint())  # truncate per-round lineage
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+@query("bpe_merge_table")  # rows-only: iterative training, not oracle SQL
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained BPE merge list as a (rank, left, right, merged) table
+    — what a tokenizer serializes as merges.txt. Training is bpe_train's
+    driver loop over the vocab (eager, like embedding_kmeans); this
+    query materializes its KB-sized result distributively for the
+    registry's rows-only check."""
+    merges = bpe_train(spark, sf_dir)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string")

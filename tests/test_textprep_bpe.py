@@ -1,0 +1,58 @@
+"""BPE trainer parity: the DataFrame-loop trainer must reproduce the
+canonical pure-Python BPE (Sennrich et al. 2016) merge sequence on the
+same vocabulary — the rows-only analog of a DuckDB oracle for an
+iterative algorithm (same pattern as the k-means objective test)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.operators.textprep import bpe_train
+
+SF_DIR = "/root/testdata/sf0.001"
+N_MERGES = 12
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference implementation, straight from the paper's pseudocode."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        # max by count, ties lexicographic — same rule as the engine
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    rows = load(spark, SF_DIR, "documents").select("text").collect()
+    freqs = collections.Counter()
+    for r in rows:
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            freqs[w] += 1
+    expect = _py_bpe(dict(freqs), N_MERGES)
+    got = bpe_train(spark, SF_DIR, n_merges=N_MERGES)
+    assert got == expect, (got, expect)
