@@ -96,6 +96,9 @@ EXTRA = (
     "pack_sequences",
     "vocab_typo_pairs",
     "value_outliers_by_type",
+    # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
+    # they train eagerly at construction (driver merge-loop), so a
+    # cold/warm split would mis-attribute the training cost.
 )
 
 

@@ -425,3 +425,50 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string")
+
+
+def bpe_segment_expr(col: str, merges: list[tuple[str, str]]) -> str:
+    """SQL expression segmenting a word column into BPE subword tokens by
+    replaying the trained merge list IN TRAINING ORDER (the defined BPE
+    inference rule). Each merge is one JVM aggregate fold — k merges
+    chain k folds, all inside one projection; no Python, no shuffle."""
+    expr = f"concat(split({col}, ''), array('</w>'))"
+    for a, b in merges:
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        expr = (
+            f"aggregate({expr}, array(cast(null as string)), "
+            f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{qa}' "
+            f"AND x = '{qb}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), "
+            f"array('{qa}{qb}')) ELSE concat(acc, array(x)) END, "
+            f"acc -> slice(acc, 2, size(acc) - 1))")
+    return expr
+
+
+@query("bpe_token_stats")  # rows-only: depends on the trained merge list
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus and report the subword
+    inventory: each surviving token with its corpus frequency and
+    whether it is a merged unit or a residual character. Train (vocab
+    loop) + apply (one corpus-shaped pass over the VOCAB with each
+    word's frequency — applying to the vocab instead of raw text is the
+    same sublinearity as training) + aggregate. The inference fold
+    replays merges in training order — the defined BPE tokenization
+    rule, so train/apply share one code path (bpe_segment_expr).
+    Checked against pure-Python segmentation in
+    tests/test_textprep_bpe.py."""
+    merges = bpe_train(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(
+                 F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+                 .alias("word"))
+             .groupBy("word")
+             .agg(F.count(F.lit(1)).alias("freq")))
+    seg = vocab.select(
+        "freq", F.explode(F.expr(bpe_segment_expr("word", merges)))
+        .alias("token"))
+    return (seg.groupBy("token")
+            .agg(F.sum("freq").cast("bigint").alias("n"),
+                 (F.length(F.regexp_replace("token", "</w>", "")) > 1)
+                 .alias("is_merged"))
+            .orderBy(F.desc("n"), "token"))

@@ -77,55 +77,66 @@ def co_located_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def zorder_layout(df: DataFrame, path: str, col_a: str, col_b: str,
+def zorder_layout(df: DataFrame, path: str, cols: list[str],
                   num_files: int, mode: str = "overwrite",
-                  bits: int = 16) -> None:
-    """Z-order (Morton-curve) file layout over TWO filter columns.
+                  bits: int | None = None) -> None:
+    """Z-order (Morton-curve) file layout over N filter columns (2-4).
 
     Partitioned layout prunes on one hierarchy; bucketing serves one
-    join key; Z-ordering is the move for tables filtered on EITHER of
-    two independent columns (ship date AND customer, lat AND lon): sort
-    the rows by the bit-interleaving of both columns' quantized ranks,
-    and every file's parquet min/max footer covers a narrow range of
-    BOTH columns — so row-group skipping fires for predicates on either
-    one. A linear sort gives perfect pruning on the sort column and none
-    on the other; the Morton curve splits the difference (~sqrt(files)
-    effective pruning on each). This is Delta/Iceberg's OPTIMIZE ZORDER
-    re-expressed as a plain write-time repartitionByRange + sort — no
-    table format needed, the parquet footers do the work.
+    join key; Z-ordering is the move for tables filtered on ANY of
+    several independent columns (ship date AND customer, lat AND lon):
+    sort the rows by the bit-interleaving of every column's quantized
+    rank, and each file's parquet min/max footer covers a narrow range
+    of EVERY column — row-group skipping fires for predicates on any of
+    them. A linear sort gives perfect pruning on the sort column and
+    none on the others; the Morton curve splits the difference
+    (~files^(1/n) effective pruning on each; adding a column dilutes
+    all — past 3-4 columns nothing prunes well, the known ZORDER
+    guidance). This is Delta/Iceberg's OPTIMIZE ZORDER re-expressed as
+    a plain write-time repartitionByRange + sort — no table format
+    needed, the parquet footers do the work.
 
-    Quantization is min/max linear scaling to `bits` bits via a 1-row
+    Quantization is min/max linear scaling to `bits` bits per column
+    (default: 48//n so the interleaved key fits a BIGINT) via a 1-row
     bounds aggregate (broadcast; fixed cardinality). The interleave is
-    a 2*bits-term shift/OR chain — pure codegen, no UDF. Skewed columns
-    would want rank-based quantization (write-time ntile) instead; at
-    write time that extra window is amortized over every future read.
+    an n*bits-term shift/OR chain — pure codegen, no UDF. Skewed
+    columns would want rank-based quantization (write-time ntile)
+    instead; at write time that extra window is amortized over every
+    future read.
     """
     from pyspark.sql import functions as F
 
-    a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
-    bounds = df.agg(
-        F.min(a).alias("_amin"), F.max(a).alias("_amax"),
-        F.min(b).alias("_bmin"), F.max(b).alias("_bmax"))
+    n = len(cols)
+    if not 2 <= n <= 4:
+        raise ValueError(f"zorder needs 2-4 columns, got {n}")
+    if bits is None:
+        bits = 48 // n
+    bounds = df.agg(*[a for i, c in enumerate(cols) for a in (
+        F.min(F.col(c).cast("double")).alias(f"_min{i}"),
+        F.max(F.col(c).cast("double")).alias(f"_max{i}"))])
     top = (1 << bits) - 1
 
-    def _q(col, lo, hi):
-        rng = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)) \
-               .otherwise(F.lit(1.0))
-        return F.floor((col - F.col(lo)) / rng * top).cast("bigint")
+    def _q(i: int):
+        lo, hi = F.col(f"_min{i}"), F.col(f"_max{i}")
+        rng = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        return (F.floor((F.col(cols[i]).cast("double") - lo) / rng * top)
+                .cast("bigint"))
 
-    staged = (df.crossJoin(F.broadcast(bounds))
-              .withColumn("_qa", _q(a, "_amin", "_amax"))
-              .withColumn("_qb", _q(b, "_bmin", "_bmax")))
+    staged = df.crossJoin(F.broadcast(bounds))
+    for i in range(n):
+        staged = staged.withColumn(f"_q{i}", _q(i))
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright("_qa", i).bitwiseAND(F.lit(1)),
-                        2 * i + 1).cast("bigint"))
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright("_qb", i).bitwiseAND(F.lit(1)),
-                        2 * i).cast("bigint"))
+        for d in range(n):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(f"_q{d}", i).bitwiseAND(F.lit(1)),
+                    n * i + (n - 1 - d)).cast("bigint"))
+    drop = ([f"_q{i}" for i in range(n)]
+            + [f"_min{i}" for i in range(n)]
+            + [f"_max{i}" for i in range(n)] + ["_z"])
     (staged.withColumn("_z", z)
      .repartitionByRange(num_files, "_z")
      .sortWithinPartitions("_z")
-     .drop("_qa", "_qb", "_amin", "_amax", "_bmin", "_bmax", "_z")
+     .drop(*drop)
      .write.mode(mode).parquet(path))

@@ -103,7 +103,7 @@ def test_zorder_narrows_file_stats_on_both_columns(spark, tmp_path):
     orders = load(spark, "/root/testdata/sf0.01", "orders") \
         .select("o_orderkey", "o_custkey", "o_totalprice")
     zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
-    zorder_layout(orders, zpath, "o_custkey", "o_orderkey", num_files=16)
+    zorder_layout(orders, zpath, ["o_custkey", "o_orderkey"], num_files=16)
     (orders.repartitionByRange(16, "o_custkey")
      .sortWithinPartitions("o_custkey").write.parquet(lpath))
 

@@ -56,3 +56,34 @@ def test_bpe_merges_match_python_reference(spark):
     expect = _py_bpe(dict(freqs), N_MERGES)
     got = bpe_train(spark, SF_DIR, n_merges=N_MERGES)
     assert got == expect, (got, expect)
+
+
+def test_bpe_segmentation_matches_python_replay(spark):
+    """Inference parity: segmenting words with bpe_segment_expr must
+    equal replaying the trained merges in order in pure Python."""
+    from pyspark.sql import functions as F
+    from data_pipelines_course_spark.operators.textprep import (
+        bpe_segment_expr, bpe_train)
+
+    merges = bpe_train(spark, SF_DIR, n_merges=N_MERGES)
+    words = ["table", "tablet", "a", "scan", "zzq"]
+
+    def py_seg(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: list(r["seg"]) for r in
+           df.select("word", F.expr(bpe_segment_expr("word", merges))
+                     .alias("seg")).collect()}
+    assert got == {w: py_seg(w) for w in words}
