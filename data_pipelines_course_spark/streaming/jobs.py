@@ -505,3 +505,65 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
             spark.conf.set(key, old)
 
     return update
+
+
+def dedup_index_sink(index_path: str, hits_path: str):
+    """Incremental near-duplicate detection against a GROWING corpus —
+    the production ingest-dedup shape: every arriving document is
+    MinHash-banded, probed against the accumulated band index (was
+    anything LIKE this ever ingested?), and then appended to that index
+    for all future batches. First occurrence passes, later near-copies
+    are flagged ON ARRIVAL — no nightly O(corpus²) sweep.
+
+    Per micro-batch, via foreachBatch:
+      1. band keys for the batch via the stateless per-row signature
+         (rowwise_minhash_sig — bit-identical to the batch pipeline);
+      2. hits = batch bands ⋈ historical index, PLUS the batch's own
+         intra-batch pairs (a near-dup and its original arriving
+         together must not slip through); both land idempotently in a
+         `_batch_id=` partition of hits_path;
+      3. the batch's bands land in their own `_batch_id=` partition of
+         the index — replayed batches overwrite themselves, so the
+         index never holds duplicate band rows.
+
+    Scale notes: the batch side is micro-batch-sized and broadcast; the
+    index side only ever streams through a join against it (never
+    shuffles). The index scan per batch is the honest cost — at real
+    scale the index is written BUCKETED by band_hash so the probe reads
+    matching buckets only, and band rows are 24 bytes/doc/band. Flags
+    are candidate pairs (LSH semantics); exact-Jaccard confirmation of
+    flagged pairs is a downstream filter, same as the batch path."""
+    from ..operators.dedup import BANDS, ROWS_PER_BAND, rowwise_minhash_sig
+
+    band_expr = (f"transform(sequence(0, {BANDS - 1}),"
+                 f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
+                 f" {ROWS_PER_BAND})))")
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bands = (rowwise_minhash_sig(batch_df)
+                 .select("doc_id",
+                         F.posexplode(F.expr(band_expr))
+                         .alias("band", "band_hash")))
+        try:
+            index = spark.read.parquet(index_path).drop("_batch_id")
+        except Exception:  # first batch: no index yet
+            index = None
+        cross = None
+        if index is not None:
+            cross = (F.broadcast(bands).join(
+                index.withColumnRenamed("doc_id", "prior_id"),
+                ["band", "band_hash"])
+                .select("doc_id", "prior_id"))
+        intra = (bands.alias("a")
+                 .join(bands.alias("b"), ["band", "band_hash"])
+                 .filter(F.col("a.doc_id") > F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("doc_id"),
+                         F.col("b.doc_id").alias("prior_id")))
+        hits = intra if cross is None else cross.unionByName(intra)
+        idempotent_batch_sink(hits_path)(hits.distinct(), batch_id)
+        idempotent_batch_sink(index_path)(bands, batch_id)
+
+    return update
