@@ -23,7 +23,7 @@ from typing import Mapping, Tuple
 
 from pyspark.sql import Column, DataFrame, Observation, functions as F
 
-__all__ = ["with_audit", "audit_violations"]
+__all__ = ["with_audit", "audit_violations", "with_stream_audit"]
 
 
 def with_audit(df: DataFrame,
@@ -52,3 +52,21 @@ def audit_violations(stats: Mapping[str, int]) -> dict[str, int]:
     empty dict means every rule passed."""
     return {k: int(v) for k, v in stats.items()
             if k != "rows" and v not in (0, None)}
+
+
+def with_stream_audit(df: DataFrame, name: str,
+                      checks: Mapping[str, Column] | None = None,
+                      ) -> DataFrame:
+    """Streaming twin of with_audit: attach NAMED observe metrics to a
+    streaming DataFrame — per-micro-batch row and violation counts
+    surface in every StreamingQueryProgress under
+    `progress.observedMetrics[name]`, measured on the micro-batch that
+    was running anyway (same zero-extra-pass contract as batch; the
+    `Observation` handle object is batch-only, so streaming uses the
+    name-string form and reads results from progress events)."""
+    checks = dict(checks or {})
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for metric_name, predicate in checks.items():
+        metrics.append(
+            F.sum(F.when(predicate, 1).otherwise(0)).alias(metric_name))
+    return df.observe(name, *metrics)
