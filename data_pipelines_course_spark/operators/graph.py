@@ -170,3 +170,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("keep_doc_id"),
                  (F.count(F.lit(1)) - F.lit(1)).cast("bigint")
                  .alias("dropped")))
+
+
+def connected_components_twostar(edges: DataFrame, src: str, dst: str,
+                                 max_iter: int = 20) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round algorithm for HIGH-DIAMETER graphs,
+    complementing `connected_components`' min-label propagation (which
+    needs O(diameter) rounds: right for near-dup cliques of diameter
+    1-2, hopeless on a million-node chain).
+
+    Each round rewires the edge set toward a star per component:
+      large-star: every node's LARGER neighbors re-attach to the
+        minimum of its neighborhood (incl. itself);
+      small-star: every node's smaller-or-equal neighbors re-attach to
+        that minimum.
+    Both are one groupBy(node) aggregate + one re-emit join per
+    half-round; the edge set provably shrinks toward (node, root) pairs
+    where root = component minimum. Convergence check = "did any edge
+    change" (a count, like the propagation loop); localCheckpoint
+    truncates lineage per round.
+
+    Returns (doc_id, cluster_id) for every non-isolated node, identical
+    contract to `connected_components` — the chain-graph test shows the
+    round-count separation (diameter-64 path: 2-star converges in ~6
+    rounds; propagation's cap of 25 would need 64)."""
+    e = (edges.select(F.col(src).cast("long").alias("a"),
+                      F.col(dst).cast("long").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.greatest("a", "b").alias("u"),
+                 F.least("a", "b").alias("v"))
+         .distinct().localCheckpoint())
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhood of u = {v | (u,v) or (v,u)}; m = min(nbrs ∪ {u})
+        sym = e.unionAll(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v")))
+        m = (sym.groupBy("u")
+             .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+        joined = sym.join(m, "u")
+        if large:  # strictly-larger neighbors attach to m
+            out = (joined.filter(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        else:      # smaller-or-equal neighbors AND the node itself
+            out = (joined.filter(F.col("v") <= F.col("u"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .unionAll(m.select(F.col("u"), F.col("m").alias("v"))))
+        return (out.filter(F.col("u") != F.col("v"))
+                .select(F.greatest("u", "v").alias("u"),
+                        F.least("u", "v").alias("v"))
+                .distinct())
+
+    for _ in range(max_iter):
+        nxt = _star(_star(e, large=True), large=False).localCheckpoint()
+        changed = (nxt.exceptAll(e).limit(1).count()
+                   + e.exceptAll(nxt).limit(1).count())
+        prev, e = e, nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"two-star CC did not converge in {max_iter} rounds")
+    # fixpoint: every edge is (node, root) with root = component min
+    roots = e.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("cluster_id"))
+    # roots themselves are cluster members too
+    self_rows = (e.select(F.col("v").alias("doc_id"))
+                 .distinct()
+                 .withColumn("cluster_id", F.col("doc_id")))
+    return roots.unionByName(self_rows).distinct()

@@ -76,3 +76,39 @@ def test_connected_components_chain_and_islands(spark):
            for r in connected_components(edges, "src", "dst").collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_twostar_cc_matches_propagation_and_handles_long_chains(spark):
+    """connected_components_twostar must (a) agree with min-label
+    propagation on an arbitrary multi-component graph and (b) converge
+    on a diameter-64 chain — where propagation's default 25-round cap
+    cannot (the O(log n) vs O(diameter) separation the variant exists
+    for)."""
+    import random
+
+    from data_pipelines_course_spark.operators.graph import (
+        connected_components, connected_components_twostar)
+
+    rng = random.Random(7)
+    # three scattered components + isolated pairs
+    edges = []
+    for base in (0, 100, 200):
+        nodes = [base + i for i in range(12)]
+        for _ in range(18):
+            a, b = rng.sample(nodes, 2)
+            edges.append((a, b))
+    edges += [(500, 501), (600, 601)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    prop = {(r["doc_id"], r["cluster_id"]) for r in
+            connected_components(df, "a", "b").collect()}
+    two = {(r["doc_id"], r["cluster_id"]) for r in
+           connected_components_twostar(df, "a", "b").collect()}
+    assert two == prop
+
+    # diameter-64 path: 0-1-2-...-64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "a long, b long")
+    got = {(r["doc_id"], r["cluster_id"]) for r in
+           connected_components_twostar(chain, "a", "b",
+                                        max_iter=12).collect()}
+    assert got == {(i, 0) for i in range(65)}
