@@ -240,3 +240,23 @@ def connected_components_twostar(edges: DataFrame, src: str, dst: str,
                  .distinct()
                  .withColumn("cluster_id", F.col("doc_id")))
     return roots.unionByName(self_rows).distinct()
+
+
+@query(
+    "dedup_clusters_twostar",
+    oracle=_DUCK_CC_CTES + """
+    SELECT node AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' exact semantics through the two-star algorithm —
+    SAME recursive-CTE oracle, so both CC implementations are hash-
+    checked against the same ground truth. Kept as a registered twin
+    because the right algorithm is graph-shape-dependent: propagation
+    wins on near-dup cliques (2-3 rounds), two-star on chain-heavy
+    graphs (O(log n) rounds regardless of diameter)."""
+    from .dedup import ngram_jaccard_threshold
+
+    pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
+    return connected_components_twostar(pairs, "doc1", "doc2")

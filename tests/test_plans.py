@@ -500,3 +500,12 @@ def test_pack_sequences_single_source_exchange(spark):
     one exchange on source (window + aggregate share it)."""
     df = QUERIES["pack_sequences"](spark, SF_DIR)
     assert pa.exchange_count(df) == 1, pa.formatted_plan(df)
+
+
+def test_encode_docs_vocab_join_is_broadcast(spark):
+    """The id attachment must broadcast the vocab-sized count table —
+    token instances (corpus-sized) never shuffle on the token key."""
+    df = QUERIES["encode_docs_to_ids"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in pa.join_strategies(df), \
+        pa.formatted_plan(df)
+    assert "SortMergeJoin" not in pa.join_strategies(df)
