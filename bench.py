@@ -95,6 +95,7 @@ EXTRA = (
     "encode_docs_to_ids",
     "pack_sequences",
     "vocab_typo_pairs",
+    "vocab_typo_pairs_symspell",
     "value_outliers_by_type",
     # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
     # they train eagerly at construction (driver merge-loop), so a

@@ -254,3 +254,61 @@ def vocab_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.token").alias("variant"),
                     F.col("a.n").alias("token_n"),
                     F.col("b.n").alias("variant_n")))
+
+
+@query(
+    "vocab_typo_pairs_symspell",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_DUCK_WORDS}) AS token FROM documents)
+        GROUP BY token)
+    SELECT a.token AS token, b.token AS variant, a.n AS token_n,
+           b.n AS variant_n
+    FROM vocab a JOIN vocab b
+      ON abs(length(a.token) - length(b.token)) <= 1
+     AND a.token <> b.token
+     AND levenshtein(a.token, b.token) = 1
+    WHERE a.n >= 10 * b.n
+    """,
+)
+def vocab_typo_pairs_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for typo detection — SymSpell-style deletion
+    neighborhoods (Garbe 2012): every token emits itself plus its
+    length-1 deletion variants as join keys; any two tokens at
+    Levenshtein distance 1 provably share a key (substitution → same
+    deletion at the edit position; insert/delete → the shorter token IS
+    a deletion of the longer), so candidates come from one EQUI-join on
+    an 8-byte key hash — linear in vocab × word length — and the exact
+    levenshtein==1 filter runs only on candidates. Two advantages over
+    the blocked quadratic twin (`vocab_typo_pairs`): no per-block
+    O(block²) sweep at 10^7-token vocabularies, and no first-character
+    block, so first-letter typos ('table'→'able') are not silently
+    excluded — this twin's oracle is the COMPLETE distance-1 spec."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (docs.select(F.explode(F.expr(_SPARK_WORDS)).alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    keys = vocab.select(
+        "token", "n",
+        F.explode(F.expr(
+            "concat(array(token), transform(sequence(1, length(token)),"
+            " i -> concat(substring(token, 1, i - 1),"
+            " substring(token, i + 1, length(token)))))")).alias("k"))
+    a = keys.select(F.col("token").alias("a_token"),
+                    F.col("n").alias("a_n"),
+                    F.xxhash64("k").alias("kh"))
+    b = keys.select(F.col("token").alias("b_token"),
+                    F.col("n").alias("b_n"),
+                    F.xxhash64("k").alias("kh"))
+    cands = (a.join(b, "kh")
+             .filter(F.col("a_token") != F.col("b_token"))
+             .select("a_token", "a_n", "b_token", "b_n")
+             .distinct())
+    return (cands
+            .filter((F.levenshtein("a_token", "b_token") == 1)
+                    & (F.col("a_n") >= 10 * F.col("b_n")))
+            .select(F.col("a_token").alias("token"),
+                    F.col("b_token").alias("variant"),
+                    F.col("a_n").alias("token_n"),
+                    F.col("b_n").alias("variant_n")))

@@ -150,3 +150,35 @@ def test_vocab_typo_logic_on_planted_typos(spark):
                      F.col("b.token").alias("variant")))
     got = {(r["token"], r["variant"]) for r in pairs.collect()}
     assert got == {("table", "tabl")}, got
+
+
+def test_symspell_typo_candidates_catch_first_letter_typos(spark):
+    """The deletion-neighborhood join must find distance-1 pairs the
+    first-char-blocked variant structurally cannot: 'able' (deletion of
+    the FIRST letter of a common 'table') pairs here."""
+    from pyspark.sql import functions as F
+
+    text = " ".join(["table"] * 200 + ["able"] * 3 + ["chair"] * 40)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    vocab = (docs.select(F.explode(F.split(F.lower(F.trim("text")),
+                                           r"\s+")).alias("token"))
+             .groupBy("token")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    keys = vocab.select(
+        "token", "n",
+        F.explode(F.expr(
+            "concat(array(token), transform(sequence(1, length(token)),"
+            " i -> concat(substring(token, 1, i - 1),"
+            " substring(token, i + 1, length(token)))))")).alias("k"))
+    a = keys.select(F.col("token").alias("a_token"),
+                    F.col("n").alias("a_n"), F.xxhash64("k").alias("kh"))
+    b = keys.select(F.col("token").alias("b_token"),
+                    F.col("n").alias("b_n"), F.xxhash64("k").alias("kh"))
+    got = {(r["a_token"], r["b_token"]) for r in
+           (a.join(b, "kh")
+            .filter(F.col("a_token") != F.col("b_token"))
+            .select("a_token", "a_n", "b_token", "b_n").distinct()
+            .filter((F.levenshtein("a_token", "b_token") == 1)
+                    & (F.col("a_n") >= 10 * F.col("b_n")))
+            .collect())}
+    assert got == {("table", "able")}, got
