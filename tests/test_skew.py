@@ -84,3 +84,44 @@ def test_row_salt_deterministic(spark):
     b = [r.s for r in df.orderBy("id").collect()]
     assert a == b
     assert set(a) <= set(range(8))
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """Runtime proof of the session's skew-join posture (session.py
+    enables spark.sql.adaptive.skewJoin): under a 99%-hot-key join with
+    broadcast disabled, AQE must re-plan the sort-merge join with
+    skew=true (the hot partition split across tasks) in the FINAL
+    adaptive plan — the automatic complement to the explicit salting
+    operators this module tests. The final plan is only observable on
+    the collected DataFrame's own queryExecution (count()/noop spawn a
+    fresh execution that never finalizes this one — measured while
+    building this test)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"))
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d"))
+        j = left.join(right, "k")
+        rows = j.collect()
+        assert len(rows) == 495_010  # 495k hot-key + 1.01k tail matches
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
