@@ -180,23 +180,30 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 5-grams found in no other document (grams are distinct per
     doc, so corpus occurrence count == document count). Low novelty =
     near-duplicate of something else in the corpus — the per-doc view
-    of ``duplicate_ratio_report``. Plan: grams staged as an array and
-    exploded ONCE into both the gram-frequency aggregate and the
-    scoring join; the gram table is n-gram-vocabulary-sized, join left
-    to AQE (no hint — it outgrows broadcast at 100 TB and lands as a
-    shuffle join co-keyed with nothing, the unavoidable exchange of any
-    global-frequency attribution)."""
+    of ``duplicate_ratio_report``.
+
+    Plan: ONE scan, ONE explode, gram frequency as a window count over
+    the (doc_id, gram) pairs, then the per-doc aggregate. The window
+    partitions on the gram — a deliberate contrast with
+    ``unigram_logprob_score``, which REJECTS the window form: token
+    keys are Zipf-skewed and the token vocab is tiny (broadcast join
+    wins there), while distinct 5-grams are near-unique (flat keys, no
+    skew) and their "vocabulary" is nearly instance-sized — a count
+    table that can never broadcast at 100 TB, which would force the
+    aggregate-then-join form into shuffling BOTH sides on the gram
+    anyway, plus a second corpus scan. Measured 1.8x over the
+    join form at sf0.1 (1.11 s vs 1.96 s)."""
     docs = load(spark, sf_dir, "documents")
     grams = (docs
              .select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
              .filter(F.size("w") >= 5)
              .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
-    gram_docs = (grams.groupBy("gram")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    from pyspark.sql import Window
+    gram_w = Window.partitionBy("gram")
+    ann = grams.withColumn("n_docs", F.count(F.lit(1)).over(gram_w))
     novel = F.sum(F.when(F.col("n_docs") == 1, 1).otherwise(0)).cast("bigint")
     n_grams = F.count(F.lit(1)).cast("bigint")
-    return (grams.join(gram_docs, "gram")
-            .groupBy("doc_id")
+    return (ann.groupBy("doc_id")
             .agg(n_grams.alias("n_grams"),
                  novel.alias("novel_grams"),
                  fround(novel.cast("double") / n_grams, 4).alias("novelty")))

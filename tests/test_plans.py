@@ -509,3 +509,13 @@ def test_encode_docs_vocab_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in pa.join_strategies(df), \
         pa.formatted_plan(df)
     assert "SortMergeJoin" not in pa.join_strategies(df)
+
+
+def test_novelty_single_scan_no_join(spark):
+    """The novelty report must be the one-scan window form (single
+    documents scan, no join) — not the two-scan aggregate-then-join
+    shape (see the docstring's skew/vocab-size analysis)."""
+    df = QUERIES["ngram_novelty_report"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert plan.count("Location:") == 1, plan
+    assert not pa.join_strategies(df), plan
