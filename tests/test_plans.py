@@ -519,3 +519,33 @@ def test_novelty_single_scan_no_join(spark):
     plan = pa.formatted_plan(df)
     assert plan.count("Location:") == 1, plan
     assert not pa.join_strategies(df), plan
+
+
+def test_weighted_sample_is_top_k_no_shuffle(spark):
+    """Efraimidis-Spirakis sampling must plan as a shuffle-free
+    TakeOrderedAndProject over one scan."""
+    df = QUERIES["weighted_sample_docs"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert pa.exchange_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_symspell_candidates_are_equi_join_not_cartesian(spark):
+    """The deletion-neighborhood join must be a hash equi-join on the
+    key hash — never a cartesian/nested-loop levenshtein sweep."""
+    df = QUERIES["vocab_typo_pairs_symspell"](spark, SF_DIR)
+    strats = set(pa.join_strategies(df))
+    assert "CartesianProduct" not in strats, strats
+    assert "BroadcastNestedLoopJoin" not in strats, strats
+    assert strats & {"BroadcastHashJoin", "SortMergeJoin",
+                     "ShuffledHashJoin"}, strats
+
+
+def test_pq_topk_single_scan_take_ordered(spark):
+    """PQ serving plan: encode + ADC in the scan projection, candidates
+    via TakeOrderedAndProject, zero exchanges."""
+    df = QUERIES["pq_topk"](spark, SF_DIR)
+    plan = pa.formatted_plan(df)
+    assert pa.exchange_count(df) == 0, plan
+    assert "TakeOrderedAndProject" in plan
+    assert pa.python_eval_nodes(df) == []
