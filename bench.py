@@ -90,6 +90,7 @@ EXTRA = (
     "table_profile_orders",
     "media_dedup_hash",
     "pq_topk",
+    "ivf_pq_topk",
     "media_feature_extract_arrow",  # mapInArrow twin of the pandas path
     "weighted_sample_docs",
     "encode_docs_to_ids",

@@ -626,3 +626,66 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(TOP_K))
+
+
+@query("ivf_pq_topk")  # rows-only: trained quantizers are not oracle SQL
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS billion-scale serving architecture composed
+    from this module's pieces: IVF cells ROUTE the probe to IVF_NPROBE
+    cells (partition pruning at scale), PQ codes SCORE the routed
+    candidates by ADC (8 B/vector instead of 256 B), and exact cosine
+    re-ranks the survivors. Memory × routing compose multiplicatively:
+    the probe touches nprobe/K of the corpus AND reads 32× fewer bytes
+    per touched vector.
+
+    Plan: one scan; cell assignment and PQ codes are both scan-side
+    projections (literal centroids / codebooks, unrolled-SQL form —
+    see _pq_encode_sql for why); the cell filter cuts the scan output
+    before ADC ranks it; TakeOrderedAndProject twice (ADC candidates,
+    then exact top-k). Zero exchanges, zero Python. At 100 TB: cells
+    are the partition column, codes a stored column — the serving scan
+    reads (vec_id, codes) from nprobe partitions only. Recall vs brute
+    force measured in tests/test_similarity.py (routing recall bounds
+    it above by ivf_topk's)."""
+    books, qv = _pq_codebooks(spark, sf_dir)
+    emb = _normalized(load(spark, sf_dir, "embeddings"))
+    dim = len(books[0][0]) * PQ_M
+    dsub = dim // PQ_M
+
+    # coarse quantizer: same deterministic first-IVF_K-vectors cells as
+    # ivf_topk (swap in kmeans_train's centroids for a trained router)
+    cent_rows = (load(spark, sf_dir, "embeddings")
+                 .filter(F.col("vec_id") < IVF_K)
+                 .select("vec_id", "embedding").collect())
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in cent_rows}
+    scores = F.array(*[
+        F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
+                 F.lit(c).alias("c")) for c in sorted(cents)])
+    best_cell = F.element_at(F.sort_array(scores, asc=False), 1)["c"]
+    probe_cells = sorted(sorted(cents),
+                         key=lambda c: -_py_cos(qv, _unit(cents[c])))[:IVF_NPROBE]
+
+    luts = []
+    for m, book in enumerate(books):
+        qm = qv[m * dsub:(m + 1) * dsub]
+        luts.append([sum(a * b for a, b in zip(qm, c)) for c in book])
+    adc_sql = " + ".join(
+        f"element_at({_sql_arr(luts[m])}, element_at(codes, {m + 1}) + 1)"
+        for m in range(PQ_M))
+
+    routed = (emb.withColumn("_cell", best_cell)
+              .filter(F.col("_cell").isin(probe_cells)
+                      & (F.col("vec_id") != QUERY_VEC_ID))
+              .withColumn("codes", F.expr(_pq_encode_sql(books, dsub))))
+    cands = (routed
+             .select("vec_id", "label", "nv",
+                     F.expr(adc_sql).alias("adc_score"))
+             .orderBy(F.desc("adc_score"), "vec_id")
+             .limit(PQ_REFINE * TOP_K))
+    return (cands
+            .select("vec_id", "label",
+                    (fround(dot("nv", _arr_sql(qv)), 6) + F.lit(0.0))
+                    .alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(TOP_K))

@@ -135,3 +135,16 @@ def test_ivf_cells_as_partition_column_prune_probe_reads(spark, tmp_path):
     n_src = (emb.withColumn("cell", best)
              .filter(F.col("cell").isin(probe_cells)).count())
     assert probed.count() == n_src
+
+
+def test_ivf_pq_recall_and_exact_rerank(spark):
+    """The composed IVF-PQ path: measured recall@10 = 1.0 on this
+    corpus (floor 0.6 — bounded above by the IVF routing recall), and
+    every returned score must be the exact brute-force cosine."""
+    brute = {r["vec_id"]: r["cos_sim"]
+             for r in all_queries()["knn_brute_force"](spark, SF_DIR).collect()}
+    got = all_queries()["ivf_pq_topk"](spark, SF_DIR).collect()
+    assert len(set(r["vec_id"] for r in got) & set(brute)) / len(brute) >= 0.6
+    for r in got:
+        if r["vec_id"] in brute:
+            assert abs(r["cos_sim"] - brute[r["vec_id"]]) < 1e-9
