@@ -84,6 +84,7 @@ EXTRA = (
     # quality/audit family (late r3)
     "gopher_quality_flags",
     "unigram_logprob_score",
+    "quality_mixture_sample",
     "ngram_novelty_report",
     "scd2_user_state_intervals",
     "snapshot_diff_orders",

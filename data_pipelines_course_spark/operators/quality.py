@@ -319,3 +319,62 @@ def vocab_typo_pairs_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b_token").alias("variant"),
                     F.col("a_n").alias("token_n"),
                     F.col("b_n").alias("variant_n")))
+
+
+# Quality bands on the ROUNDED unigram score (rounding is hash-proven, so
+# banding is engine-exact); per-band keep rates out of 100.
+_BAND_HI, _BAND_MID = -6.0, -6.5
+_RATES = {"high": 80, "mid": 50, "low": 10}
+
+
+@query(
+    "quality_mixture_sample",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents),
+    counts AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+    scored AS (
+        SELECT doc_id,
+               {fround_sql('avg(ln(c) - ln(t))', 4)} AS avg_logprob
+        FROM toks JOIN counts USING (token) CROSS JOIN tot
+        GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, avg_logprob,
+               CASE WHEN avg_logprob >= {_BAND_HI} THEN 'high'
+                    WHEN avg_logprob >= {_BAND_MID} THEN 'mid'
+                    ELSE 'low' END AS band
+        FROM scored)
+    SELECT doc_id, band, avg_logprob
+    FROM banded
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) % 100 <
+          CASE band WHEN 'high' THEN {_RATES['high']}
+                    WHEN 'mid' THEN {_RATES['mid']}
+                    ELSE {_RATES['low']} END
+    """,
+)
+def quality_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted data mix — the curriculum-sampling composition:
+    score every document with the corpus unigram LM, band it on FIXED
+    thresholds of the ROUNDED score (banding is then engine-exact and,
+    unlike decile ntile/percent_rank, needs no global ranking window —
+    the move that keeps this map-shaped at 100 TB), and keep 80% of
+    high-quality, 50% of mid, 10% of low documents via the md5-bucket
+    draw (pure function of doc_id: reproducible across runs, engines,
+    partitionings). One query = the score pipeline + a CASE + a filter;
+    everything after the per-doc aggregate is a projection."""
+    from .sampling import hash_bucket
+
+    scored = unigram_logprob_score(spark, sf_dir)
+    band = (F.when(F.col("avg_logprob") >= _BAND_HI, "high")
+            .when(F.col("avg_logprob") >= _BAND_MID, "mid")
+            .otherwise("low"))
+    rate = (F.when(F.col("band") == "high", _RATES["high"])
+            .when(F.col("band") == "mid", _RATES["mid"])
+            .otherwise(_RATES["low"]))
+    return (scored.withColumn("band", band)
+            .filter(hash_bucket(F.col("doc_id"), 100) < rate)
+            .select("doc_id", "band", "avg_logprob"))
