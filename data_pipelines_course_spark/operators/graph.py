@@ -48,23 +48,36 @@ def connected_components(edges: DataFrame, src: str, dst: str,
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
               .localCheckpoint())
+    from pyspark.sql import Observation
+
     changed = -1
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                .groupBy(sym["a"].alias("node"))
                .agg(F.min("label").alias("nbr_min")))
+        # The convergence probe rides the SAME job that materializes the
+        # round's labels: min-labels only ever decrease, so changed =
+        # (new < old), summed via an Observation that localCheckpoint's
+        # materialization triggers (verified empirically) — one job per
+        # round instead of checkpoint + a second labels⋈labels count.
+        # Local wall-clock is a wash on this corpus's ~200-node graphs
+        # (3.16 s vs 3.07 s median at sf0.1 — the count join was never
+        # the cost here); the win is structural: per-round scheduling
+        # halves, and the deleted join's cost grew with node count.
+        new_label = F.least(F.col("l.label"),
+                            F.coalesce(F.col("r.nbr_min"),
+                                       F.col("l.label")))
+        obs = Observation()
         new_labels = (labels.alias("l")
                       .join(nbr.alias("r"), "node", "left")
-                      .select(F.col("node"),
-                              F.least(F.col("l.label"),
-                                      F.coalesce(F.col("r.nbr_min"),
-                                                 F.col("l.label")))
-                              .alias("label"))
+                      .select(F.col("node"), new_label.alias("label"),
+                              (new_label < F.col("l.label")).alias("_chg"))
+                      .observe(obs, F.sum(
+                          F.when(F.col("_chg"), 1).otherwise(0))
+                          .alias("changed"))
+                      .drop("_chg")
                       .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         if changed == 0:
             break
