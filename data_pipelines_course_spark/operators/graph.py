@@ -235,13 +235,36 @@ def connected_components_twostar(edges: DataFrame, src: str, dst: str,
                         F.least("u", "v").alias("v"))
                 .distinct())
 
+    from pyspark.sql import Observation
+
+    def _materialize(edges_df: DataFrame):
+        """(checkpointed edges, (count, hash-sum) set signature) in ONE
+        job: the signature rides the checkpoint via an Observation."""
+        obs = Observation()
+        ck = (edges_df
+              .observe(obs,
+                       F.count(F.lit(1)).alias("n"),
+                       # decimal(38,0) accumulator: a BIGINT sum of
+                       # xxhash64 values overflows under ANSI
+                       F.sum(F.xxhash64("u", "v")
+                             .cast("decimal(38,0)")).alias("h"))
+              .localCheckpoint())
+        got = obs.get
+        return ck, (got["n"], got["h"])
+
+    e, sig = _materialize(e)
     for _ in range(max_iter):
-        nxt = _star(_star(e, large=True), large=False).localCheckpoint()
-        changed = (nxt.exceptAll(e).limit(1).count()
-                   + e.exceptAll(nxt).limit(1).count())
-        prev, e = e, nxt
-        if changed == 0:
+        nxt, nsig = _materialize(_star(_star(e, large=True), large=False))
+        # Cheap per-round probe: (count, xxhash64-sum) signature equality
+        # — one aggregate riding the materialization job, vs two
+        # exceptAll joins per round. A hash-sum collision could fake
+        # convergence (~2^-64), so equality is CONFIRMED with the exact
+        # set compare once, at the apparent fixpoint only.
+        if nsig == sig and (nxt.exceptAll(e).limit(1).count()
+                            + e.exceptAll(nxt).limit(1).count()) == 0:
+            e = nxt
             break
+        e, sig = nxt, nsig
     else:
         raise RuntimeError(
             f"two-star CC did not converge in {max_iter} rounds")
