@@ -1,6 +1,6 @@
 """Data-quality auditing: snapshot diffing and table profiling.
 
-Two warehouse-operations surfaces every production pipeline grows:
+Warehouse-operations surfaces every production pipeline grows:
 
 - ``snapshot_diff`` — classify rows as added / removed / changed between
   two snapshots of a keyed table (the data-diff that gates a backfill
@@ -11,6 +11,8 @@ Two warehouse-operations surfaces every production pipeline grows:
 - ``table_profile`` — per-column null and distinct counts in one pass
   (the reference profiles interactively with pandas `.describe()` in its
   EDA notebooks; this is the distributed equivalent).
+- ``value_outliers_by_type`` — per-group 3-sigma z-score flagging, the
+  data-quality gate before value aggregates are trusted.
 
 Scale notes: the diff is ONE full-outer sort-merge join on the snapshot
 key — both sides shuffle once on the key, no other corpus-sized stage;

@@ -1,7 +1,7 @@
 """Corpus quality gates and memorization-risk reports for training data.
 
-Three curation signals that real LLM-data pipelines run before training,
-each one scan-shaped and oracle-checkable:
+Curation signals real LLM-data pipelines run before training, each
+oracle-checkable:
 
 - ``gopher_quality_flags`` — the rule-based document filter popularized by
   Gopher/MassiveText (word-count bounds, mean-word-length bounds, minimum
@@ -17,6 +17,11 @@ each one scan-shaped and oracle-checkable:
   that occur in NO other document. Low novelty = heavily duplicated
   content (memorization risk); the per-doc complement of the corpus-wide
   ``duplicate_ratio_report``.
+- ``vocab_typo_pairs`` / ``vocab_typo_pairs_symspell`` — rare-variant
+  typo detection over the vocabulary (blocked fuzzy self-join, plus the
+  SymSpell deletion-neighborhood equi-join scale twin).
+- ``quality_mixture_sample`` — the curriculum data mix: LM-score bands
+  × per-band deterministic keep rates.
 
 Reference lineage: the course's quality gates are row-level filters in
 the Dask/pandas notebooks (dask-pipeline/Dask-Pipeline.ipynb: dropna/
