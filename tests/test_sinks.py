@@ -214,3 +214,23 @@ def test_parquet_bloom_filter_written_and_content_identical(spark, tmp_path):
     probe = "md5(cast(12345 as string))"
     assert (b.filter(F.col("k") == F.expr(probe)).count()
             == a.filter(F.col("k") == F.expr(probe)).count() == 1)
+
+
+def test_ledgered_write_records_and_verifies(spark, tmp_path):
+    """The ledger must be produced by the write job itself (rows from
+    the Observation), verify cleanly, and FAIL verification after the
+    table is tampered with."""
+    from data_pipelines_course_spark.sinks.writers import (
+        ledgered_write, verify_ledger)
+
+    nation = load(spark, "/root/testdata/sf0.01", "nation")
+    path = str(tmp_path / "ledgered")
+    manifest = ledgered_write(nation, path)
+    assert manifest["rows"] == 25
+    assert verify_ledger(spark, path)["rows"] == 25
+
+    # tamper: append rows behind the ledger's back
+    nation.limit(3).write.mode("append").parquet(path)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="28 rows on disk"):
+        verify_ledger(spark, path)
