@@ -3,8 +3,14 @@
 Engine-surface additions for training-data pipelines (build brief):
 - brute-force top-k cosine (the exactness baseline, oracle-checked),
 - all-pairs near-duplicate cosine (oracle-checked ground truth),
-- random-hyperplane LSH ANN (the 100 TB path: bucketed search, no
-  quadratic stage; recall measured against brute force in tests).
+- random-hyperplane LSH ANN (training-free bucketed search),
+- IVF cells (routing; cells double as write-time partitions),
+- spherical k-means (the trained coarse quantizer) + SemDeDup
+  within-cell near-dup candidates,
+- PQ/ADC (32x memory compression) and the composed IVF-PQ serving
+  path (routing x compression x exact re-rank).
+Every approximate path's recall is MEASURED against the exact twin in
+tests/test_similarity.py, never asserted blind.
 
 All vector math is JVM-side higher-order functions (zip_with + aggregate);
 elements are upcast to double *before* summation and summed sequentially

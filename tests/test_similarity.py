@@ -1,6 +1,6 @@
-"""ANN quality tests: both approximate paths (LSH buckets, IVF cells)
-measured against the exact brute-force ranking — the check the rows-only
-driver gate can't do."""
+"""ANN quality tests: every approximate path (LSH buckets, IVF cells,
+k-means/SemDeDup, PQ/ADC, composed IVF-PQ) measured against the exact
+brute-force ranking — the check the rows-only driver gate can't do."""
 
 from __future__ import annotations
 
