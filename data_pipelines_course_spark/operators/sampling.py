@@ -168,6 +168,7 @@ def mixture_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            {fround_sql('ln((' + _bucket_sql('doc_id', 65536)
                        + ' + 0.5) / 65536.0) / n_chars', 6)} AS es_key
     FROM documents
+    WHERE n_chars > 0
     ORDER BY es_key DESC, doc_id
     LIMIT 100
     """,
@@ -181,8 +182,11 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function of doc_id: re-runs, repartitions and engines agree
     row-for-row (a seeded rand() would not survive any of those). One
     scan + TakeOrderedAndProject — the distributed one-pass weighted
-    reservoir; no shuffle beyond the top-k merge."""
-    docs = load(spark, sf_dir, "documents")
+    reservoir; no shuffle beyond the top-k merge. Zero-weight rows are
+    excluded on BOTH sides: ln(u)/0 is -Infinity on Spark but NULL on
+    DuckDB, a latent cross-engine divergence (no such row exists in the
+    testdata; the guard keeps the semantics defined anyway)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (hash_bucket(F.col("doc_id"), 65536).cast("double") + 0.5) / 65536.0
     es_key = fround(F.log(u) / F.col("n_chars"), 6)
     return (docs.select("doc_id", "n_chars", es_key.alias("es_key"))

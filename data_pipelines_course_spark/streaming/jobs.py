@@ -547,9 +547,14 @@ def dedup_index_sink(index_path: str, hits_path: str):
                  .select("doc_id",
                          F.posexplode(F.expr(band_expr))
                          .alias("band", "band_hash")))
-        try:
+        # Existence probe, NOT a blanket except around the read: a
+        # corrupt/unreadable index must raise, never silently count as
+        # "no history" (which would wave duplicates through).
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             index = spark.read.parquet(index_path).drop("_batch_id")
-        except Exception:  # first batch: no index yet
+        else:  # first batch: no index yet
             index = None
         cross = None
         if index is not None:
