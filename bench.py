@@ -69,6 +69,7 @@ EXTRA = (
     "tpch_q13_order_distribution",
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_suppliers",
+    "tpch_q9_product_profit",
     "pii_redaction",
     "boilerplate_ngrams",
     # late-r3 additions. embedding_kmeans / semdedup_candidates are

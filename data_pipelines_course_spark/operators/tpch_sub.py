@@ -534,3 +534,57 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
                  fround(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("cntrycode"))
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {fround_sql("sum(l.l_extendedprice * (1 - l.l_discount)"
+                       " - 0.6 * p.p_retailprice * l.l_quantity)")}
+               AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit): per-nation per-year profit on the
+    parts matching a name fragment — the 5-way star join over the fact
+    table. Adaptation: no partsupp table in this schema, so supply cost
+    is a fixed cost ratio of the part's retail price (0.6 ×
+    p_retailprice — deterministic, identical on both engines); the
+    plan-shape essence of Q9 — lineitem joined to part, supplier,
+    nation and orders simultaneously, then a two-key rollup — is
+    unchanged. The name filter reaches the part scan (pushdown), part
+    and supplier/nation broadcast at test SF by stats (no hints — both
+    grow with SF except nation), and the orders join carries only
+    (o_orderkey, o_orderdate). One fact scan, one final rollup
+    exchange."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    part = (load(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%red%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = F.broadcast(
+        load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(fround(F.sum(profit), 2).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
