@@ -549,3 +549,15 @@ def test_pq_topk_single_scan_take_ordered(spark):
     assert pa.exchange_count(df) == 0, plan
     assert "TakeOrderedAndProject" in plan
     assert pa.python_eval_nodes(df) == []
+
+
+def test_q9_star_join_no_sort_merge_on_dims(spark):
+    """Q9's 5-way star join: at test SF every dimension side (part
+    filtered, supplier, nation, orders' two columns) must attach
+    without a SortMergeJoin, and the part-name filter must reach the
+    part scan."""
+    df = QUERIES["tpch_q9_product_profit"](spark, SF_DIR)
+    assert "SortMergeJoin" not in pa.join_strategies(df), \
+        pa.join_strategies(df)
+    pushed = pa.pushed_filters(df)
+    assert any("p_name" in f for f in pushed), pushed
