@@ -97,6 +97,7 @@ def rolling_7day_customer_spend(spark: SparkSession,
 
 @query(
     "price_quantiles",
+    scale_twin="price_quantiles_approx",
     oracle="""
     SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
            quantile_cont(l_extendedprice, 0.5) AS q50,

@@ -193,6 +193,7 @@ def _pair_jaccard(docs: DataFrame) -> DataFrame:
 
 @query(
     "ngram_jaccard_topk",
+    scale_twin="ngram_jaccard_threshold_prefix",
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
@@ -424,6 +425,7 @@ JACCARD_T = 0.6
 
 @query(
     "ngram_jaccard_threshold",
+    scale_twin="ngram_jaccard_threshold_prefix",
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle

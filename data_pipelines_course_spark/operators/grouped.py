@@ -168,7 +168,8 @@ _CONVERSION_LAG_ORACLE = f"""
     """
 
 
-@query("cogroup_conversion_lag", oracle=_CONVERSION_LAG_ORACLE)
+@query("cogroup_conversion_lag", oracle=_CONVERSION_LAG_ORACLE,
+       scale_twin="conversion_lag_native")
 def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user average seconds between each purchase and the latest
     preceding click (purchases with no prior click are not conversions).

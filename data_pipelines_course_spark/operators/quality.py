@@ -119,7 +119,11 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks GROUP BY token),
     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts)
     SELECT doc_id,
-           {fround_sql('avg(ln(c) - ln(t))', 4)} AS avg_logprob
+           -- same decomposition as the Spark side (sum(ln c)/n − ln T),
+           -- not avg(ln c − ln t): differing float summation could flip
+           -- the half-up rounding at a 4th-decimal boundary (ADVICE r3)
+           {fround_sql('sum(ln(c)) / count(*) - ln(any_value(t))', 4)}
+               AS avg_logprob
     FROM toks JOIN counts USING (token) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -216,6 +220,7 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vocab_typo_pairs",
+    scale_twin="vocab_typo_pairs_symspell",
     oracle=f"""
     WITH vocab AS (
         SELECT token, CAST(count(*) AS BIGINT) AS n
@@ -343,7 +348,10 @@ _RATES = {"high": 80, "mid": 50, "low": 10}
     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
     scored AS (
         SELECT doc_id,
-               {fround_sql('avg(ln(c) - ln(t))', 4)} AS avg_logprob
+               -- same decomposition as the Spark side; see
+               -- unigram_logprob_score's oracle (ADVICE r3)
+               {fround_sql('sum(ln(c)) / count(*) - ln(any_value(t))', 4)}
+                   AS avg_logprob
         FROM toks JOIN counts USING (token) CROSS JOIN tot
         GROUP BY doc_id),
     banded AS (

@@ -95,6 +95,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_neardup_topk",
+    scale_twin="semdedup_candidates",
     oracle=f"""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            floor(({_duck_cos('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 + 0.0 AS cos_sim

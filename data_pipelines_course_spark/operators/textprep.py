@@ -342,6 +342,16 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 20  # merge rounds to train (toy scale; the loop is the point)
 
 
+def _sq(sym: str) -> str:
+    """Quote a BPE symbol for interpolation into a SQL string literal.
+
+    Backslashes must be doubled BEFORE quote-escaping (ADVICE r3): a
+    corpus token containing a backslash would otherwise corrupt the
+    generated fold expression (or swallow the closing quote).
+    """
+    return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def bpe_train(spark: SparkSession, sf_dir: str,
               n_merges: int = BPE_MERGES) -> list[tuple[str, str]]:
     """Train byte-pair-encoding merges on the corpus — the REAL BPE
@@ -400,7 +410,7 @@ def bpe_train(spark: SparkSession, sf_dir: str,
             merges.append((a, b))
             # merge every adjacent (a,b) left-to-right via an aggregate
             # fold: O(symbols) per word, no Python.
-            qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+            qa, qb = _sq(a), _sq(b)
             cur = (cur.withColumn("syms", F.expr(
                 f"aggregate(syms, array(cast(null as string)), "
                 f"(acc, x) -> CASE WHEN size(acc) > 0 "
@@ -434,7 +444,7 @@ def bpe_segment_expr(col: str, merges: list[tuple[str, str]]) -> str:
     chain k folds, all inside one projection; no Python, no shuffle."""
     expr = f"concat(split({col}, ''), array('</w>'))"
     for a, b in merges:
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qa, qb = _sq(a), _sq(b)
         expr = (
             f"aggregate({expr}, array(cast(null as string)), "
             f"(acc, x) -> CASE WHEN element_at(acc, -1) = '{qa}' "

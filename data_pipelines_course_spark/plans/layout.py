@@ -106,20 +106,46 @@ def zorder_layout(df: DataFrame, path: str, cols: list[str],
     """
     from pyspark.sql import functions as F
 
+    from pyspark.sql import types as T
+
     n = len(cols)
     if not 2 <= n <= 4:
         raise ValueError(f"zorder needs 2-4 columns, got {n}")
     if bits is None:
         bits = 48 // n
+
+    # Explicit type dispatch, not a blind cast('double'): strings cast to
+    # NULL (or fail under ANSI), silently degenerating the layout to an
+    # unordered write. Dates/timestamps — which this docstring advertises —
+    # get a monotone numeric image; anything non-orderable raises here,
+    # at plan time. (ADVICE r3.)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+
+    def _num(c: str):
+        dt = fields.get(c)
+        if dt is None:
+            raise ValueError(f"zorder column {c!r} not in schema")
+        if isinstance(dt, (T.NumericType, T.BooleanType)):
+            return F.col(c).cast("double")
+        if isinstance(dt, T.DateType):
+            return F.unix_date(F.col(c)).cast("double")
+        if isinstance(dt, T.TimestampType):
+            return F.unix_micros(F.col(c)).cast("double")
+        if isinstance(dt, T.TimestampNTZType):
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        raise TypeError(
+            f"zorder column {c!r} has non-orderable type {dt.simpleString()};"
+            " supported: numeric, boolean, date, timestamp")
+
     bounds = df.agg(*[a for i, c in enumerate(cols) for a in (
-        F.min(F.col(c).cast("double")).alias(f"_min{i}"),
-        F.max(F.col(c).cast("double")).alias(f"_max{i}"))])
+        F.min(_num(c)).alias(f"_min{i}"),
+        F.max(_num(c)).alias(f"_max{i}"))])
     top = (1 << bits) - 1
 
     def _q(i: int):
         lo, hi = F.col(f"_min{i}"), F.col(f"_max{i}")
         rng = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        return (F.floor((F.col(cols[i]).cast("double") - lo) / rng * top)
+        return (F.floor((_num(cols[i]) - lo) / rng * top)
                 .cast("bigint"))
 
     staged = df.crossJoin(F.broadcast(bounds))

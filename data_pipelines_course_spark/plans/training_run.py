@@ -134,17 +134,21 @@ def training_run(spark: SparkSession, sf_dir: str,
         return ledgered_write(binned, _stage_path(out_dir, "packed"))
 
     def manifest(ctx: dict[str, Any]):
-        """Chord over tokenize+pack: one run-level summary manifest."""
+        """Chord over tokenize+pack: one run-level summary manifest.
+        Ledger reads/writes go through the same Hadoop FS API as
+        ledgered_write — plain local open() breaks on any non-local
+        filesystem (ADVICE r3)."""
+        from ..sinks.writers import read_small_file, write_small_file
+
         stages = ["curated", "deduped", "decontaminated", "split",
                   "token_ids", "packed"]
         summary = {}
         for s in stages:
-            with open(os.path.join(_stage_path(out_dir, s),
-                                   "_ledger.json")) as f:
-                summary[s] = json.load(f)["rows"]
-        path = os.path.join(out_dir, "run_manifest.json")
-        with open(path, "w") as f:
-            json.dump(summary, f, indent=1)
+            ledger = os.path.join(_stage_path(out_dir, s), "_ledger.json")
+            summary[s] = json.loads(
+                read_small_file(spark, ledger).decode())["rows"]
+        write_small_file(spark, os.path.join(out_dir, "run_manifest.json"),
+                         json.dumps(summary, indent=1).encode())
         return summary
 
     return Pipeline(

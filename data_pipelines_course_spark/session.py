@@ -84,6 +84,9 @@ def get_spark(app_name: str = "data-pipelines-course-spark",
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
+        # No stage progress bars on stdout: bench.py's contract is machine-
+        # parsed JSON lines and the \r-rewritten bars corrupt tail capture.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)

@@ -232,6 +232,40 @@ def write_parquet_with_bloom(df: DataFrame, path: str, bloom_cols: list[str],
     w.parquet(path)
 
 
+def read_small_file(spark, path: str) -> bytes:
+    """Read a small sidecar file (ledger/manifest) through the Hadoop
+    FileSystem API in ONE bulk JVM-side copy. The previous verify_ledger
+    pulled one byte per py4j round-trip, and training_run read the same
+    ledgers with plain local open() — both break on the non-local
+    filesystems the 100 TB framing implies (ADVICE r3). This is the one
+    read path every sidecar consumer shares."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        # JVM-side stream copy: no per-byte py4j traffic.
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, False)
+        return bytes(baos.toByteArray())
+    finally:
+        stream.close()
+
+
+def write_small_file(spark, path: str, data: bytes) -> None:
+    """Write a small sidecar file through the same Hadoop FS API as
+    ledgered_write (overwrite=True) — sidecar reads and writes must go
+    through ONE filesystem abstraction."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+
+
 def ledgered_write(df: DataFrame, path: str,
                    mode: str = "overwrite") -> dict:
     """Parquet write with a WRITE LEDGER: alongside the data, a
@@ -259,13 +293,8 @@ def ledgered_write(df: DataFrame, path: str,
         "schema": df.schema.simpleString(),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    jvm = df.sparkSession._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ledger.json")
-    fs = hpath.getFileSystem(
-        df.sparkSession._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    out.write(bytearray(json.dumps(manifest, indent=1).encode()))
-    out.close()
+    write_small_file(df.sparkSession, path.rstrip("/") + "/_ledger.json",
+                     json.dumps(manifest, indent=1).encode())
     return manifest
 
 
@@ -278,17 +307,8 @@ def verify_ledger(spark, path: str) -> dict:
     import hashlib
     import json
 
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_ledger.json")
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    data = bytearray()
-    b = stream.read()
-    while b != -1:
-        data.append(b)
-        b = stream.read()
-    stream.close()
-    manifest = json.loads(bytes(data).decode())
+    manifest = json.loads(
+        read_small_file(spark, path.rstrip("/") + "/_ledger.json").decode())
     df = spark.read.parquet(path)
     schema_hash = hashlib.md5(df.schema.simpleString().encode()).hexdigest()
     if schema_hash != manifest["schema_md5"]:

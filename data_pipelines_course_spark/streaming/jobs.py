@@ -553,7 +553,17 @@ def dedup_index_sink(index_path: str, hits_path: str):
         jvm_path = spark._jvm.org.apache.hadoop.fs.Path(index_path)
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(jvm_path):
-            index = spark.read.parquet(index_path).drop("_batch_id")
+            # Replay idempotency: a re-delivered batch (at-least-once
+            # upstream) may find ITS OWN `_batch_id=N` partition already
+            # in the index from the first attempt. Probing against it
+            # would emit (doc_id, doc_id) self-pairs and reversed
+            # intra-batch pairs, so the replayed hits partition would
+            # differ from the first run's. Restrict the probe to bands
+            # from STRICTLY EARLIER batches — partition pruning makes
+            # this a metadata filter, not a scan.
+            index = (spark.read.parquet(index_path)
+                     .filter(F.col("_batch_id") < F.lit(batch_id))
+                     .drop("_batch_id"))
         else:  # first batch: no index yet
             index = None
         cross = None

@@ -87,3 +87,22 @@ def test_bpe_segmentation_matches_python_replay(spark):
            df.select("word", F.expr(bpe_segment_expr("word", merges))
                      .alias("seg")).collect()}
     assert got == {w: py_seg(w) for w in words}
+
+
+def test_bpe_segment_expr_survives_backslash_symbols(spark):
+    """A merged symbol containing a backslash (possible after whitespace
+    split on real corpora, e.g. latex or windows paths) must interpolate
+    into the fold expression without corrupting it. ADVICE r3 (low)."""
+    from pyspark.sql import functions as F
+    from data_pipelines_course_spark.operators.textprep import (
+        bpe_segment_expr)
+
+    # Simulate merges learned from a corpus of '\n'-ish tokens: first
+    # merge ('\\', 'n'), then ('\\n', "'") — backslash AND quote.
+    merges = [("\\", "n"), ("\\n", "'")]
+    df = spark.createDataFrame([("\\n'x",), ("ab",)], "word string")
+    got = {r["word"]: list(r["seg"]) for r in
+           df.select("word", F.expr(bpe_segment_expr("word", merges))
+                     .alias("seg")).collect()}
+    assert got["\\n'x"] == ["\\n'", "x", "</w>"]
+    assert got["ab"] == ["a", "b", "</w>"]
