@@ -783,3 +783,112 @@ def decontaminate_ngram_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (train.join(F.broadcast(bench), "gh")
             .groupBy(F.col("doc_id").alias("train_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("hit_ngrams")))
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): document-level dedup
+# misses the common case of long passages copied between otherwise
+# distinct documents (licenses, boilerplate, quoted text). The suffix-
+# array formulation is replaced by its standard distributed
+# approximation: fixed-width token windows (W=10, stride 1) — a
+# duplicated substring of length >= W is detected exactly, shorter ones
+# are ignored by design.
+# --------------------------------------------------------------------------
+
+_SPAN_W = 10
+# Windows over a STAGED words column `w` (same staging rule as
+# _SHINGLES_OF_W): (pos, md5-of-window) structs. md5, not xxhash64, so
+# the DuckDB oracle computes identical keys; the 100 TB swap is
+# xxhash64 (8-byte shuffle keys, ~4x smaller than the hex digest) once
+# cross-engine parity is no longer the contract.
+_SPAN_WINS_OF_W = (
+    f"transform(sequence(1, size(w) - {_SPAN_W - 1}),"
+    f" i -> struct(i AS pos,"
+    f" md5(concat_ws(' ', slice(w, i, {_SPAN_W}))) AS wh))"
+)
+
+
+@query(
+    "dup_span_report",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(
+                   list_slice(ws, i, i + {_SPAN_W - 1}), ' ')) AS wh
+        FROM w, unnest(generate_series(1, len(ws) - {_SPAN_W - 1})) AS t(i)
+        WHERE len(ws) >= {_SPAN_W}),
+    dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+    marked AS (
+        SELECT doc_id, pos, pos + {_SPAN_W - 1} AS e,
+               max(pos + {_SPAN_W - 1}) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_e
+        FROM wins JOIN dup USING (wh)),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+               CAST(sum(greatest(0,
+                   e - greatest(pos - 1, coalesce(prev_e, 0))))
+                   AS BIGINT) AS dup_tokens
+        FROM marked GROUP BY doc_id)
+    SELECT d.doc_id, CAST(len(w.ws) AS BIGINT) AS n_words,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(p.dup_tokens, 0) AS dup_tokens
+    FROM documents d
+    JOIN w USING (doc_id)
+    LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-PASSAGE report: how many stride-1 10-word
+    windows occur at >= 2 positions corpus-wide, and how many token
+    positions those windows cover (exact interval union, so overlapping
+    windows of one long copied passage count each token once). The doc-
+    level twin is `duplicate_ratio_report`; this is the sub-document
+    granularity that catches shared boilerplate between non-duplicate
+    documents.
+
+    Plan: the windows pass stages the words array once, explodes the
+    stride-1 windows (O(tokens x W) pure codegen, no Python), and takes
+    the duplicate decision as `count() over (partition by wh)` — the
+    WINDOW form, not aggregate-then-join, for exactly
+    ngram_novelty_report's reason: window hashes are near-unique (flat
+    keys, no skew) and their "count table" is nearly instance-sized, so
+    the join form would shuffle both sides on wh anyway plus re-evaluate
+    the explode subtree. Marked windows then shuffle once on doc_id for
+    the interval-union sweep, whose per-row state is one running max
+    (gaps-and-islands, never a per-doc array). A second light scan
+    (doc_id + text) supplies the full doc list so every doc keeps a row
+    (zeros when clean) — the report is a complete audit table."""
+    docs = load(spark, sf_dir, "documents")
+    base = (_widen(docs)
+            .select("doc_id", F.expr(_WORDS).alias("w")))
+    wins = (base.filter(F.size("w") >= _SPAN_W)
+            .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
+            .select("doc_id", F.col("x.pos").alias("pos"),
+                    F.col("x.wh").alias("wh")))
+    wh_w = Window.partitionBy("wh")
+    end = F.col("pos") + F.lit(_SPAN_W - 1)
+    prev_w = (Window.partitionBy("doc_id").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    marked = (wins.withColumn("cnt", F.count(F.lit(1)).over(wh_w))
+              .filter(F.col("cnt") >= 2)
+              .select("doc_id", "pos", end.alias("e"))
+              .withColumn("prev_e", F.max("e").over(prev_w)))
+    new_cov = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("pos") - 1,
+                                F.coalesce("prev_e", F.lit(0))))
+    per_doc = (marked.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+                    F.sum(new_cov).cast("bigint").alias("dup_tokens")))
+    return (base.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+            .join(per_doc, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
+                    .alias("n_dup_windows"),
+                    F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
+                    .alias("dup_tokens")))

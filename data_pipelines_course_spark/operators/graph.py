@@ -296,3 +296,30 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
     return connected_components_twostar(pairs, "doc1", "doc2")
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_DUCK_CC_CTES + """
+    , clusters AS (
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node),
+    csizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY cluster_id)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM csizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size profile — the audit view a dedup run gets
+    judged by (a corpus whose histogram has a fat tail of giant clusters
+    signals boilerplate or a broken similarity threshold, not genuine
+    near-dups; DataComp/FineWeb-style dedup reports lead with exactly
+    this table). Two K-row aggregates past dedup_clusters: cluster count
+    then histogram — the corpus never reshuffles."""
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = (clusters.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size")))
+    return (sizes.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters")))

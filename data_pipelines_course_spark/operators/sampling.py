@@ -192,3 +192,53 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", "n_chars", es_key.alias("es_key"))
             .orderBy(F.desc("es_key"), "doc_id")
             .limit(100))
+
+
+@query(
+    "temperature_resample_docs",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+    m AS (SELECT min(n) AS mn FROM c),
+    r AS (
+        SELECT source, n, sqrt(CAST(mn AS DOUBLE) / n) AS rate
+        FROM c CROSS JOIN m)
+    SELECT d.doc_id, d.source,
+           {fround_sql('r.rate', 4)} AS accept_rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS INTEGER) < r.rate * 65536
+    """,
+)
+def temperature_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing with TEMPERATURE tau=0.5 (the standard
+    multilingual/multi-source mixing move: sample source s proportional
+    to n_s^tau, flattening the head without discarding the tail —
+    mBERT/XLM-R exponent-smoothed sampling, also how pretraining mixes
+    crawl vs curated sources). Acceptance rate per source is
+    n_s^(tau-1) normalized so the RAREST source keeps everything:
+    rate_s = sqrt(min_n / n_s) for tau = 0.5.
+
+    Determinism + parity: membership is the md5-bucket of doc_id (the
+    module contract — repartition/engine invariant), and the rate uses
+    ONE sqrt of an exact integer ratio — sqrt is IEEE correctly-rounded
+    in both engines, so the acceptance threshold is bit-identical and
+    the oracle hash can't flip (pow(x, 0.5) would not guarantee that).
+
+    Plan: the per-source count table is O(sources) — broadcast; the
+    corpus is filtered map-side on the scan, never shuffled. At 100 TB
+    this is a zero-shuffle pass like deterministic_sample_docs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select("source",
+                     F.sqrt(F.col("mn").cast("double") / F.col("n"))
+                     .alias("rate")))
+    return (docs.join(F.broadcast(rates), "source")
+            .filter(hash_bucket(F.col("doc_id"), 65536).cast("double")
+                    < F.col("rate") * 65536)
+            .select("doc_id", "source",
+                    fround(F.col("rate"), 4).alias("accept_rate")))

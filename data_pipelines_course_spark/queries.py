@@ -177,6 +177,9 @@ DRIVER_FIRST: tuple[str, ...] = (
     "rollup_stream_convergence",
     "bpe_merge_table",
     "bpe_token_stats",
+    "dup_span_report",
+    "temperature_resample_docs",
+    "dedup_cluster_size_histogram",
 )
 
 

@@ -62,3 +62,40 @@ def test_mixture_rates_are_respected(spark):
     rows = kept.groupBy("stratum").count().collect()
     counts = {r["stratum"]: r["count"] for r in rows}
     assert counts == {"a": 5000}  # rate-100 keeps all, rate-0 keeps none
+
+
+def test_temperature_resample_flattens_skewed_sources(spark):
+    """On a skewed corpus, tau=0.5 resampling keeps ~sqrt(min_n/n) of
+    each source: everything from the rarest source, ~sqrt-scaled from
+    the head — so head:tail ratio drops from n_head/n_tail to about
+    sqrt(n_head/n_tail). (The driver testdata is uniform across
+    sources, where the op correctly keeps everything — this test
+    supplies the skew.)"""
+    from data_pipelines_course_spark.operators.sampling import hash_bucket
+
+    rows = ([(i, "head") for i in range(1600)]
+            + [(10_000 + i, "tail") for i in range(100)])
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .select("source",
+                     F.sqrt(F.col("mn").cast("double") / F.col("n"))
+                     .alias("rate")))
+    kept = (docs.join(F.broadcast(rates), "source")
+            .filter(hash_bucket(F.col("doc_id"), 65536).cast("double")
+                    < F.col("rate") * 65536))
+    by_src = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_src["tail"] == 100                 # rarest source: keep all
+    # head: expected 1600 * sqrt(100/1600) = 400; md5-bucket noise is
+    # binomial (sigma ~ 19), allow 5 sigma.
+    assert 300 <= by_src["head"] <= 500, by_src
+    # Determinism: a repartition must not change membership.
+    kept2 = (docs.repartition(7).join(F.broadcast(rates), "source")
+             .filter(hash_bucket(F.col("doc_id"), 65536).cast("double")
+                     < F.col("rate") * 65536))
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+        sorted(r["doc_id"] for r in kept2.collect())
