@@ -183,7 +183,12 @@ def exact_quantiles(df: DataFrame, col: str,
             p = pos[q]
             lo = by_rank[int(p) + 1]
             hi = by_rank[min(int(p) + 2, n)]
-            out[q] = lo + (p - int(p)) * (hi - lo)
+            f = p - int(p)
+            # lo*(1-f) + hi*f, NOT lo + f*(hi-lo): the two differ by an
+            # ulp on some inputs and DuckDB quantile_cont (the oracle)
+            # computes the former — property-tested on adversarial value
+            # sets in tests/test_functions.py.
+            out[q] = lo * (1 - f) + hi * f
         return out
     finally:
         vals.unpersist()

@@ -5,12 +5,12 @@ are pytest-only by nature — a CORRECTNESS driver that runs (spark, sf_dir)
 -> DataFrame can't watch a stream. These queries close that gap (VERDICT
 r3 #3): each one drives the sink's foreachBatch function over a
 deterministic micro-batch split of the events table (including a REPLAYED
-batch, exercising the at-least-once contract), then returns a one-row
-summary computed FROM THE STREAM-MAINTAINED TABLE plus the row count of
-its symmetric difference against the batch build. The DuckDB oracle
-computes the same summary from SQL over events with mismatch_rows = 0 —
-so a hash match proves (a) the maintained table equals the SQL-derived
-truth and (b) the diff is empty, i.e. streaming converged to batch.
+batch, exercising the at-least-once contract), then returns either the
+maintained serving table itself or a one-row summary of it plus the row
+count of its symmetric difference against the batch build. The DuckDB
+oracle computes the same result from SQL over events (mismatch_rows = 0
+where applicable) — so a hash match proves (a) the maintained table
+equals the SQL-derived truth and (b) streaming converged to batch.
 
 The foreachBatch function IS the unit: Structured Streaming's only
 contract with it is (DataFrame, batch_id) calls, at-least-once. The full
@@ -167,5 +167,67 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("total_events"),
         ).withColumn("mismatch_rows", F.lit(mismatch).cast("bigint"))
         return spark.createDataFrame(summary.collect(), summary.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "trending_topk_stream_convergence",
+    oracle="""
+    WITH wins AS (
+        SELECT strftime(to_timestamp(
+                   floor(epoch(ts) / 43200) * 43200 - 43200 * k),
+                   '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type
+        FROM events, unnest([0, 1]) AS t(k)
+        WHERE epoch(ts) >= floor(epoch(ts) / 43200) * 43200 - 43200 * k
+          AND epoch(ts) <  floor(epoch(ts) / 43200) * 43200 - 43200 * k
+                           + 86400),
+    counts AS (
+        SELECT window_start, event_type AS word,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM wins GROUP BY window_start, event_type),
+    ranked AS (
+        SELECT window_start, word, cnt,
+               row_number() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, word) AS rnk
+        FROM counts)
+    SELECT window_start, word, cnt FROM ranked WHERE rnk <= 3
+    """,
+)
+def trending_topk_stream_convergence(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Trending top-k serving table, checked end-to-end: the closed
+    sliding windows (1 day size / 12 h slide over event_type — the
+    batch-expressible twin of streaming.jobs.trending_terms) are fed to
+    trending_topk_sink in 3 micro-batches split on the window hash (the
+    sink's append-mode contract: a closed window's rows arrive
+    together), with one batch REPLAYED — the sink's dynamic partition
+    overwrite must rewrite its own windows, not duplicate them. The
+    returned rows ARE the maintained serving table; the oracle computes
+    the same sliding-window top-3 from SQL (epoch-grid window starts,
+    identical to Spark's 1970-aligned window()), so the hash match
+    proves replay-idempotent convergence."""
+    from ..streaming.jobs import trending_topk_sink
+
+    ev = load(spark, sf_dir, "events")
+    agg = (ev.groupBy(F.window("ts", "1 day", "12 hours"), "event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+           .select(F.date_format(F.col("window.start"),
+                                 "yyyy-MM-dd HH:mm:ss")
+                   .alias("window_start"),
+                   F.col("event_type").alias("word"), "cnt"))
+    work = tempfile.mkdtemp(prefix="trend_conv_")
+    path = work + "/topk"
+    try:
+        sink = trending_topk_sink(path, k=3)
+        for i in range(3):
+            sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == i), i)
+        sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == 1), 1)
+        got = (spark.read.parquet(path)
+               .select(F.col("window_start").cast("string")
+                       .alias("window_start"), "word",
+                       F.col("cnt").cast("bigint").alias("cnt")))
+        return spark.createDataFrame(got.collect(), got.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

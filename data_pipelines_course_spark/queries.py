@@ -180,6 +180,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "dup_span_report",
     "temperature_resample_docs",
     "dedup_cluster_size_histogram",
+    "trending_topk_stream_convergence",
 )
 
 

@@ -182,3 +182,42 @@ def test_symspell_typo_candidates_catch_first_letter_typos(spark):
                     & (F.col("a_n") >= 10 * F.col("b_n")))
             .collect())}
     assert got == {("table", "able")}, got
+
+
+def test_exact_quantiles_matches_duckdb_on_random_inputs(spark):
+    """Property check for the distributed rank-based exact quantile: on
+    adversarial value sets (duplicates, negatives, huge spread, tiny n,
+    n straddling partition counts) the result is bit-identical to DuckDB
+    quantile_cont — including the interpolation arithmetic, not just the
+    order statistics."""
+    import duckdb
+    import random
+
+    from data_pipelines_course_spark.operators.analytics import (
+        exact_quantiles)
+
+    rng = random.Random(7)
+    cases = [
+        [1.0],                                   # single value
+        [2.0, 2.0, 2.0, 2.0],                    # all ties
+        [float(i) for i in range(11)],           # exact grid hits
+        [rng.uniform(-1e9, 1e9) for _ in range(997)],   # prime n
+        [rng.choice([0.1, 0.2, 0.3]) for _ in range(256)],  # heavy dupes
+        [rng.gauss(0, 1) * 10 ** rng.randint(-6, 6)
+         for _ in range(500)],                   # wild magnitudes
+    ]
+    qs = (0.25, 0.5, 0.75, 0.95)
+    con = duckdb.connect()
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = exact_quantiles(df, "x", qs)
+        import pandas as pd
+
+        tdf = pd.DataFrame({"x": vals})  # float64 — VALUES literals
+        con.register("t", tdf)           # would parse as DECIMAL
+        want = con.sql(
+            "SELECT " + ",".join(
+                f"quantile_cont(x, {q})" for q in qs) + " FROM t"
+        ).fetchone()
+        for q, w in zip(qs, want):
+            assert got[q] == w, (len(vals), q, got[q], w)
