@@ -100,9 +100,18 @@ EXTRA = (
     "vocab_typo_pairs",
     "vocab_typo_pairs_symspell",
     "value_outliers_by_type",
+    # r4 additions
+    "dup_span_report",
+    "temperature_resample_docs",
+    "dedup_cluster_size_histogram",
+    "quantity_quantiles_by_flag_approx",
     # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
     # they train eagerly at construction (driver merge-loop), so a
-    # cold/warm split would mis-attribute the training cost.
+    # cold/warm split would mis-attribute the training cost. The three
+    # *_stream_convergence hooks are EXCLUDED too: each drives a
+    # maintenance sink end-to-end (multi-batch writes + a replay), so
+    # they measure sink I/O, not a query plan — their wall-clock lives
+    # in NOTES_r04.md.
 )
 
 

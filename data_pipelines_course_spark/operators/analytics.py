@@ -120,7 +120,8 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
          back), so offset + within-partition row_number = exact global
          rank without any global sort on one node;
       3. pull the <=8 order statistics the 4 quantiles need and
-         interpolate with quantile_cont's formula (lo + frac*(hi-lo)).
+         interpolate with quantile_cont's formula (lo*(1-f) + hi*f —
+         see exact_quantiles for why the algebraic twin is not it).
 
     Still exact to the last bit vs DuckDB quantile_cont (driver hash
     row + parity test), but the widest stage is an ordinary range
@@ -325,6 +326,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quantity_quantiles_by_flag",
+    scale_twin="quantity_quantiles_by_flag_approx",
     oracle="""
     SELECT l_returnflag,
            quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -334,10 +336,31 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantity_quantiles_by_flag(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """GROUPED exact quantiles — per-group sort inside the aggregate
-    (each group's cost bounded by its own rows, unlike the global
-    single-reducer price_quantiles; same approx swap applies at scale)."""
+    """GROUPED exact quantiles — per-group sort inside the aggregate.
+    Each group's cost is bounded by its own rows (better than the old
+    global price_quantiles), but with 3 return flags each reducer still
+    swallows a third of the corpus at 100 TB — deliberate ground truth;
+    the registered scale twin is the per-group sketch below."""
     li = load(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
             .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
                  F.expr("percentile(l_quantity, 0.9)").alias("p90_qty")))
+
+
+@query("quantity_quantiles_by_flag_approx")  # rows-only: sketch values
+#                                              differ from DuckDB's sketch
+def quantity_quantiles_by_flag_approx(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """The 100 TB path for grouped quantiles: percentile_approx sketches
+    merge map-side, so each group's reducer receives a constant-size
+    sketch per map task instead of every row — group size stops
+    mattering. Same accuracy contract as price_quantiles_approx
+    (rank error <= 1/10000); the exact twin is the driver-checked
+    ground truth."""
+    li = load(spark, sf_dir, "lineitem")
+    acc = 10000
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr(f"percentile_approx(l_quantity, 0.5, {acc})")
+                 .alias("median_qty"),
+                 F.expr(f"percentile_approx(l_quantity, 0.9, {acc})")
+                 .alias("p90_qty")))

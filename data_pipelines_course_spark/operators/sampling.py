@@ -229,11 +229,19 @@ def temperature_resample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the per-source count table is O(sources) — broadcast; the
     corpus is filtered map-side on the scan, never shuffled. At 100 TB
     this is a zero-shuffle pass like deterministic_sample_docs."""
+    from pyspark.sql import Window
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     counts = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"))
-    mn = counts.agg(F.min("n").alias("mn"))
-    rates = (counts.crossJoin(F.broadcast(mn))
+    # min(n) as an unpartitioned window over the O(sources)-row counts
+    # relation — NOT a separate .agg() + crossJoin, which would plan a
+    # third corpus scan (Catalyst does not reuse the aggregate subtree
+    # across branches pre-AQE). The single-partition window holds
+    # O(sources) rows, so the usual anti-pattern warning doesn't apply.
+    rates = (counts
+             .withColumn("mn", F.min("n").over(
+                 Window.partitionBy(F.lit(1))))
              .select("source",
                      F.sqrt(F.col("mn").cast("double") / F.col("n"))
                      .alias("rate")))

@@ -181,6 +181,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "temperature_resample_docs",
     "dedup_cluster_size_histogram",
     "trending_topk_stream_convergence",
+    "quantity_quantiles_by_flag_approx",
 )
 
 

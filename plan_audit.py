@@ -37,7 +37,13 @@ def main() -> None:
           "per-round K-row collect) — so their rows below describe only "
           "the final plan over the trained/converged state; the "
           "iterative work happens during construction and is invisible "
-          "to this static audit.\n")
+          "to this static audit. The same applies to `price_quantiles` "
+          "(two-pass rank lookup: the range shuffle + rank window run at "
+          "construction, the returned frame is the 1-row result) and the "
+          "three `*_stream_convergence` hooks (they drive a maintenance "
+          "sink over micro-batches plus a replay, then return the "
+          "collected summary/serving table) — their 0-exchange rows are "
+          "the nature of an eager result, not a free plan.\n")
     print("| query | exch | scan-cols | joins | py | oracle |")
     print("|---|---|---|---|---|---|")
     for name in sorted(queries):

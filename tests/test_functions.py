@@ -221,3 +221,24 @@ def test_exact_quantiles_matches_duckdb_on_random_inputs(spark):
         ).fetchone()
         for q, w in zip(qs, want):
             assert got[q] == w, (len(vals), q, got[q], w)
+
+
+def test_grouped_approx_quantiles_within_documented_error(spark):
+    """Same contract for the GROUPED pair: the per-group sketch twin
+    must land within 1% relative error of the exact
+    quantity_quantiles_by_flag for every group, with a drop-in schema."""
+    from data_pipelines_course_spark.queries import all_queries
+
+    queries = all_queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {r["l_returnflag"]: r for r in
+             queries["quantity_quantiles_by_flag"](spark, sf).collect()}
+    approx_df = queries["quantity_quantiles_by_flag_approx"](spark, sf)
+    assert approx_df.columns == \
+        queries["quantity_quantiles_by_flag"](spark, sf).columns
+    approx = {r["l_returnflag"]: r for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        for col in ("median_qty", "p90_qty"):
+            rel = abs(approx[flag][col] - e[col]) / e[col]
+            assert rel < 0.01, (flag, col, e[col], approx[flag][col])
