@@ -857,10 +857,16 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW form, not aggregate-then-join, for exactly
     ngram_novelty_report's reason: window hashes are near-unique (flat
     keys, no skew) and their "count table" is nearly instance-sized, so
-    the join form would shuffle both sides on wh anyway plus re-evaluate
-    the explode subtree. Marked windows then shuffle once on doc_id for
-    the interval-union sweep, whose per-row state is one running max
-    (gaps-and-islands, never a per-doc array). A second light scan
+    at scale the join form shuffles both sides on wh anyway AND
+    re-evaluates the explode subtree (its plan shows TWO Generate nodes
+    over two scans; no exchange reuse). Measured honestly at sf0.1 the
+    two forms are within noise (join 1.8 s vs window 2.0 s warm) — but
+    only because AQE broadcasts the local dup table, a crutch that
+    vanishes when the duplicated-window set outgrows the broadcast
+    ceiling; the window form's single explode + single wh exchange is
+    the shape that survives. Marked windows then shuffle once on doc_id
+    for the interval-union sweep, whose per-row state is one running
+    max (gaps-and-islands, never a per-doc array). A second light scan
     (doc_id + text) supplies the full doc list so every doc keeps a row
     (zeros when clean) — the report is a complete audit table."""
     docs = load(spark, sf_dir, "documents")

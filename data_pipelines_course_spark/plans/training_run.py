@@ -9,8 +9,10 @@ This is the reference's pipeline story (luigi targets, airflow DAGs)
 executed over THIS engine's operators: stages hand data to each other
 through STORAGE (each reads its upstream's parquet), which is what makes
 the target-gating meaningful — a stage is complete iff its table landed.
-The tokenize/pack stages fan out from the split (C2) and the final
-manifest is a chord (C3) over both.
+The tokenize/pack stages fan out from the split (C2), pack feeds the
+shard EXPORT (one parquet file per (source, bin) shard + loader
+manifest, sinks.writers.write_training_shards), and the final manifest
+is a chord (C3) over the tokenize and shards branches.
 
 At 100 TB: stage boundaries are where you want them — each stage is one
 Catalyst plan whose output is a real table (restartability, audit,
@@ -133,6 +135,16 @@ def training_run(spark: SparkSession, sf_dir: str,
                     / F.lit(SEQ_LEN)).cast("bigint"))
         return ledgered_write(binned, _stage_path(out_dir, "packed"))
 
+    def shards(ctx: dict[str, Any]):
+        """Export: one parquet file per (source, bin) shard + manifest —
+        what the data loader consumes (sinks.writers.write_training_shards)."""
+        from ..sinks.writers import write_training_shards
+
+        packed = spark.read.parquet(_stage_path(out_dir, "packed"))
+        return write_training_shards(
+            packed.select("doc_id", "source", "n_tokens", "bin"),
+            _stage_path(out_dir, "shards"))
+
     def manifest(ctx: dict[str, Any]):
         """Chord over tokenize+pack: one run-level summary manifest.
         Ledger reads/writes go through the same Hadoop FS API as
@@ -163,5 +175,7 @@ def training_run(spark: SparkSession, sf_dir: str,
               target=_stage_path(out_dir, "token_ids")),
         Stage("pack", pack, requires=("split",),
               target=_stage_path(out_dir, "packed")),
-        Stage("manifest", manifest, requires=("tokenize", "pack")),
+        Stage("shards", shards, requires=("pack",),
+              target=_stage_path(out_dir, "shards")),
+        Stage("manifest", manifest, requires=("tokenize", "shards")),
     )

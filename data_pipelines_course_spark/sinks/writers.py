@@ -321,3 +321,40 @@ def verify_ledger(spark, path: str) -> dict:
             f"ledger mismatch at {path}: {n} rows on disk, "
             f"ledger says {manifest['rows']}")
     return manifest
+
+
+def write_training_shards(packed: DataFrame, path: str) -> dict:
+    """The EXPORT step a training run ends with: land packed sequences
+    as one parquet file per (source, bin) shard plus a `_shards.json`
+    manifest (docs + tokens per shard) — what a data loader consumes
+    (deterministic shard membership, known token budget per file, no
+    listing required). `packed` is pack_sequences' shape:
+    (doc_id, source, n_tokens, bin).
+
+    Plan: `repartition(source, bin)` hash-places every shard's rows in
+    ONE task, so partitionBy emits exactly one file per shard directory
+    (the small-files problem solved at write time, not by a compaction
+    job); the manifest is a shard-count-sized aggregate of the same
+    relation. Both land through the engine's single FS abstraction
+    (write_small_file). At 100 TB nothing changes: one task per shard,
+    shard size governed by SEQ_LEN x bin capacity upstream.
+
+    Reference basis: the luigi pipeline's per-task output targets
+    (luigi/top_daily_locations.py) — generalized to a sharded dataset
+    with a machine-readable manifest instead of one opaque file."""
+    import json
+
+    spark = packed.sparkSession
+    man_rows = (packed.groupBy("source", "bin")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("docs"),
+                     F.sum("n_tokens").cast("bigint").alias("tokens"))
+                .collect())
+    manifest = {
+        f"{r['source']}/bin={r['bin']}": {"docs": int(r["docs"]),
+                                          "tokens": int(r["tokens"])}
+        for r in man_rows}
+    (packed.repartition("source", "bin")
+     .write.mode("overwrite").partitionBy("source", "bin").parquet(path))
+    write_small_file(spark, path.rstrip("/") + "/_shards.json",
+                     json.dumps(manifest, indent=1, sort_keys=True).encode())
+    return manifest

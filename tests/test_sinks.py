@@ -234,3 +234,34 @@ def test_ledgered_write_records_and_verifies(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="28 rows on disk"):
         verify_ledger(spark, path)
+
+
+def test_write_training_shards_one_file_per_shard(spark, tmp_path):
+    """The export contract: exactly one parquet file per (source, bin)
+    shard directory, manifest counts matching the data, and a re-run
+    overwriting in place (idempotent export)."""
+    import glob
+    import json
+
+    from data_pipelines_course_spark.operators.textprep import pack_sequences
+    from data_pipelines_course_spark.sinks.writers import (
+        read_small_file, write_training_shards)
+
+    packed = pack_sequences(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out)
+
+    dirs = glob.glob(f"{out}/source=*/bin=*")
+    assert len(dirs) == len(manifest) > 0
+    for d in dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, d  # one file per shard, by construction
+    # Manifest counts == data counts, and the sidecar equals the return.
+    got = spark.read.parquet(out)
+    assert got.count() == sum(m["docs"] for m in manifest.values())
+    sidecar = json.loads(read_small_file(spark, out + "/_shards.json"))
+    assert sidecar == manifest
+    # Idempotent re-run.
+    manifest2 = write_training_shards(packed, out)
+    assert manifest2 == manifest
+    assert len(glob.glob(f"{out}/source=*/bin=*/*.parquet")) == len(dirs)

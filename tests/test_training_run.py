@@ -41,9 +41,18 @@ def test_training_run_end_to_end_and_idempotent(spark, tmp_path):
     with open(os.path.join(out, "run_manifest.json")) as f:
         assert json.load(f) == m
 
+    # shard export landed: one file per (source, bin), manifest matches
+    import glob
+    shard_dirs = glob.glob(os.path.join(out, "shards", "source=*", "bin=*"))
+    shard_manifest = json.loads(open(
+        os.path.join(out, "shards", "_shards.json")).read())
+    assert len(shard_dirs) == len(shard_manifest) > 0
+    assert all(len(glob.glob(f"{d}/*.parquet")) == 1 for d in shard_dirs)
+    assert sum(s["docs"] for s in shard_manifest.values()) == m["packed"]
+
     # IDEMPOTENCE: a second run must skip every targeted stage
     pipe2 = training_run(spark, SF_DIR, out)
     pipe2.run()
     gated = [n for n, s in pipe2.status.items() if s == "gated"]
     assert set(gated) >= {"curate", "dedup", "decontaminate", "split",
-                          "tokenize", "pack"}, pipe2.status
+                          "tokenize", "pack", "shards"}, pipe2.status
