@@ -175,8 +175,11 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "trending_topk_stream_convergence",
     oracle="""
     WITH wins AS (
-        SELECT strftime(to_timestamp(
-                   floor(epoch(ts) / 43200) * 43200 - 43200 * k),
+        -- make_timestamp (naive, TZ-independent), NOT to_timestamp
+        -- (TIMESTAMPTZ — strftime of it would follow the host zone)
+        SELECT strftime(make_timestamp(CAST(
+                   (floor(epoch(ts) / 43200) * 43200 - 43200 * k)
+                   * 1000000 AS BIGINT)),
                    '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type
         FROM events, unnest([0, 1]) AS t(k)
