@@ -105,6 +105,7 @@ EXTRA = (
     "temperature_resample_docs",
     "dedup_cluster_size_histogram",
     "quantity_quantiles_by_flag_approx",
+    "context_windows_report",
     # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
     # they train eagerly at construction (driver merge-loop), so a
     # cold/warm split would mis-attribute the training cost. The three

@@ -482,3 +482,85 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.length(F.regexp_replace("token", "</w>", "")) > 1)
                  .alias("is_merged"))
             .orderBy(F.desc("n"), "token"))
+
+
+@query(
+    "context_windows_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents),
+    spans AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_sum
+        FROM counts),
+    placed AS (
+        -- sum() over BIGINT is HUGEINT in this engine; pin back to
+        -- BIGINT so // and generate_series bind
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(prev_sum, 0) AS BIGINT) AS s,
+               CAST(coalesce(prev_sum, 0) + n_tokens AS BIGINT) AS e
+        FROM spans WHERE n_tokens > 0),
+    exploded AS (
+        SELECT source, doc_id, s, e, w
+        FROM placed,
+             unnest(generate_series(s // {SEQ_LEN},
+                                    (e - 1) // {SEQ_LEN})) AS t(w))
+    SELECT source, CAST(w AS BIGINT) AS window_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(e, (w + 1) * {SEQ_LEN})
+                    - greatest(s, w * {SEQ_LEN})) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM exploded GROUP BY source, w
+    """,
+)
+def context_windows_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style context-window packing — the OTHER packing discipline
+    beside pack_sequences: documents are concatenated per source in
+    doc_id order and the token stream is cut into fixed SEQ_LEN windows
+    that CROSS document boundaries (concat-then-chunk, the standard
+    pretraining batcher), vs pack_sequences' first-fit binning that
+    never splits a doc. Output: per (source, window_id) the token count
+    (SEQ_LEN except each source's tail), documents spanned, and the
+    first/last doc ids — the loader-facing index of window → documents.
+
+    Plan: doc offsets from ONE running-sum window partitioned by source
+    (same off-the-single-reducer contract as pack_sequences), then each
+    doc explodes to the windows its [start, end) span overlaps —
+    fan-out is ceil(n_tokens/SEQ_LEN)+1 rows per doc, i.e. output is
+    O(total_tokens / SEQ_LEN): the explode COMPRESSES the corpus rather
+    than inflating it, and no token-level row ever exists. One shuffle
+    on source, one on (source, window_id)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    placed = (counts
+              .withColumn("s", F.coalesce(F.sum("n_tokens").over(w),
+                                          F.lit(0)))
+              .withColumn("e", F.col("s") + F.col("n_tokens"))
+              .filter(F.col("n_tokens") > 0))
+    L = F.lit(SEQ_LEN)
+    exploded = placed.select(
+        "source", "doc_id", "s", "e",
+        F.explode(F.sequence(
+            F.floor(F.col("s") / L).cast("bigint"),
+            F.floor((F.col("e") - 1) / L).cast("bigint"))).alias("w"))
+    win_lo = F.col("w") * L
+    win_hi = (F.col("w") + 1) * L
+    return (exploded.groupBy("source", F.col("w").alias("window_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum(F.least("e", win_hi) - F.greatest("s", win_lo))
+                 .cast("bigint").alias("n_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))

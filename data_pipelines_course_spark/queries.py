@@ -182,6 +182,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "dedup_cluster_size_histogram",
     "trending_topk_stream_convergence",
     "quantity_quantiles_by_flag_approx",
+    "context_windows_report",
 )
 
 
