@@ -183,10 +183,21 @@ def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical semantics, linear per group instead of quadratic."""
     import pandas as pd
 
-    events = load(spark, sf_dir, "events")
-    clicks = (events.filter(F.col("event_type") == "click")
+    # The two cogroup inputs are built from TWO independent reads, not
+    # two filters off one frame: when both sides share lineage (same
+    # attribute ids), Spark 4.1.2's cogroup attribute dedup can
+    # mis-project the RIGHT side — purchases arrives in the UDF without
+    # its `ts` column (reproduced deterministically in
+    # tests/test_parity.py::test_cogroup_sides_keep_their_columns;
+    # left 2 cols + right 3 cols -> right truncated to 2). Independent
+    # scans allocate fresh attribute ids, which sidesteps the rewrite
+    # entirely; the physical plan is identical (two pruned scans of the
+    # same parquet either way).
+    clicks = (load(spark, sf_dir, "events")
+              .filter(F.col("event_type") == "click")
               .select("user_id", "ts"))
-    purchases = (events.filter(F.col("event_type") == "purchase")
+    purchases = (load(spark, sf_dir, "events")
+                 .filter(F.col("event_type") == "purchase")
                  .select("user_id", "event_id", "ts"))
 
     empty = {"user_id": [], "n_conv": [], "avg_lag_s": []}
@@ -195,6 +206,15 @@ def cogroup_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                   purch_pdf: "pd.DataFrame") -> "pd.DataFrame":
         import math
 
+        # Loud guard for the lineage-dedup truncation described above:
+        # silent column loss must never degrade into a wrong answer.
+        missing = ({"user_id", "ts"} - set(clicks_pdf.columns)) | \
+            ({"user_id", "event_id", "ts"} - set(purch_pdf.columns))
+        if missing:
+            raise RuntimeError(
+                f"cogroup side lost columns {sorted(missing)} — the "
+                "shared-lineage dedup bug; inputs must come from "
+                "independent scans")
         if purch_pdf.empty or clicks_pdf.empty:
             return pd.DataFrame(empty)
         cl = clicks_pdf[["ts"]].sort_values("ts")

@@ -190,3 +190,64 @@ def doc_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_chars"),
                  F.max("n_chars").alias("max_chars"),
                  F.min("n_chars").alias("min_chars")))
+
+
+@query(
+    "lang_confusion_report",
+    oracle=f"""
+    WITH pred AS (
+        SELECT doc_id,
+               CASE
+                 WHEN {_duck_hits(STOP_EN)} = 0 AND {_duck_hits(STOP_DE)} = 0
+                      AND {_duck_hits(STOP_FR)} = 0 THEN 'unknown'
+                 WHEN {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_DE)}
+                      AND {_duck_hits(STOP_EN)} >= {_duck_hits(STOP_FR)}
+                      THEN 'en'
+                 WHEN {_duck_hits(STOP_DE)} >= {_duck_hits(STOP_FR)}
+                      THEN 'de'
+                 ELSE 'fr'
+               END AS predicted_lang
+        FROM documents),
+    cells AS (
+        SELECT d.lang, p.predicted_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred p JOIN documents d USING (doc_id)
+        GROUP BY d.lang, p.predicted_lang)
+    SELECT lang, predicted_lang, n_docs,
+           floor((CAST(n_docs AS DOUBLE)
+                  / sum(n_docs) OVER (PARTITION BY lang)) * 10000 + 0.5)
+               / 10000 AS share
+    FROM cells
+    """,
+)
+def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-label CONFUSION MATRIX for the language-ID
+    heuristic: per (labeled lang, predicted lang) cell, document count
+    and the cell's share of its label row — the audit every filtering
+    classifier needs before it gates a corpus (a label whose row mass
+    lands on 'unknown' means the classifier, not the data, is dropping
+    that language; DataComp-style filter audits lead with this table).
+
+    Plan: the prediction is pure per-row codegen (stopword-hit CASE,
+    same expressions as lang_id); the labels ride the SAME scan, so the
+    only exchange is the (langs x predictions)-key aggregate; the share
+    window runs over that K-row result, never the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    hits = {name: F.expr(_spark_hits(words)) for name, words in
+            (("en", STOP_EN), ("de", STOP_DE), ("fr", STOP_FR))}
+    predicted = (
+        F.when((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0),
+               "unknown")
+        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr"))
+    from pyspark.sql import Window
+
+    cells = (docs.select("lang", predicted.alias("predicted_lang"))
+             .groupBy("lang", "predicted_lang")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    lang_w = Window.partitionBy("lang")
+    return cells.select(
+        "lang", "predicted_lang", "n_docs",
+        fround(F.col("n_docs").cast("double")
+               / F.sum("n_docs").over(lang_w), 4).alias("share"))

@@ -66,3 +66,44 @@ def test_training_loop_queries_survive_smoke_sf(spark, name):
     converge there."""
     df = all_queries()[name](spark, "/root/testdata/sf0.001")
     assert df.limit(1).count() >= 0
+
+
+def test_cogroup_sides_keep_their_columns(spark):
+    """Regression guard for the Spark 4.1.2 shared-lineage cogroup
+    truncation: when both cogroup inputs are filters off ONE DataFrame,
+    the right side's pandas frame can arrive with columns silently
+    dropped (observed: left 2 cols + right 3 cols -> right truncated to
+    2, losing `ts`; state-dependent, reproduced deterministically in
+    fresh sessions). The registered operator now builds its inputs from
+    independent scans; this test drives the exact operator end-to-end
+    and asserts the full result against plain-SQL semantics."""
+    import pandas as pd
+
+    from data_pipelines_course_spark.queries import all_queries
+
+    df = all_queries()["cogroup_conversion_lag"](spark, SF_DIR)
+    got = df.toPandas().sort_values("user_id").reset_index(drop=True)
+    assert list(got.columns) == ["user_id", "n_conv", "avg_lag_s"]
+    assert len(got) > 0 and got["n_conv"].min() >= 1
+    # Independent-scan shape: the right side must see all 3 columns.
+    from data_pipelines_course_spark.datasets import load
+    from pyspark.sql import functions as F
+
+    c = (load(spark, SF_DIR, "events")
+         .filter(F.col("event_type") == "click").select("user_id", "ts"))
+    p = (load(spark, SF_DIR, "events")
+         .filter(F.col("event_type") == "purchase")
+         .select("user_id", "event_id", "ts"))
+
+    def probe(l, r):
+        return pd.DataFrame({"user_id": [int(l.shape[1])],
+                             "n_conv": [int(r.shape[1])],
+                             "avg_lag_s": [0.0]})
+
+    widths = {(r["user_id"], r["n_conv"]) for r in
+              (c.groupBy("user_id").cogroup(p.groupBy("user_id"))
+               .applyInPandas(probe,
+                              "user_id bigint, n_conv bigint, "
+                              "avg_lag_s double")
+               .select("user_id", "n_conv").distinct().collect())}
+    assert widths == {(2, 3)}, widths
