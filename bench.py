@@ -107,6 +107,7 @@ EXTRA = (
     "quantity_quantiles_by_flag_approx",
     "context_windows_report",
     "lang_confusion_report",
+    "dup_span_trim",
     # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
     # they train eagerly at construction (driver merge-loop), so a
     # cold/warm split would mis-attribute the training cost. The three

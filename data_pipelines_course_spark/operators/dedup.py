@@ -898,3 +898,101 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_dup_windows"),
                     F.coalesce("dup_tokens", F.lit(0)).cast("bigint")
                     .alias("dup_tokens")))
+
+
+@query(
+    "dup_span_trim",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(
+                   list_slice(ws, i, i + {_SPAN_W - 1}), ' ')) AS wh
+        FROM w, unnest(generate_series(1, len(ws) - {_SPAN_W - 1})) AS t(i)
+        WHERE len(ws) >= {_SPAN_W}),
+    dup AS (
+        SELECT wh, min(doc_id * 4294967296 + pos) AS canon
+        FROM wins GROUP BY wh HAVING count(*) >= 2),
+    noncanon AS (
+        SELECT v.doc_id, v.pos
+        FROM wins v JOIN dup d USING (wh)
+        WHERE v.doc_id * 4294967296 + v.pos <> d.canon),
+    cut AS (
+        SELECT DISTINCT doc_id, p
+        FROM noncanon,
+             unnest(generate_series(pos, pos + {_SPAN_W - 1})) AS t(p)),
+    toks AS (
+        SELECT doc_id, i, ws[i] AS tok
+        FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+    cleaned AS (
+        SELECT t.doc_id,
+               string_agg(t.tok, ' ' ORDER BY t.i)
+                   FILTER (WHERE c.p IS NULL) AS clean_text,
+               CAST(count(*) FILTER (WHERE c.p IS NOT NULL) AS BIGINT)
+                   AS n_removed
+        FROM toks t
+        LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.i = c.p
+        GROUP BY t.doc_id)
+    SELECT doc_id, coalesce(clean_text, '') AS clean_text, n_removed
+    FROM cleaned
+    """,
+)
+def dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTION to dup_span_report's audit — Lee et al. (2022) exact
+    substring dedup applied: every duplicated 10-word window keeps its
+    FIRST occurrence (minimum (doc_id, pos) corpus-wide) and every
+    other occurrence's tokens are cut from their documents; the cleaned
+    text is reassembled in token order. Keep-first (not drop-all)
+    preserves one copy of legitimately repeated passages — the
+    dedup_keep_best decision at sub-document granularity.
+
+    Plan: windows explode once (window-form count + min over the SAME
+    wh partition — one shuffle+sort serves both the duplicate decision
+    and the canonical choice); non-canonical windows expand to their
+    covered token positions (bounded x{_SPAN_W} fanout of the
+    DUPLICATED subset only); the corpus tokenizes once (posexplode) and
+    drops cut positions with a LEFT ANTI join co-keyed on doc_id; the
+    rebuild is one per-doc aggregate (sorted-struct concat — per-doc
+    state bounded by the doc itself, the same bound the text column
+    already imposes). Canonical key packs (doc_id, pos) as
+    doc_id*2^32+pos — exact while docs stay under 4.3e9 tokens, which
+    the Gopher-style length gates upstream guarantee."""
+    docs = load(spark, sf_dir, "documents")
+    base = (_widen(docs)
+            .select("doc_id", F.expr(_WORDS).alias("w")))
+    wins = (base.filter(F.size("w") >= _SPAN_W)
+            .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
+            .select("doc_id", F.col("x.pos").alias("pos"),
+                    F.col("x.wh").alias("wh")))
+    key = F.col("doc_id") * F.lit(4294967296) + F.col("pos")
+    wh_w = Window.partitionBy("wh")
+    noncanon = (wins
+                .withColumn("cnt", F.count(F.lit(1)).over(wh_w))
+                .withColumn("canon", F.min(key).over(wh_w))
+                .filter((F.col("cnt") >= 2) & (key != F.col("canon")))
+                .select("doc_id", "pos"))
+    cut = (noncanon
+           .select("doc_id",
+                   F.explode(F.sequence(
+                       F.col("pos"),
+                       F.col("pos") + F.lit(_SPAN_W - 1))).alias("p"))
+           .distinct())
+    toks = (base.select("doc_id", F.posexplode("w").alias("i0", "tok"))
+            .select("doc_id", (F.col("i0") + 1).alias("i"), "tok"))
+    kept = toks.join(cut, (toks.doc_id == cut.doc_id)
+                     & (toks.i == cut.p), "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("i", "tok"))),
+                            lambda x: x["tok"])).alias("clean_text"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_kept")))
+    return (base.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+                    .cast("bigint").alias("n_removed")))

@@ -184,6 +184,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "quantity_quantiles_by_flag_approx",
     "context_windows_report",
     "lang_confusion_report",
+    "dup_span_trim",
 )
 
 
