@@ -809,9 +809,7 @@ _SPAN_WINS_OF_W = (
 )
 
 
-@query(
-    "dup_span_report",
-    oracle=f"""
+_DUCK_SPAN_CTES = f"""
     WITH w AS (
         SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
     wins AS (
@@ -819,7 +817,26 @@ _SPAN_WINS_OF_W = (
                md5(array_to_string(
                    list_slice(ws, i, i + {_SPAN_W - 1}), ' ')) AS wh
         FROM w, unnest(generate_series(1, len(ws) - {_SPAN_W - 1})) AS t(i)
-        WHERE len(ws) >= {_SPAN_W}),
+        WHERE len(ws) >= {_SPAN_W})"""
+
+
+def _span_frames(docs: DataFrame):
+    """(base, wins) for the duplicated-span family: base stages the words
+    array once; wins explodes the stride-1 window hashes off it. The ONE
+    copy both dup_span_report and dup_span_trim build on (Spark side of
+    _DUCK_SPAN_CTES)."""
+    base = (_widen(docs)
+            .select("doc_id", F.expr(_WORDS).alias("w")))
+    wins = (base.filter(F.size("w") >= _SPAN_W)
+            .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
+            .select("doc_id", F.col("x.pos").alias("pos"),
+                    F.col("x.wh").alias("wh")))
+    return base, wins
+
+
+@query(
+    "dup_span_report",
+    oracle=_DUCK_SPAN_CTES + f""",
     dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
     marked AS (
         SELECT doc_id, pos, pos + {_SPAN_W - 1} AS e,
@@ -869,13 +886,7 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     max (gaps-and-islands, never a per-doc array). A second light scan
     (doc_id + text) supplies the full doc list so every doc keeps a row
     (zeros when clean) — the report is a complete audit table."""
-    docs = load(spark, sf_dir, "documents")
-    base = (_widen(docs)
-            .select("doc_id", F.expr(_WORDS).alias("w")))
-    wins = (base.filter(F.size("w") >= _SPAN_W)
-            .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
-            .select("doc_id", F.col("x.pos").alias("pos"),
-                    F.col("x.wh").alias("wh")))
+    base, wins = _span_frames(load(spark, sf_dir, "documents"))
     wh_w = Window.partitionBy("wh")
     end = F.col("pos") + F.lit(_SPAN_W - 1)
     prev_w = (Window.partitionBy("doc_id").orderBy("pos")
@@ -902,15 +913,7 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dup_span_trim",
-    oracle=f"""
-    WITH w AS (
-        SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
-    wins AS (
-        SELECT doc_id, i AS pos,
-               md5(array_to_string(
-                   list_slice(ws, i, i + {_SPAN_W - 1}), ' ')) AS wh
-        FROM w, unnest(generate_series(1, len(ws) - {_SPAN_W - 1})) AS t(i)
-        WHERE len(ws) >= {_SPAN_W}),
+    oracle=_DUCK_SPAN_CTES + f""",
     dup AS (
         SELECT wh, min(doc_id * 4294967296 + pos) AS canon
         FROM wins GROUP BY wh HAVING count(*) >= 2),
@@ -958,13 +961,7 @@ def dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     already imposes). Canonical key packs (doc_id, pos) as
     doc_id*2^32+pos — exact while docs stay under 4.3e9 tokens, which
     the Gopher-style length gates upstream guarantee."""
-    docs = load(spark, sf_dir, "documents")
-    base = (_widen(docs)
-            .select("doc_id", F.expr(_WORDS).alias("w")))
-    wins = (base.filter(F.size("w") >= _SPAN_W)
-            .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
-            .select("doc_id", F.col("x.pos").alias("pos"),
-                    F.col("x.wh").alias("wh")))
+    base, wins = _span_frames(load(spark, sf_dir, "documents"))
     key = F.col("doc_id") * F.lit(4294967296) + F.col("pos")
     wh_w = Window.partitionBy("wh")
     noncanon = (wins

@@ -31,7 +31,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..datasets import load
-from ..functions.scalar import fround
 from ..queries import query
 
 # Shared CTE: the scd2_user_state_intervals oracle body (kept in sync by
@@ -131,8 +130,11 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     later batches only touch later dates, so the sink's `since`
     watermark actually prunes) with the middle batch replayed, then the
     maintained rollup is summarized and diffed against the batch
-    aggregate. Float daily sums are compared at 2 decimals (the rollup's
-    serving contract) — n_events is exact."""
+    aggregate. n_events compares exactly; float daily sums compare with
+    a 1e-6 tolerance, NOT by rounding both sides — the two aggregation
+    plans sum in different orders, and a true sum within float noise of
+    a .005 boundary would make rounded values disagree on a correct
+    result (latent flake; review r4)."""
     from ..streaming.jobs import rollup_maintenance_sink
 
     ev = load(spark, sf_dir, "events").select(
@@ -154,13 +156,17 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         streamed = spark.read.parquet(rollup).select(
             "event_date", "event_type",
             F.col("n_events").cast("bigint").alias("n_events"),
-            fround(F.col("sum_value"), 2).alias("sum_value"))
+            F.col("sum_value").alias("sum_value"))
         batch = (ev.groupBy(F.to_date("ts").alias("event_date"),
                             "event_type")
-                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
-                      fround(F.sum("value"), 2).alias("sum_value")))
-        mismatch = (streamed.exceptAll(batch).count()
-                    + batch.exceptAll(streamed).count())
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("b_n"),
+                      F.sum("value").alias("b_sum")))
+        joined = streamed.join(batch, ["event_date", "event_type"],
+                               "full_outer")
+        bad = (F.col("n_events").isNull() | F.col("b_n").isNull()
+               | (F.col("n_events") != F.col("b_n"))
+               | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-6))
+        mismatch = joined.filter(bad).count()
         summary = streamed.agg(
             F.countDistinct("event_date").cast("bigint").alias("n_days"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),

@@ -115,11 +115,14 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 4 rotation: exactly the 50 registered queries with NO
-    # CORRECTNESS row in r01∪r02∪r03 (all judge-parity green in r3).
-    # With this round's driver run, every registered query has a green
-    # driver row across r1-r4. tests/test_registry.py asserts this set
-    # equals `registered − union(committed CORRECTNESS files)` so the
+    # Round 4 rotation: every name here lacks a CORRECTNESS row in
+    # r01∪r02∪r03 (all were judge-parity green in r3 or are round-4
+    # additions). The driver records the FIRST 50, so positions 1-50
+    # gain driver rows this round (r1-r4 union: 150 of the registry);
+    # the tail past the cap — the two rows-only BPE queries plus the
+    # round-4 additions — fronts the r5 rotation. tests/test_registry.py
+    # asserts the front-50 are all uncovered (and, once the uncovered
+    # set fits the cap again, that it is fully contained), so the
     # rotation can't silently go stale.
     "tpch_q2_top_acctbal_per_nation",
     "tpch_q7_nation_volume",

@@ -345,7 +345,15 @@ def write_training_shards(packed: DataFrame, path: str) -> dict:
     import json
 
     spark = packed.sparkSession
-    man_rows = (packed.groupBy("source", "bin")
+    # Write FIRST, manifest from the WRITTEN table: aggregating `packed`
+    # up front would execute its whole plan twice (once for the
+    # manifest, once for the write). Re-reading the landed parquet costs
+    # a shard-count-sized scan of two small columns — and doubles as a
+    # read-back validation of what actually hit disk.
+    (packed.repartition("source", "bin")
+     .write.mode("overwrite").partitionBy("source", "bin").parquet(path))
+    man_rows = (spark.read.parquet(path)
+                .groupBy("source", "bin")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("docs"),
                      F.sum("n_tokens").cast("bigint").alias("tokens"))
                 .collect())
@@ -353,8 +361,6 @@ def write_training_shards(packed: DataFrame, path: str) -> dict:
         f"{r['source']}/bin={r['bin']}": {"docs": int(r["docs"]),
                                           "tokens": int(r["tokens"])}
         for r in man_rows}
-    (packed.repartition("source", "bin")
-     .write.mode("overwrite").partitionBy("source", "bin").parquet(path))
     write_small_file(spark, path.rstrip("/") + "/_shards.json",
                      json.dumps(manifest, indent=1, sort_keys=True).encode())
     return manifest
