@@ -937,8 +937,12 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks t
         LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.i = c.p
         GROUP BY t.doc_id)
-    SELECT doc_id, coalesce(clean_text, '') AS clean_text, n_removed
-    FROM cleaned
+    -- LEFT JOIN from w, not FROM cleaned: a NULL-text document has no
+    -- token rows, but the audit contract is one row per document
+    -- (clean_text '', nothing removed)
+    SELECT w.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           coalesce(c.n_removed, 0) AS n_removed
+    FROM w LEFT JOIN cleaned c ON w.doc_id = c.doc_id
     """,
 )
 def dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +991,12 @@ def dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.struct("i", "tok"))),
                             lambda x: x["tok"])).alias("clean_text"),
                     F.count(F.lit(1)).cast("bigint").alias("n_kept")))
-    return (base.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+    # coalesce(n_words): size(NULL words) is NULL for NULL-text docs,
+    # which must still get a (doc_id, '', 0) audit row on both engines.
+    return (base.select(
+                "doc_id",
+                F.coalesce(F.size("w").cast("bigint"), F.lit(0))
+                .alias("n_words"))
             .join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -56,15 +56,19 @@ def fake_decode_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataF
     import pandas as pd  # executor-side import
 
     for pdf in batches:
-        n = pdf["payload"].str.len().astype("int64")
+        # Nullable Int dtypes, NOT astype("int64"): a NULL payload (a
+        # document with no media) must yield NULL features — the plain
+        # cast raises on NaN (or, via numpy, silently produces garbage
+        # ints), and the SQL oracle's octet_length(NULL) is NULL.
+        n = pdf["payload"].str.len().astype("Int64")
         yield pd.DataFrame({
             "media_id": pdf["media_id"],
             "kind": pdf["kind"],
             "payload_bytes": n,
             # Deterministic fakes: dimensions derived from content length.
-            "fake_width": (n % 640 + 16).astype("int32"),
-            "fake_height": (n % 480 + 16).astype("int32"),
-            "fake_duration_ms": (n * 7).astype("int64"),
+            "fake_width": (n % 640 + 16).astype("Int32"),
+            "fake_height": (n % 480 + 16).astype("Int32"),
+            "fake_duration_ms": (n * 7).astype("Int64"),
         })
 
 
@@ -165,7 +169,10 @@ def frame_sample_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.Data
         vids = pdf[pdf["kind"] == "video"]
         if not len(vids):
             continue
-        dur = vids["payload"].str.len().astype("int64") * 7
+        # Nullable Int64: a NULL payload still yields its frame rows,
+        # with NULL timestamps (matching the oracle's NULL arithmetic);
+        # the plain int64 cast raises on the NaN length.
+        dur = vids["payload"].str.len().astype("Int64") * 7
         out = vids.loc[vids.index.repeat(FRAMES_PER_VIDEO)].reset_index()
         idx = pd.Series(range(len(out)), dtype="int64") % FRAMES_PER_VIDEO
         dur_rep = dur.reset_index(drop=True).loc[
@@ -234,19 +241,28 @@ def fake_decode_arrow(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    import numpy as np
+
     for batch in batches:
         n = pc.cast(pc.binary_length(batch.column("payload")), pa.int64())
         # pyarrow.compute has no modulo kernel; the int64 length column
         # round-trips through numpy zero-copy — the PAYLOAD bytes never
         # leave Arrow buffers, which is the point of this transport.
+        # NULL payloads surface as NaN in the numpy view; compute on a
+        # zero-filled copy and re-apply the null mask so NULL media
+        # yields NULL features (matching the pandas twin and the
+        # oracle's octet_length(NULL)) instead of garbage int casts.
         nv = n.to_numpy(zero_copy_only=False)
+        mask = np.isnan(nv) if nv.dtype.kind == "f" else None
+        filled = (np.nan_to_num(nv) if mask is not None else nv) \
+            .astype("int64")
         yield pa.RecordBatch.from_arrays(
             [
                 batch.column("media_id"),
                 batch.column("kind"),
                 n,
-                pa.array((nv % 640 + 16).astype("int32")),
-                pa.array((nv % 480 + 16).astype("int32")),
+                pa.array((filled % 640 + 16).astype("int32"), mask=mask),
+                pa.array((filled % 480 + 16).astype("int32"), mask=mask),
                 pc.multiply(n, 7),
             ],
             names=["media_id", "kind", "payload_bytes", "fake_width",

@@ -88,16 +88,19 @@ def array_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_element_extract",
     oracle="""
-    SELECT vec_id, embedding[1] AS first_dim, embedding[64] AS last_dim
+    SELECT vec_id, embedding[1] AS first_dim, embedding[-1] AS last_dim
     FROM embeddings
     """,
 )
 def array_element_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # element_at(-1), not a hard-coded 64: "last_dim" must not raise on a
+    # corpus with a different embedding width (ANSI makes a fixed
+    # out-of-range index an error, not NULL; adversarial-corpus find).
     return emb.select(
         "vec_id",
         F.element_at("embedding", 1).alias("first_dim"),
-        F.element_at("embedding", 64).alias("last_dim"),
+        F.element_at("embedding", -1).alias("last_dim"),
     )
 
 

@@ -43,7 +43,13 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either operand has
+    zero norm — a zero embedding has no direction, and real corpora
+    contain them (adversarial-corpus find). Queries that rank by
+    similarity additionally FILTER zero-norm rows so cross-engine NULL
+    ordering never enters the comparison."""
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den)
 
 
 # DuckDB equivalents, kept structurally identical (sequential double sums).
@@ -72,6 +78,7 @@ def _duck_cos(a: str, b: str) -> str:
            floor(({_duck_cos('e.embedding', 'q.qv')}) * 1000000 + 0.5) / 1000000 + 0.0 AS cos_sim
     FROM embeddings e, q
     WHERE e.vec_id <> {QUERY_VEC_ID}
+      AND {_duck_dot('e.embedding', 'e.embedding')} > 0
     ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}
     """,
 )
@@ -81,6 +88,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("embedding").head()[0])
     q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
     scored = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+              .filter(norm("embedding") > 0)  # zero vectors: no direction
               .withColumn("qv", q)
               .select("vec_id", "label",
                       (fround(cosine("embedding", "qv"), 6) + F.lit(0.0)).alias("cos_sim")))
@@ -100,11 +108,14 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            floor(({_duck_cos('a.embedding', 'b.embedding')}) * 1000000 + 0.5) / 1000000 + 0.0 AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_duck_dot('a.embedding', 'a.embedding')} > 0
+      AND {_duck_dot('b.embedding', 'b.embedding')} > 0
     ORDER BY cos_sim DESC, id1, id2 LIMIT 20
     """,
 )
 def embedding_neardup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = (load(spark, sf_dir, "embeddings")
+           .filter(norm("embedding") > 0))  # zero vectors: no direction
     a = emb.alias("a")
     b = emb.alias("b")
     pairs = (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -358,7 +369,10 @@ def _unit(v: list[float]) -> list[float]:
 def _normalized(emb: DataFrame) -> DataFrame:
     """Stage unit-norm double vectors as a real column (computed once per
     row, reused by every centroid dot product in the same projection)."""
+    # Zero-norm vectors are dropped: they cannot be unit-normalized and
+    # carry no direction for any cosine-based assignment.
     return (emb.withColumn("_nrm", norm("embedding"))
+            .filter(F.col("_nrm") > 0)
             .withColumn("nv", F.transform(
                 "embedding", lambda x: x.cast("double") / F.col("_nrm")))
             .drop("_nrm"))

@@ -132,13 +132,17 @@ def salted_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type"],
         partial=[
             F.count(F.lit(1)).alias("_cnt"),
+            # avg's denominator is count(value) — NON-NULL rows only.
+            # Decomposing as sum/count(*) silently counts NULL readings
+            # as zeros (adversarial-corpus find); SQL avg skips them.
+            F.count("value").alias("_cntv"),
             F.sum("value").alias("_sum"),
             F.min("value").alias("_min"),
             F.max("value").alias("_max"),
         ],
         final=[
             F.sum("_cnt").alias("n_events"),
-            fround(F.sum("_sum") / F.sum("_cnt")).alias("avg_value"),
+            fround(F.sum("_sum") / F.sum("_cntv")).alias("avg_value"),
             F.min("_min").alias("min_value"),
             F.max("_max").alias("max_value"),
         ],

@@ -72,7 +72,12 @@ def range_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.max("value").alias("hi"),
         F.min("value").alias("lo"),
-        F.max_by("value", "ts").alias("latest"),
+        # FILTER(value IS NOT NULL): Spark max_by returns the value at
+        # the max key even when that value is NULL, while the oracle's
+        # arg_max skips NULL arguments — so "latest" means the latest
+        # NON-NULL reading on both engines (adversarial-corpus find).
+        F.expr("max_by(value, ts) FILTER (WHERE value IS NOT NULL)")
+        .alias("latest"),
     )
     return agg.select(
         "event_type", "hi", "lo", "latest",

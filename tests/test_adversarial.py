@@ -1,0 +1,170 @@
+"""Adversarial-corpus parity: the engine vs DuckDB on data the driver's
+testdata never shows it — NULL text/lang/value/props, empty strings,
+single-word and exactly-window-sized documents, tab/whitespace edge
+tokens, exact-duplicate and near-duplicate pairs, tied event timestamps,
+single-event users, and a zero embedding vector.
+
+Round-4 finds this sweep produced (each now fixed + pinned here):
+- cosine divide-by-zero on zero-norm embeddings (knn, neardup, kmeans
+  normalization) — zero vectors now filtered/NULL-safe;
+- hard-coded embedding index 64 raising under ANSI on other widths;
+- NULL payloads crashing/garbling both media decode twins and the frame
+  sampler (plain int64 casts of NaN);
+- salted avg decomposed as sum/count(*) counting NULL readings as zeros;
+- Spark max_by returning a NULL value at the max key where the oracle's
+  arg_max skips NULLs (range_position's "latest");
+- dup_span_trim dropping NULL-text documents from its audit output.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# NULL-sensitive representatives from every family the corpus stresses.
+QUERIES = [
+    "range_position", "salted_grouped_stats", "array_element_extract",
+    "knn_brute_force", "embedding_neardup_topk", "media_frame_sample",
+    "media_feature_extract", "media_feature_extract_arrow",
+    "media_kind_stats", "media_dedup_hash",
+    "gopher_quality_flags", "text_quality", "lang_id",
+    "dup_span_report", "dup_span_trim", "dedup_exact", "doc_fingerprint",
+    "token_count", "unigram_logprob_score", "context_windows_report",
+    "pack_sequences", "temperature_resample_docs",
+    "sessionize_events", "scd2_user_state_intervals", "event_funnel",
+    "daily_event_gapfill", "value_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    import random
+    import shutil
+
+    import numpy as np
+
+    rng = random.Random(42)
+    out = tmp_path_factory.mktemp("sffuzz")
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "theta", "the", "a", "of", "and"]
+    docs = []
+
+    def add(text, lang="en", source="srcA"):
+        docs.append((len(docs), text, lang, source,
+                     len(text) if text is not None else None))
+
+    add("")                                  # empty text
+    add("word")                              # single word
+    add(" ".join(["dup"] * 10))              # ten identical words
+    add(" ".join(vocab[:10]))                # exactly window-size words
+    add(" ".join(vocab[:9]))                 # window-size minus one
+    add(None, lang=None, source="srcB")      # NULL text + NULL lang
+    add("back\\slash 'quote' stuff here ok "
+        + " ".join(rng.choices(vocab, k=12)))
+    add("   leading and trailing   spaces   ")
+    add("\t tab\tseparated tokens here \t")
+    big = " ".join(rng.choices(vocab, k=300))
+    add(big, source="srcB")
+    add(big, source="srcB")                  # exact duplicate pair
+    add(big.replace("alpha", "omega", 1), source="srcB")  # near dup
+    for _ in range(30):
+        add(" ".join(rng.choices(vocab, k=rng.randint(15, 60))),
+            lang=rng.choice(["en", "de", "fr"]),
+            source=rng.choice(["srcA", "srcB", "srcC"]))
+    pdf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("Int64")
+    pdf.to_parquet(out / "documents.parquet", index=False)
+
+    ev, eid = [], 0
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    for u in range(1, 6):
+        t = base
+        for k in range(rng.randint(1, 12)):
+            t = t + pd.Timedelta(seconds=rng.randint(0, 3600))
+            ev.append((eid, t, u,
+                       rng.choice(["view", "click", "purchase", "error"]),
+                       round(rng.uniform(0, 100), 2),
+                       '{"k": %d}' % k))
+            eid += 1
+    ts_tie = base + pd.Timedelta(days=1)     # tied timestamps, one user
+    for _ in range(3):
+        ev.append((eid, ts_tie, 77, "click", 1.0, None)); eid += 1
+    ev.append((eid, ts_tie, 77, "purchase", 5.0, None)); eid += 1
+    # single-event user with NULL value
+    ev.append((eid, base + pd.Timedelta(days=2), 99, "view", None, "{}"))
+    epdf = pd.DataFrame(
+        ev, columns=["event_id", "ts", "user_id", "event_type",
+                     "value", "props"])
+    epdf.to_parquet(out / "events.parquet", index=False)
+
+    em = [(i, np.array([rng.gauss(0, 1) for _ in range(8)],
+                       dtype=np.float32), i % 3) for i in range(12)]
+    em.append((12, np.zeros(8, dtype=np.float32), 0))   # zero vector
+    pd.DataFrame(em, columns=["vec_id", "embedding", "label"]) \
+        .to_parquet(out / "embeddings.parquet", index=False)
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def adv_duck(adv_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{adv_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(x):
+    if x is None or x is pd.NA or (pd.api.types.is_scalar(x)
+                                   and pd.isna(x)):
+        return "<NULL>"
+    if isinstance(x, (datetime.date, datetime.datetime, pd.Timestamp)):
+        s = pd.Timestamp(x).isoformat()
+        # DuckDB renders a DATE column as a midnight Timestamp in pandas;
+        # strip the zero time so date/timestamp representations compare.
+        return s[:-9] if s.endswith("T00:00:00") else s
+    if isinstance(x, float):
+        if math.isinf(x):
+            return "inf" if x > 0 else "-inf"
+        return str(round(x, 6))
+    return str(x)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    r = pd.DataFrame({c: df[c].map(_canon) for c in df.columns})
+    return r.sort_values(list(r.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_parity(spark, adv_dir, adv_duck, name):
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    queries, oracles = all_queries(), all_oracles()
+    sp = queries[name](spark, adv_dir).toPandas()
+    du = adv_duck.sql(oracles[name]).df()
+    assert len(sp) == len(du), (len(sp), len(du))
+    assert sorted(sp.columns) == sorted(du.columns)
+    a, b = _norm(sp), _norm(du)
+    if not a.equals(b):
+        neq = (a != b)
+        bad = {c: int(neq[c].sum()) for c in a.columns if neq[c].any()}
+        raise AssertionError(
+            f"{name}: value mismatch in {bad};\n"
+            f"spark: {a[neq.any(axis=1)].head(3).to_dict('records')}\n"
+            f"duck:  {b[neq.any(axis=1)].head(3).to_dict('records')}")
