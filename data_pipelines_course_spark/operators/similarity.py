@@ -84,8 +84,12 @@ def _duck_cos(a: str, b: str) -> str:
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    qvec = (emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-            .select("embedding").head()[0])
+    qrow = (emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+            .select("embedding").head())
+    if qrow is None:  # probe vector absent: no neighbors, like the oracle
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cos_sim double")
+    qvec = qrow[0]
     q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
     scored = (emb.filter(F.col("vec_id") != QUERY_VEC_ID)
               .filter(norm("embedding") > 0)  # zero vectors: no direction

@@ -87,11 +87,17 @@ def scd2_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type")
     work = tempfile.mkdtemp(prefix="scd2_conv_")
     dim = work + "/dim"
+    summary_schema = ("n_intervals bigint, n_users bigint, "
+                      "n_current bigint, total_events bigint, "
+                      "mismatch_rows bigint")
     try:
         sink = scd2_maintenance_sink(dim, buckets=8)
         for i in range(3):
             sink(ev.filter(F.pmod("event_id", F.lit(3)) == i), i)
         sink(ev.filter(F.pmod("event_id", F.lit(3)) == 1), 1)  # replay
+        if ev.isEmpty():  # no batch ever fired -> no dim on disk
+            return spark.createDataFrame([(0, 0, 0, None, 0)],
+                                         summary_schema)
         streamed = spark.read.parquet(dim).drop("bucket").select(
             "user_id", "run_seq", "state", "valid_from", "valid_to",
             "is_current", "n_events")
@@ -140,6 +146,11 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value")
     d0, d1 = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).head()
+    if d0 is None:  # empty stream: maintained table is trivially converged
+        return spark.createDataFrame(
+            [(0, 0, None, 0)],
+            "n_days bigint, n_rows bigint, total_events bigint, "
+            "mismatch_rows bigint")
     third = (d1 - d0) / 3
     cut1, cut2 = d0 + third, d0 + third * 2
     work = tempfile.mkdtemp(prefix="rollup_conv_")
@@ -233,6 +244,9 @@ def trending_topk_stream_convergence(spark: SparkSession,
         for i in range(3):
             sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == i), i)
         sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == 1), 1)
+        if agg.isEmpty():  # no closed windows -> nothing on disk
+            return spark.createDataFrame(
+                [], "window_start string, word string, cnt bigint")
         got = (spark.read.parquet(path)
                .select(F.col("window_start").cast("string")
                        .alias("window_start"), "word",

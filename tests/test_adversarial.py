@@ -147,7 +147,10 @@ def _canon(x):
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    r = pd.DataFrame({c: df[c].map(_canon) for c in df.columns})
+    # dtype=object even when empty: map() preserves the numeric dtype of
+    # an empty column, making two identical empty frames compare unequal.
+    r = pd.DataFrame({c: pd.Series(df[c].map(_canon), dtype="object")
+                      for c in df.columns})
     return r.sort_values(list(r.columns)).reset_index(drop=True)
 
 
@@ -168,3 +171,64 @@ def test_adversarial_parity(spark, adv_dir, adv_duck, name):
             f"{name}: value mismatch in {bad};\n"
             f"spark: {a[neq.any(axis=1)].head(3).to_dict('records')}\n"
             f"duck:  {b[neq.any(axis=1)].head(3).to_dict('records')}")
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("sfempty")
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}), out / "documents.parquet")
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string())}), out / "events.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}), out / "embeddings.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    # The four that crashed on a zero-row corpus before the round-4
+    # guards (no sink output on disk / None bounds / None probe vector),
+    "scd2_stream_convergence", "rollup_stream_convergence",
+    "trending_topk_stream_convergence", "knn_brute_force",
+    # plus cheap representatives proving the relational paths degrade
+    # to empty results, not errors.
+    "dedup_exact", "dup_span_report", "sessionize_events",
+    "temperature_resample_docs",
+])
+def test_empty_corpus_parity(spark, empty_dir, name):
+    """A zero-row corpus must produce the oracle's answer (empty result
+    or an all-zero summary), never a crash — the behavior an incremental
+    pipeline hits on its very first run."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{empty_dir}/{t}.parquet'")
+    try:
+        sp = all_queries()[name](spark, empty_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+        assert len(sp) == len(du)
+        assert _norm(sp).equals(_norm(du))
+    finally:
+        con.close()
