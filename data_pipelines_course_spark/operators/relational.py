@@ -499,7 +499,11 @@ def except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey")
     active = (load(spark, sf_dir, "orders")
               .select(F.col("o_custkey").alias("c_custkey")))
-    return cust.exceptAll(active.distinct()).distinct()
+    # subtract() IS SQL EXCEPT. The previous exceptAll+distinct spelling
+    # matched only because c_custkey is unique: under left-side
+    # duplicates exceptAll removes one occurrence per right row, so a
+    # value present on BOTH sides could survive (review r4).
+    return cust.subtract(active)
 
 
 # ---------------------------------------------------------------------------

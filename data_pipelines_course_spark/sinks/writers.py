@@ -148,7 +148,22 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     if fs.exists(tmp):
         fs.delete(tmp, True)
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp_s)
+    # Hive-partitioned layout (k=v subdirectories — e.g. the streaming
+    # sinks' `_batch_id=` tables) must be REWRITTEN partitioned: a bare
+    # coalesce().write() would flatten the directories into plain files,
+    # after which a replayed batch's dynamic overwrite writes into a
+    # k=v/ subdir beside them — conflicting structures / silent replay
+    # duplication (review r4). Partitioned tables compact to one file
+    # per partition (repartition on the partition keys); flat tables
+    # coalesce toward the target split size as before.
+    pcols = sorted({st.getPath().getName().split("=", 1)[0]
+                    for st in fs.listStatus(jvm_path)
+                    if st.isDirectory() and "=" in st.getPath().getName()})
+    if pcols:
+        (df.repartition(*[F.col(c) for c in pcols])
+         .write.mode("overwrite").partitionBy(*pcols).parquet(tmp_s))
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(tmp_s)
     if fs.exists(old):
         fs.delete(old, True)
     if not fs.rename(jvm_path, old):
@@ -187,20 +202,20 @@ def incremental_daily_rollup(events: DataFrame, rollup_path: str,
                   F.sum("value").alias("sum_value")))
     if since is not None:
         daily = daily.filter(F.col("event_date") >= F.lit(since))
-    key = "spark.sql.sources.partitionOverwriteMode"
-    old = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
     # Persist the (tiny: days × types rows) rollup delta so the returned
     # partition count is a scan of the cached aggregate, not a second
-    # pass over events.
+    # pass over events. Dynamic overwrite is a per-WRITE option, not a
+    # session-conf toggle — the toggle races with concurrent writers on
+    # the same session (see streaming.jobs.idempotent_batch_sink).
     daily = daily.persist()
     try:
         (daily.repartitionByRange("event_date")
-         .write.mode("overwrite").partitionBy("event_date")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("event_date")
          .parquet(rollup_path))
         return daily.select("event_date").distinct().count()
     finally:
-        spark.conf.set(key, old)
         daily.unpersist()
 
 

@@ -82,10 +82,13 @@ def fetch_paged(spark: SparkSession,
     nothing — twitter_airflow.py:95-96). The cap is the reference's
     `if page_num > MAX_TWEEPY_PAGE: break` — a limit pushed into the
     source, the only place a limit CAN be pushed for a cursor API."""
+    from itertools import islice
+
     rows: list[dict] = []
-    for page_num, page in enumerate(pages, start=1):
-        if page_num > max_pages:
-            break
+    # islice, not a post-hoc page_num check: enumerate would FETCH page
+    # max_pages+1 from the rate-limited cursor and throw it away — one
+    # wasted quota hit per capped scan (review r4).
+    for page in islice(pages, max_pages):
         if not page:
             break
         rows.extend(page)

@@ -88,10 +88,20 @@ def read_with_quarantine(spark: SparkSession, path: str,
     reader = spark.read.schema(full_schema).option("mode", "PERMISSIVE") \
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     df = reader.json(path) if fmt == "json" else reader.csv(path)
+    # The corrupt-record column can only be filtered on a cached scan
+    # (Spark's documented restriction). localCheckpoint() the two
+    # outputs (one materialization each off the shared cache), then
+    # RELEASE the cache: the old code leaked one cached relation per
+    # ingest call for the session's lifetime (review r4), and the
+    # checkpointed outputs no longer reference it.
     df = df.cache()
-    good = (df.filter(F.col(CORRUPT_COL).isNull())
-            .drop(CORRUPT_COL))
-    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    try:
+        good = (df.filter(F.col(CORRUPT_COL).isNull())
+                .drop(CORRUPT_COL).localCheckpoint())
+        bad = (df.filter(F.col(CORRUPT_COL).isNotNull())
+               .select(CORRUPT_COL).localCheckpoint())
+    finally:
+        df.unpersist()
     return good, bad
 
 
@@ -136,7 +146,11 @@ def synthetic_timeseries(spark: SparkSession, start: str, days: int,
     date, A=randn, B=randint). rand/randn with a fixed seed keeps the
     fixture reproducible."""
     configure(spark)
-    return (spark.range(days)
+    # Pinned partition count: rand/randn are seeded PER PARTITION, so
+    # letting spark.range follow defaultParallelism would make the
+    # "reproducible" fixture differ between a 4-core and an 8-core
+    # machine (review r4).
+    return (spark.range(0, days, 1, numPartitions=4)
             .select(F.date_add(F.lit(start).cast("date"),
                                F.col("id").cast("int")).alias("date"),
                     F.randn(seed).alias("a"),

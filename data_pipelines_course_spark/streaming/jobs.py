@@ -62,11 +62,13 @@ def rate_events(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
 def wordcount_transform(lines: DataFrame, col: str = "value") -> DataFrame:
     """T2 — the DStream wordcount (flatMap(split) → map((w,1)) →
     reduceByKey) as one declarative plan; partial aggregation replaces the
-    manual combiner."""
-    return (lines
-            .select(F.explode(F.split(F.lower(F.col(col)), r"\W+"))
-                    .alias("word"))
-            .filter(F.col("word") != "")
+    manual combiner. The tokenizer IS the batch one (relational._tokens)
+    — one definition, two execution modes, so the batch/stream parity
+    tests and the DuckDB oracle can never desynchronize from a tweak to
+    one copy (review r4)."""
+    from ..operators.relational import _tokens
+
+    return (_tokens(lines, text_col=col)
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt")))
 
@@ -194,11 +196,18 @@ def run_available_now_to_memory(result: DataFrame, name: str,
     return q
 
 
-def foreach_batch_writer(result: DataFrame, batch_fn):
+def foreach_batch_writer(result: DataFrame, batch_fn,
+                         output_mode: str = "update"):
     """foreachBatch composition point — used for batch-parity tests and
     for sinks Spark lacks natively (the reference's SQLite append K3
-    becomes `lambda df, epoch: df.write.jdbc(...)` here)."""
-    return (result.writeStream.outputMode("update")
+    becomes `lambda df, epoch: df.write.jdbc(...)` here).
+
+    `output_mode` matters for windowed aggregates upstream: UPDATE
+    delivers partial per-window counts every batch, which breaks sinks
+    whose contract is "all of a closed window's rows arrive together"
+    (trending_topk_sink) — attach those with output_mode="append" so
+    only watermark-closed windows flow (review r4)."""
+    return (result.writeStream.outputMode(output_mode)
             .foreachBatch(batch_fn).trigger(availableNow=True).start())
 
 
@@ -210,9 +219,12 @@ def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame,
     re-expressed as a join instead of an API call per row — J2).
 
     The static side is re-read per micro-batch (so dim updates between
-    batches are picked up) and broadcast when small. Stream-static joins
-    are stateless: no watermark needed, unlike stream-stream joins."""
-    return stream.join(F.broadcast(dim), on, how)
+    batches are picked up). No hard broadcast hint: the dimension grows
+    with the business (the repo-wide rule — a forced broadcast bypasses
+    the size check and OOMs once the dim outgrows it); Spark's size
+    estimate broadcasts it while small and shuffle-joins beyond
+    (review r4)."""
+    return stream.join(dim, on, how)
 
 
 def interval_join_view_clicks(views: DataFrame, clicks: DataFrame,
@@ -355,16 +367,18 @@ def idempotent_batch_sink(path: str):
     whole partitions (parquet commit protocol) rather than torn batches."""
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        spark = df.sparkSession
-        key = "spark.sql.sources.partitionOverwriteMode"
-        old = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (df.withColumn("_batch_id", F.lit(int(batch_id)))
-             .write.mode("overwrite").partitionBy("_batch_id")
-             .parquet(path))
-        finally:
-            spark.conf.set(key, old)
+        # Per-WRITE dynamic overwrite, never the session conf: toggling
+        # spark.sql.sources.partitionOverwriteMode around the write races
+        # with any other query on the same session — its restore could
+        # land mid-way through a sibling sink's overwrite, flipping that
+        # write to static mode and deleting every partition but the
+        # current batch (review r4). The writer option is scoped to this
+        # one write and takes precedence over the session conf.
+        (df.withColumn("_batch_id", F.lit(int(batch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_batch_id")
+         .parquet(path))
 
     return write_batch
 
@@ -445,14 +459,10 @@ def trending_topk_sink(path: str, k: int = 3):
              .orderBy(F.desc("cnt"), "word"))
         top = (df.withColumn("rnk", F.row_number().over(w))
                .filter(F.col("rnk") <= k))
-        key = "spark.sql.sources.partitionOverwriteMode"
-        old = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (top.write.mode("overwrite").partitionBy("window_start")
-             .parquet(path))
-        finally:
-            spark.conf.set(key, old)
+        (top.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")  # per-write; see
+         .partitionBy("window_start")                  # idempotent_batch_sink
+         .parquet(path))
 
     return write_batch
 
@@ -495,14 +505,10 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
                .filter((F.col("user_id") % buckets).isin(touched)))
         dim = (scd2_intervals(log)
                .withColumn("bucket", F.col("user_id") % buckets))
-        key = "spark.sql.sources.partitionOverwriteMode"
-        old = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
-        try:
-            (dim.write.mode("overwrite").partitionBy("bucket")
-             .parquet(dim_path))
-        finally:
-            spark.conf.set(key, old)
+        (dim.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")  # per-write; see
+         .partitionBy("bucket")                        # idempotent_batch_sink
+         .parquet(dim_path))
 
     return update
 
@@ -543,10 +549,15 @@ def dedup_index_sink(index_path: str, hits_path: str):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # Persisted: bands feeds BOTH sides of the intra-batch self-join,
+        # the index probe, and the index append — without the persist the
+        # 32-permutation MinHash map stage (the sink's dominant CPU cost)
+        # re-executes ~4x per micro-batch (review r4).
         bands = (rowwise_minhash_sig(batch_df)
                  .select("doc_id",
                          F.posexplode(F.expr(band_expr))
-                         .alias("band", "band_hash")))
+                         .alias("band", "band_hash"))
+                 .persist())
         # Existence probe, NOT a blanket except around the read: a
         # corrupt/unreadable index must raise, never silently count as
         # "no history" (which would wave duplicates through).
@@ -577,8 +588,11 @@ def dedup_index_sink(index_path: str, hits_path: str):
                  .filter(F.col("a.doc_id") > F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_id"),
                          F.col("b.doc_id").alias("prior_id")))
-        hits = intra if cross is None else cross.unionByName(intra)
-        idempotent_batch_sink(hits_path)(hits.distinct(), batch_id)
-        idempotent_batch_sink(index_path)(bands, batch_id)
+        try:
+            hits = intra if cross is None else cross.unionByName(intra)
+            idempotent_batch_sink(hits_path)(hits.distinct(), batch_id)
+            idempotent_batch_sink(index_path)(bands, batch_id)
+        finally:
+            bands.unpersist()
 
     return update

@@ -265,3 +265,38 @@ def test_write_training_shards_one_file_per_shard(spark, tmp_path):
     manifest2 = write_training_shards(packed, out)
     assert manifest2 == manifest
     assert len(glob.glob(f"{out}/source=*/bin=*/*.parquet")) == len(dirs)
+
+
+def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a hive-partitioned table (the streaming sinks'
+    `_batch_id=` layout) must keep the k=v directory structure — the old
+    flat rewrite destroyed it, after which a replayed batch's dynamic
+    overwrite wrote a k=v/ subdir beside plain files (review r4)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_course_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "parted")
+    df = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 3).alias("_batch_id"))
+    # fragment: several files per partition
+    (df.repartition(8).write.partitionBy("_batch_id")
+     .mode("overwrite").parquet(path))
+    assert len(glob.glob(f"{path}/_batch_id=*/part-*.parquet")) > 3
+
+    compact_parquet(spark, path, target_file_mb=128)
+    dirs = sorted(glob.glob(f"{path}/_batch_id=*"))
+    assert [d.split("=")[-1] for d in dirs] == ["0", "1", "2"]
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1  # compacted
+    assert not glob.glob(f"{path}/part-*.parquet")  # nothing flattened
+    back = spark.read.parquet(path)
+    assert back.count() == 3000
+    assert set(back.columns) == {"id", "_batch_id"}
+    # replay-style dynamic overwrite still lands correctly post-compact
+    (spark.range(1000).select(F.col("id"), F.lit(1).alias("_batch_id"))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("_batch_id").parquet(path))
+    assert spark.read.parquet(path).count() == 3000
