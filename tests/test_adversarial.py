@@ -232,3 +232,98 @@ def test_empty_corpus_parity(spark, empty_dir, name):
         assert _norm(sp).equals(_norm(du))
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def uni_dir(tmp_path_factory):
+    import random
+    import shutil
+
+    rng = random.Random(5)
+    out = tmp_path_factory.mktemp("sfuni")
+    docs = []
+
+    def add(text, lang="en", source="srcA"):
+        docs.append((len(docs), text, lang, source, len(text)))
+
+    add("héllo wörld çafé naïve résumé " * 4, "fr")      # accents
+    add("日本語のテキストには空白がありません" * 3, "zh")   # CJK, no spaces
+    add("mixed 日本語 and english words ここ tokens", "zh")
+    add("emoji 😀 tokens 🎉 here 🚀 twice 😀 end", "en")
+    add("combining á é vs precomposed á é", "en")  # NFC vs NFD
+    add("ß STRASSE straße Straße", "de")
+    add("tab nbsp thin　ideographic spaces", "en")  # exotic whitespace
+    add("zero​width​joined words", "en")                # U+200B
+    add("𝔪𝔞𝔱𝔥 𝕤𝕪𝕞𝕓𝕠𝕝𝕤 and surrogate 𠀀 pairs", "en")  # astral plane
+    vocab = ["alpha", "beta", "gamma", "naïve", "café", "日本", "😀",
+             "λόγος", "мир"]
+    for _ in range(25):
+        add(" ".join(rng.choices(vocab, k=rng.randint(10, 40))),
+            rng.choice(["en", "de", "fr", "zh"]),
+            rng.choice(["srcA", "srcB"]))
+    pd.DataFrame(docs,
+                 columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .to_parquet(out / "documents.parquet", index=False)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    "wordcount", "topk_words", "text_quality", "lang_id",
+    "doc_fingerprint", "token_count", "dedup_exact", "dup_span_report",
+    "dup_span_trim", "repetition_ratio", "type_token_ratio_by_source",
+    "vocabulary_build", "pii_redaction", "boilerplate_ngrams",
+    "encode_docs_to_ids", "unigram_logprob_score", "gopher_quality_flags",
+    "context_windows_report", "pack_sequences", "doc_length_stats",
+    "lang_confusion_report", "temperature_resample_docs",
+    "ngram_novelty_report", "tfidf_top_terms",
+])
+def test_unicode_corpus_parity(spark, uni_dir, name):
+    """Multibyte text (CJK without spaces, emoji, combining marks, astral
+    symbols, exotic whitespace) flows through the whole text family with
+    value-exact oracle parity — byte lengths, char counts, md5s, window
+    hashes and token identities all agree. The corpus deliberately
+    EXCLUDES the two characters where the engines' lower() definitions
+    legitimately differ (see test_known_casefold_divergence)."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{uni_dir}/{t}.parquet'")
+    try:
+        sp = all_queries()[name](spark, uni_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+        assert len(sp) == len(du), (len(sp), len(du))
+        assert _norm(sp).equals(_norm(du))
+    finally:
+        con.close()
+
+
+def test_known_casefold_divergence(spark):
+    """Documented oracle LIMIT, pinned so it can't silently change: the
+    engine lowercases with the full Unicode case mapping (U+0130 'İ' →
+    'i' + combining dot; contextual final sigma), while the oracle's
+    simple 1:1 mapping gives 'i' / non-final sigma. The ENGINE side is
+    the Unicode-conformant one; corpora containing these characters
+    diverge from the DuckDB oracle on any lowercased-token query (found
+    by the unicode sweep, round 4). If either engine changes behavior,
+    this test fails and the adversarial corpus should be revisited."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("İstanbul",), ("ΣΟΦΟΣ",)], "s string")
+    got = {r["s"]: r["l"] for r in
+           df.select("s", F.lower("s").alias("l")).collect()}
+    assert got["İstanbul"] == "i̇stanbul"   # full mapping: i + U+0307
+    assert got["ΣΟΦΟΣ"].endswith("ς")       # contextual final sigma
+    con = duckdb.connect()
+    try:
+        assert con.sql("SELECT lower('İstanbul')").fetchone()[0] \
+            == "istanbul"                         # simple mapping
+        assert con.sql("SELECT lower('ΣΟΦΟΣ')").fetchone()[0] \
+            .endswith("σ")                   # plain sigma
+    finally:
+        con.close()
