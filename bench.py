@@ -108,6 +108,7 @@ EXTRA = (
     "context_windows_report",
     "lang_confusion_report",
     "dup_span_trim",
+    "curation_attrition_report",
     # bpe_merge_table / bpe_token_stats are EXCLUDED like embedding_kmeans:
     # they train eagerly at construction (driver merge-loop), so a
     # cold/warm split would mis-attribute the training cost. The three

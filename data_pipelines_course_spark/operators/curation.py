@@ -335,3 +335,103 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .join(F.broadcast(bench_g), "gh")
                     .select("doc_id").distinct())
     return curated.join(contaminated, "doc_id", "left_anti")
+
+
+@query(
+    "curation_attrition_report",
+    oracle=f"""
+    WITH cand AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 10 <> 0),
+    kept AS (
+        SELECT doc_id, text, source FROM cand
+        WHERE len(string_split_regex(trim(text), '\\s+')) >= {_MIN_TOKENS}
+          AND {_duck_hits(STOP_EN)} > 0),
+    reps AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    reps_src AS (
+        SELECT r.doc_id, k.source FROM reps r JOIN kept k USING (doc_id)),
+    g AS (
+        SELECT doc_id, unnest({_DUCK_GRAMS5}) AS gram
+        FROM documents WHERE len({_DUCK_WORDS}) >= {_NGRAM_N}),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 10 <> 0),
+    final AS (
+        SELECT doc_id, source FROM reps_src
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    rc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+           FROM cand GROUP BY source),
+    qc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+           FROM kept GROUP BY source),
+    uc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+           FROM reps_src GROUP BY source),
+    fc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_final
+           FROM final GROUP BY source)
+    SELECT rc.source, rc.n_raw,
+           coalesce(qc.n_quality, 0) AS n_quality,
+           coalesce(uc.n_unique, 0) AS n_unique,
+           coalesce(fc.n_final, 0) AS n_final,
+           floor((CAST(coalesce(fc.n_final, 0) AS DOUBLE) / rc.n_raw)
+                 * 10000 + 0.5) / 10000 AS survival_rate
+    FROM rc
+    LEFT JOIN qc USING (source)
+    LEFT JOIN uc USING (source)
+    LEFT JOIN fc USING (source)
+    """,
+)
+def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ATTRITION through the full curation pipeline — the
+    funnel report every dataset card leads with: candidates in, docs
+    surviving the quality gate, canonical representatives after exact
+    dedup, docs surviving benchmark decontamination, and the end-to-end
+    survival rate. A source whose mass dies at one stage tells you WHAT
+    to fix (a crawler emitting short pages dies at quality; a mirror
+    dies at dedup; a benchmark-derived source dies at decontamination).
+
+    Plan: the stage tables are the SAME subplans as corpus_curation_full
+    (quality filter is a codegen scan filter, dedup the one md5 shuffle,
+    decontamination the broadcast gram probe); the four per-source
+    counts are O(sources)-row aggregates off those branches, joined on
+    source at the end — the report costs the pipeline's own passes plus
+    K-row joins. Representative attribution: a duplicate cluster counts
+    toward the source of its KEPT (min doc_id) representative, matching
+    what actually ships."""
+    from .dedup import _GRAMS5_OF_W, _widen, _WORDS
+
+    docs = load(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    stop_hits = F.expr(_spark_hits(STOP_EN))
+    kept = cand.filter((n_tokens >= _MIN_TOKENS) & (stop_hits > 0))
+    reps = (kept.groupBy(F.md5("text"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    reps_src = reps.join(kept.select("doc_id", "source"), "doc_id")
+    grams = (_widen(docs)
+             .select("doc_id", F.expr(_WORDS).alias("w"))
+             .filter(F.size("w") >= _NGRAM_N)
+             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
+    bench_g = (grams.filter(F.col("doc_id") % 10 == 0)
+               .select(F.xxhash64("gram").alias("gh")).distinct())
+    contaminated = (grams.filter(F.col("doc_id") % 10 != 0)
+                    .select("doc_id", F.xxhash64("gram").alias("gh"))
+                    .join(F.broadcast(bench_g), "gh")
+                    .select("doc_id").distinct())
+    final = reps_src.join(contaminated, "doc_id", "left_anti")
+
+    def by_src(df: DataFrame, alias: str) -> DataFrame:
+        return (df.groupBy("source")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(alias)))
+
+    report = (by_src(cand, "n_raw")
+              .join(by_src(kept, "n_quality"), "source", "left")
+              .join(by_src(reps_src, "n_unique"), "source", "left")
+              .join(by_src(final, "n_final"), "source", "left"))
+    return report.select(
+        "source", "n_raw",
+        F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.coalesce("n_final", F.lit(0)).alias("n_final"),
+        fround(F.coalesce("n_final", F.lit(0)).cast("double")
+               / F.col("n_raw"), 4).alias("survival_rate"))

@@ -188,6 +188,7 @@ DRIVER_FIRST: tuple[str, ...] = (
     "context_windows_report",
     "lang_confusion_report",
     "dup_span_trim",
+    "curation_attrition_report",
 )
 
 
