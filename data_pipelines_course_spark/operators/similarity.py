@@ -396,6 +396,10 @@ def _best_cell(cents: list[list[float]]) -> Column:
     return F.element_at(F.sort_array(scores, asc=False), 1)
 
 
+# Session-scoped training memos (deterministic, KB-sized driver objects).
+_TRAIN_MEMO: dict[tuple, tuple] = {}
+
+
 def kmeans_train(
     spark: SparkSession,
     sf_dir: str,
@@ -407,7 +411,19 @@ def kmeans_train(
     same seed rule as ivf_topk's untrained quantizer). Empty cells keep
     their previous centroid. The history is the spherical-k-means objective
     measured at each assignment step — monotone non-decreasing by Lloyd's
-    argument, asserted in tests/test_similarity.py."""
+    argument, asserted in tests/test_similarity.py.
+
+    Memoized per (application, sf_dir, k, max_iter): training is
+    deterministic and its result is a KB-sized driver object, so the
+    two registered consumers (embedding_kmeans, semdedup_candidates —
+    and any interactive reuse) share ONE training run per session
+    instead of re-running the Lloyd loop each call (same pattern as
+    datasets.py's scan cache; appId key evicts naturally on session
+    restart)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, k, max_iter)
+    hit = _TRAIN_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     base = _normalized(load(spark, sf_dir, "embeddings")).select("vec_id", "nv")
     base = base.persist()
     try:
@@ -440,6 +456,7 @@ def kmeans_train(
             cents = new_cents
             if shift < KMEANS_TOL:
                 break
+        _TRAIN_MEMO[memo_key] = (cents, history)
         return cents, history
     finally:
         base.unpersist()
@@ -557,7 +574,12 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str
     (same rule as the k-means centroid literals). numpy, fixed init
     (first PQ_KSUB sample rows), 10 iterations: deterministic across
     runs. The probe vector rides along from the same collect (QUERY_
-    VEC_ID < PQ_TRAIN_N), saving a second Spark job at construction."""
+    VEC_ID < PQ_TRAIN_N), saving a second Spark job at construction.
+    Memoized per (application, sf_dir) like kmeans_train."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "pq")
+    hit = _TRAIN_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     import numpy as np
 
     emb = _normalized(load(spark, sf_dir, "embeddings"))
@@ -580,6 +602,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str
                 if mask.any():
                     cents[j] = sub[mask].mean(axis=0)
         books.append([[float(v) for v in c] for c in cents])
+    _TRAIN_MEMO[memo_key] = (books, qv)
     return books, qv
 
 
