@@ -40,8 +40,12 @@ def snapshot_diff(base: DataFrame, nxt: DataFrame, key: str,
     null-safe). One full-outer join on the key; comparison stays
     columnar (no row-serialization hash, which would be engine- and
     format-sensitive)."""
-    b = base.select(key, *compare_cols)
-    n = nxt.select(key, *compare_cols)
+    # Presence is detected via marker literals, NOT key nullness: a base
+    # row whose KEY is NULL never matches the equi-join, and testing
+    # n.key IS NULL would misreport it as 'added' (review r4). The
+    # markers distinguish "no matching row" from "row with a NULL key".
+    b = base.select(key, *compare_cols).withColumn("_b", F.lit(True))
+    n = nxt.select(key, *compare_cols).withColumn("_n", F.lit(True))
     joined = b.alias("b").join(n.alias("n"), on=F.col(f"b.{key}") ==
                                F.col(f"n.{key}"), how="full_outer")
     changed = F.lit(False)
@@ -49,8 +53,8 @@ def snapshot_diff(base: DataFrame, nxt: DataFrame, key: str,
         changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"n.{c}"))
     return (joined.select(
         F.coalesce(F.col(f"b.{key}"), F.col(f"n.{key}")).alias(key),
-        F.when(F.col(f"b.{key}").isNull(), F.lit("added"))
-         .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        F.when(F.col("b._b").isNull(), F.lit("added"))
+         .when(F.col("n._n").isNull(), F.lit("removed"))
          .when(changed, F.lit("changed"))
          .otherwise(F.lit("unchanged")).alias("change_type"))
         .filter(F.col("change_type") != "unchanged"))
@@ -173,7 +177,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, e.event_type,
            floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000 AS zscore
     FROM events e JOIN stats USING (event_type)
-    WHERE abs((e.value - mu) / sigma) > 3.0
+    WHERE abs(floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000) > 3.0
     """,
 )
 def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,10 +187,13 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     close over the group before any row can be scored — but the stats
     table is GROUP-CARDINALITY sized (5 rows here; bounded by distinct
     event types at any scale), so the re-join is a broadcast and the
-    corpus is scanned twice with zero corpus-sized shuffles. The z-score
-    threshold compares UNROUNDED doubles identically on both engines
-    (same IEEE ops in the same order); only the reported zscore is
-    rounded for the hash."""
+    corpus is scanned twice with zero corpus-sized shuffles. Threshold
+    membership is decided on the ROUNDED z-score on both sides: mu/sigma
+    come from partial aggregation whose merge order is partition-
+    dependent, so an unrounded boundary comparison could flip for a
+    value within an ulp of 3.0 between engines or even between runs
+    (review r4) — the same rounded-boundary rule every other float
+    decision in the registry follows."""
     ev = load(spark, sf_dir, "events")
     stats = (ev.groupBy("event_type")
              .agg(F.avg("value").alias("mu"),
@@ -194,5 +201,6 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     from ..functions.scalar import fround
     return (ev.join(stats, "event_type")
-            .filter(F.abs(z) > 3.0)
-            .select("event_id", "event_type", fround(z, 4).alias("zscore")))
+            .withColumn("zscore", fround(z, 4))
+            .filter(F.abs(F.col("zscore")) > 3.0)
+            .select("event_id", "event_type", "zscore"))

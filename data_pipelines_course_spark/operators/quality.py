@@ -46,6 +46,7 @@ from ..datasets import load
 from ..functions.scalar import fround, fround_sql
 from ..queries import query
 from .dedup import _DUCK_WORDS, _GRAMS5_OF_W, _DUCK_GRAMS5
+from .sampling import _bucket_sql
 
 # Gopher-style thresholds, integer-exact on both engines.
 MIN_WORDS, MAX_WORDS = 10, 100_000
@@ -362,8 +363,9 @@ _RATES = {"high": 80, "mid": 50, "low": 10}
         FROM scored)
     SELECT doc_id, band, avg_logprob
     FROM banded
-    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-               AS INTEGER) % 100 <
+    -- the SHARED bucket scheme (sampling._bucket_sql), not an inline
+    -- copy that could drift from hash_bucket (review r4)
+    WHERE {_bucket_sql('doc_id', 100)} <
           CASE band WHEN 'high' THEN {_RATES['high']}
                     WHEN 'mid' THEN {_RATES['mid']}
                     ELSE {_RATES['low']} END

@@ -55,52 +55,75 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     payload = [c for c in right.columns if c not in (on, right_ts)]
     l_tag, r_tag = (0, 1) if strict else (1, 0)
     lhs = left.withColumn("_tag", F.lit(l_tag))
+    # The right row travels as ONE struct, carried by ONE
+    # last(ignorenulls): per-column last() would resurrect an older
+    # row's value wherever the matched row holds a NULL — a chimera row
+    # mixing columns from different right rows, diverging from ASOF
+    # semantics (review r4). The struct also gives equal-(key, ts) right
+    # rows a deterministic winner (greatest struct in the window order)
+    # instead of a partition-order-dependent pick; payload types must
+    # therefore be orderable (maps are not — project them out first).
     rhs = right.select(
         F.col(on),
-        F.col(right_ts).alias("_rts"),
-        *[F.col(c).alias(f"r_{c}") for c in payload],
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(f"r_{c}") for c in payload],
+        ).alias("_r"),
     ).withColumn("_tag", F.lit(r_tag))
 
     # Interleave on (ts, tag): with strict matching the left row sorts
     # BEFORE a right row carrying the same timestamp, so an equal-ts right
     # row is not yet visible to the running `last()` when the left row is
     # emitted; non-strict flips the tags.
+    r_type = rhs.schema["_r"].dataType
     unioned = lhs.select(
-        *[F.col(c) for c in left.columns], F.lit(None).cast("timestamp").alias("_rts"),
-        *[F.lit(None).cast(rhs.schema[f"r_{c}"].dataType).alias(f"r_{c}")
-          for c in payload],
+        *[F.col(c) for c in left.columns],
+        F.lit(None).cast(r_type).alias("_r"),
         "_tag",
     ).unionByName(
         rhs.select(
-            *[F.col(c) if c == on else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            *[F.col(c) if c == on
+              else F.lit(None).cast(left.schema[c].dataType).alias(c)
               for c in left.columns],
-            "_rts", *[f"r_{c}" for c in payload], "_tag",
+            "_r", "_tag",
         )
     )
-    order_ts = F.coalesce(F.col("_rts"), F.col(left_ts))
-    w = (Window.partitionBy(on).orderBy(order_ts.asc(), F.col("_tag").asc())
+    order_ts = F.coalesce(F.col("_r")["_rts"], F.col(left_ts))
+    w = (Window.partitionBy(on)
+         .orderBy(order_ts.asc(), F.col("_tag").asc(), F.col("_r").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = unioned.select(
         *left.columns, "_tag",
-        F.last("_rts", ignorenulls=True).over(w).alias("r_ts"),
-        *[F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}")
-          for c in payload],
+        F.last("_r", ignorenulls=True).over(w).alias("_last"),
     )
-    return carried.filter(F.col("_tag") == l_tag).drop("_tag")
+    return (carried.filter(F.col("_tag") == l_tag)
+            .select(*left.columns,
+                    F.col("_last")["_rts"].alias("r_ts"),
+                    *[F.col("_last")[f"r_{c}"].alias(f"r_{c}")
+                      for c in payload]))
 
 
 def banded_range_join(left: DataFrame, right: DataFrame, on: str,
                       left_ts: str, right_ts: str,
                       window_expr: Column,
-                      band_micros: int) -> DataFrame:
+                      band_micros: int,
+                      left_id: str | None = None) -> DataFrame:
     """Equi-join `left` to every right row with
     `left_ts - window <= right_ts < left_ts`, via time-banding.
 
     `band_micros` must be >= the window width in microseconds so each left
     window overlaps at most two bands. Returns left columns + right
-    payload (nulls when a band has no match — filter `r_ts IS NOT NULL`
-    for inner semantics, or aggregate with null-skipping functions).
-    """
+    payload with TRUE left-outer multiplicity: one all-null row per
+    unmatched left row, no band artifacts.
+
+    Pass `left_id` (a unique left key) to collapse the band dimension
+    exactly; with ``left_id=None`` the RAW banded shape is returned —
+    each left row appears once per band, so an unmatched left row emits
+    TWO null rows and a matched one still emits a spurious null from its
+    empty band (review r4). The raw shape is only correct for consumers
+    that aggregate with null-skipping functions over the left key (see
+    range_join_click_count), which is also why it is cheaper: the
+    collapse costs one window over the joined output."""
     payload = [c for c in right.columns if c not in (on, right_ts)]
     # cast("timestamp") makes the banding expression type-robust: TIMESTAMP
     # passes through, TIMESTAMP_NTZ converts via the (UTC-pinned) session
@@ -118,8 +141,17 @@ def banded_range_join(left: DataFrame, right: DataFrame, on: str,
     cond = ((lhs[on] == rhs["_ron"]) & (lhs["_band"] == rhs["_band"])
             & (rhs["r_ts"] >= F.col(left_ts) - window_expr)
             & (rhs["r_ts"] < F.col(left_ts)))
-    return (lhs.join(rhs, cond, "left")
-            .drop("_band", "_ron"))
+    joined = lhs.join(rhs, cond, "left").drop("_band", "_ron")
+    if left_id is None:
+        return joined
+    wid = Window.partitionBy(left_id)
+    rn_w = wid.orderBy(F.col("r_ts").asc_nulls_last())
+    return (joined
+            .withColumn("_hm", F.max(F.col("r_ts").isNotNull()).over(wid))
+            .withColumn("_rn", F.row_number().over(rn_w))
+            .filter(F.col("r_ts").isNotNull()
+                    | (~F.col("_hm") & (F.col("_rn") == 1)))
+            .drop("_hm", "_rn"))
 
 
 # ---------------------------------------------------------------------------
@@ -168,6 +200,10 @@ def range_join_click_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("event_id", "user_id", "ts"))
     clicks = (ev.filter(F.col("event_type") == "click")
               .select("user_id", "ts"))
+    # left_id=None on purpose: the raw banded shape (band-artifact null
+    # rows included) is cheaper, and the null-skipping count() over the
+    # purchase key absorbs the artifacts exactly — the generic collapse
+    # window would duplicate work this aggregate already does.
     joined = banded_range_join(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
         window_expr=F.expr("INTERVAL 1 HOUR"),
@@ -207,9 +243,10 @@ def sessionize(events: DataFrame, key: str = "user_id", ts: str = "ts",
         | ((F.unix_micros(F.col(ts).cast("timestamp"))
             - F.unix_micros(prev.cast("timestamp"))) > gap_us),
         F.lit(1)).otherwise(F.lit(0))
-    cum = Window.partitionBy(key).orderBy(
-        F.col(ts).asc(), F.col(order_tiebreak).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Derived from the SAME window spec, not re-declared: two copies of
+    # the (key, ts, tiebreak) ordering could silently diverge (the
+    # scd2_intervals pattern in this file).
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (events
             .withColumn("_brk", brk)
             .withColumn("session_seq", F.sum("_brk").over(cum).cast("long"))

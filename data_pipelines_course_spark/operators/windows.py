@@ -54,17 +54,20 @@ def window_first_last_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_position",
     oracle="""
-    WITH agg AS (
-        SELECT event_type,
-               max(value) AS hi,
-               min(value) AS lo,
-               arg_max(value, ts) AS latest
-        FROM events GROUP BY event_type
-    )
-    SELECT event_type, hi, lo, latest,
+    WITH lat AS (
+        SELECT event_type, value AS latest
+        FROM (SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts DESC, value DESC) AS rn
+              FROM events WHERE value IS NOT NULL)
+        WHERE rn = 1),
+    agg AS (
+        SELECT event_type, max(value) AS hi, min(value) AS lo
+        FROM events GROUP BY event_type)
+    SELECT a.event_type, hi, lo, latest,
            CASE WHEN abs(latest - hi) < abs(latest - lo)
                 THEN 'closer to high' ELSE 'closer to low' END AS position
-    FROM agg
+    FROM agg a LEFT JOIN lat USING (event_type)
     """,
 )
 def range_position(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +79,11 @@ def range_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the max key even when that value is NULL, while the oracle's
         # arg_max skips NULL arguments — so "latest" means the latest
         # NON-NULL reading on both engines (adversarial-corpus find).
-        F.expr("max_by(value, ts) FILTER (WHERE value IS NOT NULL)")
+        # The composite (ts, value) key breaks equal-ts ties
+        # deterministically on both engines — bare max_by/arg_max are
+        # documented partition-order-dependent on ties (review r4).
+        F.expr("max_by(value, struct(ts, value))"
+               " FILTER (WHERE value IS NOT NULL)")
         .alias("latest"),
     )
     return agg.select(

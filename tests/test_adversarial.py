@@ -327,3 +327,27 @@ def test_known_casefold_divergence(spark):
             .endswith("σ")                   # plain sigma
     finally:
         con.close()
+
+
+def test_known_whitespace_class_divergence(spark):
+    """Documented oracle LIMIT #2 (review r4): Java's \\s (Spark split)
+    includes vertical tab U+000B; RE2's \\s (DuckDB string_split_regex)
+    does not — so a corpus containing \\x0B tokenizes differently across
+    engines on every whitespace-split query. Like the case-fold
+    divergence this is an oracle limitation, not an engine defect
+    (neither class covers Unicode spaces like NBSP — those stay inside
+    tokens CONSISTENTLY on both engines, covered by the unicode corpus).
+    Pinned so a change in either engine's regex semantics is noticed."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a\x0bb nbsp c",)], "s string")
+    toks = df.select(F.split(F.col("s"), r"\s+").alias("t")).head()["t"]
+    assert toks == ["a", "b", "nbsp c"]      # Java: \x0B splits, NBSP not
+    con = duckdb.connect()
+    try:
+        d = con.sql(
+            "SELECT string_split_regex('a\x0bb nbsp c', '\\s+')"
+        ).fetchone()[0]
+        assert d == ["a\x0bb", "nbsp c"]     # RE2: \x0B does NOT split
+    finally:
+        con.close()
