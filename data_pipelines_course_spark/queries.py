@@ -115,80 +115,68 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 4 rotation: every name here lacks a CORRECTNESS row in
-    # r01∪r02∪r03 (all were judge-parity green in r3 or are round-4
-    # additions). The driver records the FIRST 50, so positions 1-50
-    # gain driver rows this round (r1-r4 union: 150 of the registry);
-    # the tail past the cap — the two rows-only BPE queries plus the
-    # round-4 additions — fronts the r5 rotation. tests/test_registry.py
-    # asserts the front-50 are all uncovered (and, once the uncovered
-    # set fits the cap again, that it is fully contained), so the
-    # rotation can't silently go stale.
-    "tpch_q2_top_acctbal_per_nation",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "boilerplate_ngrams",
-    "cogroup_conversion_lag",
-    "conversion_lag_native",
-    "corpus_curation_full",
-    "customer_value_deciles",
-    "daily_event_gapfill",
-    "decontaminate_ngram_hit",
-    "dedup_clusters_twostar",
-    "dedup_keep_best",
-    "embedding_kmeans",
-    "encode_docs_to_ids",
-    "gopher_quality_flags",
-    "ivf_pq_topk",
-    "lateral_topk_per_nation",
-    "media_dedup_hash",
-    "media_feature_extract_arrow",
-    "ngram_novelty_report",
-    "pack_sequences",
-    "pii_redaction",
-    "pq_topk",
-    "props_map_stats",
-    "quality_mixture_sample",
-    "scd2_user_state_intervals",
-    "semdedup_candidates",
-    "sketch_distinct_users_by_type",
-    "snapshot_diff_orders",
-    "table_profile_orders",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "unpivot_part_attrs",
-    "value_outliers_by_type",
-    "vocab_typo_pairs",
-    "vocab_typo_pairs_symspell",
-    "vocabulary_build",
-    "weighted_sample_docs",
-    # Round-4 additions: the streaming-sink convergence hooks (oracle-
-    # backed) take the last two in-cap slots; the two rows-only BPE
-    # queries (their driver row would be a no_oracle marker — weakest
-    # possible signal) move past the 50-cap and rotate in next round.
-    "scd2_stream_convergence",
-    "rollup_stream_convergence",
-    "bpe_merge_table",
-    "bpe_token_stats",
+    # Round 5 rotation: positions 1-11 are exactly the registered names
+    # with no CORRECTNESS row in r01∪r02∪r03∪r04 (the round-4 additions
+    # plus the two rows-only BPE queries displaced past the r4 cap).
+    # With these 11 recorded, driver coverage reaches 161/161.
+    # tests/test_registry.py asserts the front-50 contains every
+    # uncovered name, so the rotation can't silently go stale.
     "dup_span_report",
+    "dup_span_trim",
     "temperature_resample_docs",
     "dedup_cluster_size_histogram",
-    "trending_topk_stream_convergence",
-    "quantity_quantiles_by_flag_approx",
     "context_windows_report",
     "lang_confusion_report",
-    "dup_span_trim",
     "curation_attrition_report",
+    "quantity_quantiles_by_flag_approx",
+    "trending_topk_stream_convergence",
+    "bpe_merge_table",
+    "bpe_token_stats",
+    # Positions 12-50: already-covered queries whose re-verification is
+    # most valuable — scale-sensitive algorithms (exact quantiles, rank
+    # arithmetic, streaming-sink convergence, skew handling), the
+    # flagship, and the queries whose semantics were touched by round-4
+    # or round-5 hardening. The driver re-records hash rows for these,
+    # giving regression signal on the code most likely to drift.
+    "price_quantiles",
+    "quantity_quantiles_by_flag",
+    "scd2_stream_convergence",
+    "rollup_stream_convergence",
+    "scd2_user_state_intervals",
+    "snapshot_diff_orders",
+    "cogroup_conversion_lag",
+    "conversion_lag_native",
+    "asof_join_latest_click",
+    "range_join_click_count",
+    "range_position",
+    "salted_join_segment_revenue",
+    "salted_grouped_stats",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_clusters_twostar",
+    "dedup_keep_best",
+    "ngram_jaccard_threshold_prefix",
+    "decontaminate_exact",
+    "decontaminate_ngram_hit",
+    "corpus_curation_full",
+    "sessionize_events",
+    "flagship_grouped_agg",
+    "gopher_quality_flags",
+    "unigram_logprob_score",
+    "quality_mixture_sample",
+    "pii_redaction",
+    "vocabulary_build",
+    "encode_docs_to_ids",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "boilerplate_ngrams",
+    "ngram_novelty_report",
+    "weighted_sample_docs",
+    "customer_value_deciles",
+    "daily_event_gapfill",
+    "table_profile_orders",
+    "value_outliers_by_type",
+    "media_dedup_hash",
 )
 
 

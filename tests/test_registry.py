@@ -42,10 +42,20 @@ def test_driver_first_is_exactly_the_uncovered_set():
     cap = 50
     front = set(Q.DRIVER_FIRST[: min(cap, len(Q.DRIVER_FIRST))])
     if len(uncovered) <= cap:
-        assert front >= uncovered, (
-            f"rotation stale: uncovered queries missing from DRIVER_FIRST "
-            f"front-50: {sorted(uncovered - front)}"
-        )
+        if not front >= uncovered:
+            # Self-healing failure mode: print the corrected front of
+            # DRIVER_FIRST verbatim so the fix is a paste, not a thought.
+            fixed = sorted(uncovered) + [
+                n for n in Q.DRIVER_FIRST if n not in uncovered
+            ]
+            tup = "\n".join(f'    "{n}",' for n in fixed[:cap])
+            raise AssertionError(
+                "rotation stale: uncovered queries missing from DRIVER_FIRST "
+                f"front-50: {sorted(uncovered - front)}\n"
+                "Replace the front of DRIVER_FIRST in "
+                "data_pipelines_course_spark/queries.py with:\n"
+                f"DRIVER_FIRST = (\n{tup}\n    ...\n)"
+            )
     else:
         # More uncovered than the cap: the front must at least be all-uncovered.
         assert front <= uncovered
