@@ -172,12 +172,7 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "event_type")
                  .agg(F.count(F.lit(1)).cast("bigint").alias("b_n"),
                       F.sum("value").alias("b_sum")))
-        joined = streamed.join(batch, ["event_date", "event_type"],
-                               "full_outer")
-        bad = (F.col("n_events").isNull() | F.col("b_n").isNull()
-               | (F.col("n_events") != F.col("b_n"))
-               | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-6))
-        mismatch = joined.filter(bad).count()
+        mismatch = _rollup_mismatch_count(streamed, batch)
         summary = streamed.agg(
             F.countDistinct("event_date").cast("bigint").alias("n_days"),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -186,6 +181,20 @@ def rollup_stream_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(summary.collect(), summary.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _rollup_mismatch_count(streamed: DataFrame, batch: DataFrame) -> int:
+    """Rows where the maintained rollup disagrees with the batch truth.
+    One-sided NULL sums must count as mismatches: abs(x - NULL) is NULL,
+    which filter() drops — a sink bug that nulled out a daily sum would
+    otherwise pass the convergence proof (ADVICE r4)."""
+    joined = streamed.join(batch, ["event_date", "event_type"],
+                           "full_outer")
+    bad = (F.col("n_events").isNull() | F.col("b_n").isNull()
+           | (F.col("n_events") != F.col("b_n"))
+           | (F.col("sum_value").isNull() != F.col("b_sum").isNull())
+           | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-6))
+    return joined.filter(bad).count()
 
 
 @query(
@@ -241,9 +250,14 @@ def trending_topk_stream_convergence(spark: SparkSession,
     path = work + "/topk"
     try:
         sink = trending_topk_sink(path, k=3)
+        # pmod, not abs(...) % 3: abs(Long.MIN_VALUE) crashes under ANSI
+        # (ARITHMETIC_OVERFLOW) and overflows negative with ANSI off, so
+        # a window hashing exactly to MIN_VALUE would kill or skip the
+        # batch split (matches the scd2 hook's split; ADVICE r4).
+        split = F.pmod(F.xxhash64("window_start"), F.lit(3))
         for i in range(3):
-            sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == i), i)
-        sink(agg.filter(F.abs(F.xxhash64("window_start")) % 3 == 1), 1)
+            sink(agg.filter(split == i), i)
+        sink(agg.filter(split == 1), 1)
         if agg.isEmpty():  # no closed windows -> nothing on disk
             return spark.createDataFrame(
                 [], "window_start string, word string, cnt bigint")

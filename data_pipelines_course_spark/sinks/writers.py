@@ -156,9 +156,27 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     # duplication (review r4). Partitioned tables compact to one file
     # per partition (repartition on the partition keys); flat tables
     # coalesce toward the target split size as before.
-    pcols = sorted({st.getPath().getName().split("=", 1)[0]
-                    for st in fs.listStatus(jvm_path)
-                    if st.isDirectory() and "=" in st.getPath().getName()})
+    # Collect ALL partition levels by walking the first k=v directory
+    # chain, not just the top level: a multi-level layout (e.g.
+    # write_training_shards' source=/bin=) compacted with only the first
+    # key would demote the inner keys to data columns — recreating the
+    # conflicting-layout/replay hazard this rewrite exists to prevent
+    # (ADVICE r4). Hive layouts carry exactly one key per level;
+    # mixed keys at one level are malformed, so fail loudly.
+    pcols: list[str] = []
+    cur = jvm_path
+    while True:
+        kvdirs = [st.getPath() for st in fs.listStatus(cur)
+                  if st.isDirectory() and "=" in st.getPath().getName()]
+        if not kvdirs:
+            break
+        keys = {p.getName().split("=", 1)[0] for p in kvdirs}
+        if len(keys) != 1:
+            raise IOError(
+                f"compact_parquet: mixed partition keys {sorted(keys)} at "
+                f"one level under {cur} — refusing to guess a layout")
+        pcols.append(keys.pop())
+        cur = kvdirs[0]
     if pcols:
         (df.repartition(*[F.col(c) for c in pcols])
          .write.mode("overwrite").partitionBy(*pcols).parquet(tmp_s))

@@ -300,3 +300,42 @@ def test_compact_parquet_preserves_partitioned_layout(spark, tmp_path):
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("_batch_id").parquet(path))
     assert spark.read.parquet(path).count() == 3000
+
+
+def test_compact_parquet_multilevel_partitions(spark, tmp_path):
+    """Multi-level hive layouts (write_training_shards' source=/bin=)
+    must keep EVERY partition level through compaction — detecting only
+    the top-level key would demote 'bin' to a data column and break any
+    later dynamic overwrite keyed on both columns (ADVICE r4)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_pipelines_course_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "shards")
+    df = spark.range(2400).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("source"),
+        (F.col("id") % 3).alias("bin"))
+    (df.repartition(8).write.partitionBy("source", "bin")
+     .mode("overwrite").parquet(path))
+    assert len(glob.glob(f"{path}/source=*/bin=*/part-*.parquet")) > 6
+
+    compact_parquet(spark, path, target_file_mb=128)
+    leaf_dirs = sorted(glob.glob(f"{path}/source=*/bin=*"))
+    assert len(leaf_dirs) == 6  # 2 sources x 3 bins survive
+    for d in leaf_dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1  # compacted
+    # nothing flattened at either level
+    assert not glob.glob(f"{path}/part-*.parquet")
+    assert not glob.glob(f"{path}/source=*/part-*.parquet")
+    back = spark.read.parquet(path)
+    assert back.count() == 2400
+    assert set(back.columns) == {"id", "source", "bin"}
+    # dynamic overwrite keyed on BOTH columns still lands post-compact
+    (spark.range(400).select(
+        F.col("id"), F.lit("1").alias("source"), F.lit(2).alias("bin"))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("source", "bin").parquet(path))
+    assert spark.read.parquet(path).count() == 2400
