@@ -42,6 +42,15 @@ def norm(a: str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _empty_topk(spark: SparkSession) -> DataFrame:
+    """The empty result every ANN serving path degrades to when the
+    probe vector is absent (zero-row corpus — an incremental pipeline's
+    first run) or direction-less (zero norm). Shared so all four paths
+    keep an identical schema (matches knn_brute_force's guard)."""
+    return spark.createDataFrame(
+        [], "vec_id bigint, label int, cos_sim double")
+
+
 def cosine(a: str, b: str) -> Column:
     """NULL (not an ANSI divide-by-zero error) when either operand has
     zero norm — a zero embedding has no direction, and real corpora
@@ -205,13 +214,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").withColumn(
         "buckets", F.array(*lsh_bucket_cols()))
     probe = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    if probe is None:  # probe absent (zero-row corpus): no neighbors
+        return _empty_topk(spark)
     qvec, qbuckets = probe["embedding"], probe["buckets"]
+    if not any(float(v) != 0.0 for v in qvec):  # direction-less probe
+        return _empty_topk(spark)
     q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
     collide = None
     for t, qb in enumerate(qbuckets):
         c = F.col("buckets")[t] == F.lit(int(qb))
         collide = c if collide is None else (collide | c)
-    cands = (emb.filter(collide & (F.col("vec_id") != QUERY_VEC_ID))
+    cands = (emb.filter(collide & (F.col("vec_id") != QUERY_VEC_ID)
+                        & (norm("embedding") > 0))  # zero vecs: no direction
              .withColumn("qv", q))
     return (cands.select("vec_id", "label",
                          (fround(cosine("embedding", "qv"), 6) + F.lit(0.0)).alias("cos_sim"))
@@ -328,21 +342,30 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the classic IVF index expressed as Spark table layout.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cent_rows = (emb.filter(F.col("vec_id") < IVF_K)
+    # Zero-norm vectors cannot serve as centroids (no direction — the
+    # driver-side routing cosine would divide by zero; adversarial find
+    # r5) and a missing/zero-norm probe has no neighbors by definition.
+    cent_rows = (emb.filter((F.col("vec_id") < IVF_K)
+                            & (norm("embedding") > 0))
                  .select("vec_id", "embedding").collect())
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in cent_rows}
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    if qrow is None or not cents:
+        return _empty_topk(spark)
+    qv = [float(x) for x in qrow["embedding"]]
+    if not any(v != 0.0 for v in qv):
+        return _empty_topk(spark)
     scores = F.array(*[
         F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
                  F.lit(c).alias("c")) for c in sorted(cents)])
     best = F.element_at(F.sort_array(scores, asc=False), 1)["c"]
-    qv = [float(x) for x in
-          emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()["embedding"]]
     probe_cells = sorted(sorted(cents),
                          key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
     return (emb.withColumn("_cell", best)
             .filter(F.col("_cell").isin(probe_cells)
-                    & (F.col("vec_id") != QUERY_VEC_ID))
+                    & (F.col("vec_id") != QUERY_VEC_ID)
+                    & (norm("embedding") > 0))  # zero vectors: no direction
             .select("vec_id", "label",
                     (fround(cosine("embedding", _arr_sql(qv)), 6)
                      + F.lit(0.0)).alias("cos_sim"))
@@ -427,7 +450,11 @@ def kmeans_train(
     base = _normalized(load(spark, sf_dir, "embeddings")).select("vec_id", "nv")
     base = base.persist()
     try:
-        dim = len(base.head()["nv"])
+        first = base.head()
+        if first is None:  # no trainable vectors (zero-row / all-zero)
+            _TRAIN_MEMO[memo_key] = ([], [])
+            return [], []
+        dim = len(first["nv"])
         init = {int(r["vec_id"]): [float(x) for x in r["nv"]]
                 for r in base.filter(F.col("vec_id") < k).collect()}
         cents = [init[i] for i in sorted(init)]
@@ -475,6 +502,9 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-iteration aggregate returns K rows regardless of corpus size,
     and the persisted projection is the only thing that scales."""
     cents, _ = kmeans_train(spark, sf_dir)
+    if not cents:  # nothing trainable: no cells
+        return spark.createDataFrame(
+            [], "cell int, n_vecs bigint, avg_cos double, min_cos double")
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     best = _best_cell(cents)
     return (emb.withColumn("_b", best)
@@ -515,6 +545,9 @@ def semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall within the split is sacrificed, the standard cap tradeoff);
     one shuffle by cell id; centroids stay a KB broadcast."""
     cents, _ = kmeans_train(spark, sf_dir)
+    if not cents:  # nothing trainable: no candidate pairs
+        return spark.createDataFrame(
+            [], "id1 bigint, id2 bigint, cos_sim double")
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     scores = F.array(*[
         F.struct(dot("nv", _arr_sql(c)).alias("s"), F.lit(i).alias("c"))
@@ -586,6 +619,11 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str
     rows = (emb.filter(F.col("vec_id") < PQ_TRAIN_N)
             .select("vec_id", "nv").collect())
     by_id = {int(r["vec_id"]): [float(v) for v in r["nv"]] for r in rows}
+    if QUERY_VEC_ID not in by_id:
+        # Probe absent (zero-row corpus) or direction-less (zero norm,
+        # dropped by _normalized): nothing to train toward, no neighbors.
+        _TRAIN_MEMO[memo_key] = (None, None)
+        return None, None
     x = np.array([by_id[i] for i in sorted(by_id)])
     qv = by_id[QUERY_VEC_ID]
     dim = x.shape[1]
@@ -653,6 +691,8 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall@10 vs knn_brute_force is measured in
     tests/test_similarity.py, honest-number style, not asserted blindly."""
     books, qv = _pq_codebooks(spark, sf_dir)
+    if books is None:  # untrainable corpus / absent probe
+        return _empty_topk(spark)
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     dim = len(books[0][0]) * PQ_M
     dsub = dim // PQ_M
@@ -701,17 +741,23 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     force measured in tests/test_similarity.py (routing recall bounds
     it above by ivf_topk's)."""
     books, qv = _pq_codebooks(spark, sf_dir)
+    if books is None:  # untrainable corpus / absent probe
+        return _empty_topk(spark)
     emb = _normalized(load(spark, sf_dir, "embeddings"))
     dim = len(books[0][0]) * PQ_M
     dsub = dim // PQ_M
 
     # coarse quantizer: same deterministic first-IVF_K-vectors cells as
-    # ivf_topk (swap in kmeans_train's centroids for a trained router)
+    # ivf_topk (swap in kmeans_train's centroids for a trained router);
+    # zero-norm vectors can't route (no direction — adversarial find r5)
     cent_rows = (load(spark, sf_dir, "embeddings")
-                 .filter(F.col("vec_id") < IVF_K)
+                 .filter((F.col("vec_id") < IVF_K)
+                         & (norm("embedding") > 0))
                  .select("vec_id", "embedding").collect())
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in cent_rows}
+    if not cents:
+        return _empty_topk(spark)
     scores = F.array(*[
         F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
                  F.lit(c).alias("c")) for c in sorted(cents)])
