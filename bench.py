@@ -136,11 +136,15 @@ def main() -> None:
     from pyspark.sql import functions as F
     run_query(spark.range(1000).groupBy(F.col("id") % 10).count())
 
-    # Each query runs twice: the first run pays one-time engine costs
-    # (whole-stage codegen compilation, Python-worker pool spawn, parquet
-    # footer caching) that on a long-lived 100 TB cluster amortize to
-    # zero; the second run is the steady-state cost of the plan itself.
-    # Headline value = steady-state total; cold totals are reported too.
+    # Each query runs cold once (one-time engine costs: whole-stage
+    # codegen compilation, Python-worker pool spawn, parquet footer
+    # caching — amortized to zero on a long-lived 100 TB cluster), then
+    # WARM_REPS warm runs of the same plan with the MIN reported — the
+    # standard noise-floor protocol (VERDICT r4 #8: same-code warm runs
+    # banded 1.06–1.55 s on the shingle path across four runs, so a
+    # single warm sample chases machine-load ghosts in cross-round
+    # comparisons; the min is the reproducible number).
+    warm_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -148,11 +152,14 @@ def main() -> None:
         df = queries[name](spark, sf_dir)  # plan construction + analysis
         run_query(df)
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        run_query(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"  {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s)",
-              file=sys.stderr)
+        best = float("inf")
+        for _ in range(warm_reps):
+            t0 = time.perf_counter()
+            run_query(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s, "
+              f"min of {warm_reps})", file=sys.stderr)
 
     # The headline JSON is printed TWICE — immediately after the headline
     # loop AND as the very last line — and kept short (extras go to a

@@ -343,6 +343,24 @@ def test_streaming_decontamination_flags_bench_dups(spark, tmp_path):
     assert flagged == {(1, 100)}
 
 
+import importlib.util
+
+try:
+    # find_spec raises (rather than returning None) when even the parent
+    # 'google' namespace package is absent, as in this container.
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAS_PROTOBUF = False
+
+
+@pytest.mark.xfail(
+    condition=not _HAS_PROTOBUF,
+    reason="transformWithStateInPandas speaks protobuf between the JVM "
+           "and the Python state driver; missing wheel: 'protobuf' "
+           "(module google.protobuf) — `pip install protobuf` and this "
+           "test runs with no further change",
+    raises=ImportError,
+    strict=True)
 def test_transform_with_state_matches_apply_in_pandas_with_state(
         spark, tmp_path):
     """The transformWithStateInPandas port must produce the same running
@@ -351,13 +369,15 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(
     the same input here and their per-user results are compared (plus a
     fixed expectation so a shared bug in both can't self-certify).
 
-    Gated: the transformWithState protocol speaks protobuf between the
-    JVM and the Python state driver; this container ships no
-    google.protobuf (and installs are out of scope), so the test runs
-    wherever the dependency exists and SKIPS here — i.e. the tws path is
-    unexecuted in this container (noted in COVERAGE.md)."""
-    pytest.importorskip("google.protobuf.descriptor",
-                        reason="transformWithState needs protobuf")
+    Gated as STRICT XFAIL, not skip (VERDICT r4 #7): with the protobuf
+    wheel absent the test raises a clean ImportError naming the wheel
+    and is counted xfailed; the moment the environment gains the
+    dependency the condition flips and the parity test runs for real —
+    no silent skip to go stale (noted in COVERAGE.md)."""
+    if not _HAS_PROTOBUF:
+        raise ImportError(
+            "missing wheel 'protobuf' (google.protobuf) — required by "
+            "pyspark's transformWithStateInPandas state protocol")
     src = tmp_path / "tws_in"
     src.mkdir()
 
