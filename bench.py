@@ -183,16 +183,26 @@ def main() -> None:
     # of the returned frame would measure a scan of its checkpointed
     # result, not the query (the r2 numbers did exactly that). For lazy
     # queries construction is ~ms and the change is noise.
+    # NOTE (r5): queries with session-scoped training/build memos
+    # (dedup_clusters and its consumers, pq/ivf_pq, kmeans-backed ones)
+    # pay their build in the COLD run; the warm rebuild hits the memo —
+    # which is the product behavior, but means the warm number measures
+    # serving cost only. extra_cold keeps the build cost visible.
     extra: dict[str, float] = {}
+    extra_cold: dict[str, float] = {}
     for name in EXTRA:
+        t0 = time.perf_counter()
         run_query(queries[name](spark, sf_dir))  # cold
+        extra_cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         run_query(queries[name](spark, sf_dir))
         extra[name] = round(time.perf_counter() - t0, 3)
-        print(f"  (extra) {name}: {extra[name]:.3f}s", file=sys.stderr)
+        print(f"  (extra) {name}: {extra[name]:.3f}s "
+              f"(cold {extra_cold[name]:.3f}s)", file=sys.stderr)
 
     # Full detail (cold per-query + extras) on stderr for NOTES/PLAN_AUDIT.
-    print(json.dumps({"cold_queries": cold, "extra_queries": extra}),
+    print(json.dumps({"cold_queries": cold, "extra_queries": extra,
+                      "extra_cold_queries": extra_cold}),
           file=sys.stderr, flush=True)
     spark.stop()
     # LAST line on stdout: the same short headline dict.
