@@ -409,10 +409,15 @@ def rollup_maintenance_sink(rollup_path: str):
         spark = batch_df.sparkSession
         log_path = rollup_path + "_events"
         idempotent_batch_sink(log_path)(batch_df, batch_id)
-        since = batch_df.select(F.min(F.to_date("ts"))).head()[0]
+        low = batch_df.select(F.min(F.to_date("ts"))).head()[0]
         log = spark.read.parquet(log_path).drop("_batch_id")
+        # A non-empty batch whose timestamps are ALL NULL has no date
+        # watermark (min is None; .isoformat() crashed the sink — review
+        # r5). Fall back to a full recompute: correct for any input, and
+        # an all-NULL batch is a data-quality anomaly, not the hot path.
         incremental_daily_rollup(log, rollup_path,
-                                 since=since.isoformat())
+                                 since=None if low is None
+                                 else low.isoformat())
 
     return update
 

@@ -616,6 +616,36 @@ def test_rollup_maintenance_replay_is_exactly_once(spark, tmp_path):
         assert abs(before[k][1] - after[k][1]) < 1e-6
 
 
+def test_rollup_maintenance_all_null_ts_batch(spark, tmp_path):
+    """A non-empty batch whose timestamps are ALL NULL has no date
+    watermark — the sink must fall back to a full recompute, not crash
+    on None.isoformat() (review r5). The NULL-date rows land in the
+    default partition; dated rows from earlier batches are untouched."""
+    from pyspark.sql import functions as F
+    from data_pipelines_course_spark.streaming.jobs import (
+        rollup_maintenance_sink,
+    )
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double")
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    dated = spark.createDataFrame(
+        [(1, t, 10, "click", 2.0), (2, t, 11, "view", 3.0)], schema)
+    nullts = spark.createDataFrame(
+        [(3, None, 12, "click", 7.0)], schema)
+    rollup = str(tmp_path / "rollup_nullts")
+    update = rollup_maintenance_sink(rollup)
+    update(dated, 0)
+    update(nullts, 1)  # all-NULL-ts batch: must not crash
+    got = {(r["event_date"], r["event_type"]): r["n_events"]
+           for r in spark.read.parquet(rollup).collect()}
+    assert got[(dt.date(2024, 1, 1), "click")] == 1
+    assert got[(dt.date(2024, 1, 1), "view")] == 1
+    assert got[(None, "click")] == 1  # undated rows keep their own group
+
+
 def test_trending_topk_matches_batch_and_replays_idempotent(spark, tmp_path):
     """Trending top-k: append-mode sliding counts + per-window rank in
     foreachBatch. The served table must (a) match a batch computation of
