@@ -40,6 +40,11 @@ QUERIES = [
     "pack_sequences", "temperature_resample_docs",
     "sessionize_events", "scd2_user_state_intervals", "event_funnel",
     "daily_event_gapfill", "value_counts",
+    # r5 widening: the remaining oracle-backed corpus queries
+    "curation_attrition_report", "corpus_curation_full",
+    "lang_confusion_report", "vocabulary_build", "tfidf_top_terms",
+    "encode_docs_to_ids", "boilerplate_ngrams", "quality_mixture_sample",
+    "ngram_novelty_report", "weighted_sample_docs",
 ]
 
 
@@ -214,6 +219,11 @@ def empty_dir(tmp_path_factory):
     # to empty results, not errors.
     "dedup_exact", "dup_span_report", "sessionize_events",
     "temperature_resample_docs",
+    # r5 widening: the corpus pipeline + text-prep family on first-run
+    # emptiness (vocab/tfidf aggregates, the attrition funnel).
+    "curation_attrition_report", "corpus_curation_full",
+    "vocabulary_build", "tfidf_top_terms", "encode_docs_to_ids",
+    "lang_confusion_report",
 ])
 def test_empty_corpus_parity(spark, empty_dir, name):
     """A zero-row corpus must produce the oracle's answer (empty result
