@@ -290,6 +290,13 @@ def uni_dir(tmp_path_factory):
     "context_windows_report", "pack_sequences", "doc_length_stats",
     "lang_confusion_report", "temperature_resample_docs",
     "ngram_novelty_report", "tfidf_top_terms",
+    # r5 widening: the Jaccard/decontamination family (multibyte
+    # shingles; a spaceless CJK doc is ONE giant token) and the full
+    # curation pipeline + funnel.
+    "ngram_jaccard_topk", "ngram_jaccard_threshold",
+    "ngram_jaccard_threshold_prefix", "decontaminate_exact",
+    "decontaminate_ngram_hit", "corpus_curation_full",
+    "curation_attrition_report", "quality_mixture_sample",
 ])
 def test_unicode_corpus_parity(spark, uni_dir, name):
     """Multibyte text (CJK without spaces, emoji, combining marks, astral
