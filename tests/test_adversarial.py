@@ -368,3 +368,88 @@ def test_known_whitespace_class_divergence(spark):
         assert d == ["a\x0bb", "nbsp c"]     # RE2: \x0B does NOT split
     finally:
         con.close()
+
+
+@pytest.fixture(scope="module")
+def skew_dir(tmp_path_factory):
+    """Skew axis committed as a fixture (r5; the r4 sweep ran ad-hoc):
+    one bot user with 5000 events among 20 normal users, one source
+    holding ~95% of documents, and a 5000-token giant doc beside
+    normal-length ones."""
+    import random
+    import shutil
+
+    rng = random.Random(11)
+    out = tmp_path_factory.mktemp("sfskew")
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+             "the", "a", "of"]
+    docs = []
+
+    def add(text, lang="en", source="big"):
+        docs.append((len(docs), text, lang, source, len(text)))
+
+    add(" ".join(rng.choices(vocab, k=5000)))          # the giant doc
+    for _ in range(190):                               # 95% one source
+        add(" ".join(rng.choices(vocab, k=rng.randint(15, 60))))
+    for _ in range(10):
+        add(" ".join(rng.choices(vocab, k=rng.randint(15, 60))),
+            source=rng.choice(["tailA", "tailB"]))
+    pd.DataFrame(docs,
+                 columns=["doc_id", "text", "lang", "source", "n_chars"]) \
+        .to_parquet(out / "documents.parquet", index=False)
+
+    ev, eid = [], 0
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    t = base
+    for _ in range(5000):                              # the bot user
+        t = t + pd.Timedelta(seconds=rng.randint(1, 120))
+        ev.append((eid, t, 1,
+                   rng.choice(["view", "click", "purchase"]),
+                   round(rng.uniform(0, 10), 2), "{}"))
+        eid += 1
+    for u in range(2, 22):                             # normal users
+        t = base
+        for k in range(rng.randint(2, 15)):
+            t = t + pd.Timedelta(seconds=rng.randint(60, 7200))
+            ev.append((eid, t, u,
+                       rng.choice(["view", "click", "purchase", "error"]),
+                       round(rng.uniform(0, 100), 2), '{"k": %d}' % k))
+            eid += 1
+    pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type",
+                              "value", "props"]) \
+        .to_parquet(out / "events.parquet", index=False)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    # bounded-state event designs through the bot user's history
+    "sessionize_events", "scd2_user_state_intervals", "event_funnel",
+    "retention_cohorts", "daily_event_gapfill", "salted_grouped_stats",
+    "range_position",
+    # corpus ops through source skew + the giant doc
+    "pack_sequences", "temperature_resample_docs", "dup_span_report",
+    "dup_span_trim", "curation_attrition_report", "weighted_sample_docs",
+    "context_windows_report", "gopher_quality_flags",
+])
+def test_skew_corpus_parity(spark, skew_dir, name):
+    """A 5000-event bot user and a 95%-one-source corpus with a giant
+    doc must stay value-exact: the bounded-state window designs hold
+    through the hot key, and sampling/packing/span-dedup stay exact
+    under source skew."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{skew_dir}/{t}.parquet'")
+    try:
+        sp = all_queries()[name](spark, skew_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+        assert len(sp) == len(du), (len(sp), len(du))
+        assert _norm(sp).equals(_norm(du))
+    finally:
+        con.close()
