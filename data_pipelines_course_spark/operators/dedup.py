@@ -399,6 +399,19 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " c -> (simhash >> (c * 16)) & 65535)")).alias("chunk", "ckey"),
     )
     chunks = _fanout(chunks, "chunk", "ckey")
+    # Same skew guard as minhash_lsh_pairs (closed r5 — this path had
+    # none): m identical docs share ALL four chunks, so one boilerplate
+    # mega-cluster costs 4·m(m-1)/2 candidate rows. The window count
+    # partitions on the join key, so the guard reuses the _fanout
+    # exchange — zero extra shuffles. Recall impact mirrors minhash's:
+    # only pairs whose EVERY agreeing chunk bucket is oversized are
+    # lost, and such mega-clusters are dedup_exact/dedup_clusters'
+    # job, not a pairwise scan's.
+    bucket_w = Window.partitionBy("chunk", "ckey")
+    chunks = (chunks
+              .withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
+              .filter(F.col("bucket_n") <= MAX_BUCKET)
+              .drop("bucket_n"))
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))

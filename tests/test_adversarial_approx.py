@@ -236,3 +236,20 @@ def test_ann_single_point_corpus(spark, onevec_dir):
     for name in ANN_QUERIES:
         df = _queries()[name](spark, onevec_dir).toPandas()
         assert len(df) == 0, name
+
+
+def test_simhash_hot_bucket_guard(spark, hotbucket_dir):
+    """simhash's chunk buckets get the same MAX_BUCKET guard as minhash
+    (closed r5): the 300-doc identical cluster shares ALL four 16-bit
+    chunks, so without the guard one boilerplate mega-cluster costs
+    4 * 300^2/2 candidate rows. The guard drops those buckets while the
+    moderate dup pair outside them still surfaces at hamming 0."""
+    from data_pipelines_course_spark.operators.dedup import MAX_BUCKET
+
+    assert MAX_BUCKET < 300
+    df = _queries()["simhash_pairs"](spark, hotbucket_dir).toPandas()
+    hot_ids = set(range(300))
+    in_hot = df[df["doc1"].isin(hot_ids) & df["doc2"].isin(hot_ids)]
+    assert len(in_hot) == 0
+    kept = df[(df["doc1"] == 300) & (df["doc2"] == 301)]
+    assert len(kept) == 1 and (kept["hamming"] == 0).all()
