@@ -676,7 +676,13 @@ def decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the train side is bounded by its own banding fan-out (8
     rows/doc), never a cross product. Returns candidate (train_id,
     bench_id, est_jaccard >= 0.5) pairs; recall vs the exact path is
-    asserted in tests/test_dedup_recall.py."""
+    asserted in tests/test_dedup_recall.py.
+
+    Deliberately NO MAX_BUCKET guard here (unlike the self-join paths):
+    a hot band costs |train_bucket| x |bench_bucket| rows — bounded by
+    the small bench side, so it degrades linearly, and dropping hot
+    bands would lose recall on exactly the most-contaminated material,
+    the opposite of what decontamination is for."""
     train, bench = _split_docs(load(spark, sf_dir, "documents"))
 
     def bands_of(sigs: DataFrame, id_alias: str) -> DataFrame:
