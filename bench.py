@@ -100,6 +100,12 @@ EXTRA = (
     "vocab_typo_pairs",
     "vocab_typo_pairs_symspell",
     "value_outliers_by_type",
+    # r5: the two registered scale twins that were in neither list, so
+    # their numbers never appeared in a bench artifact (the prefix
+    # AllPairs twin is lazy; two-star is an eager driver loop like
+    # dedup_clusters, and extras deliberately re-time construction).
+    "ngram_jaccard_threshold_prefix",
+    "dedup_clusters_twostar",
     # r4 additions
     "dup_span_report",
     "temperature_resample_docs",

@@ -301,12 +301,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero extra shuffles.
     """
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # Materialize the signature table ONCE (lazy checkpoint): three
+    # branches consume it (the band table + both per-pair re-attach
+    # joins), and exchange reuse does not fire across the self-join's
+    # BroadcastExchange boundary, so without the checkpoint the full
+    # tokenize+minhash pipeline ran up to twice more. (doc_id, sig) is
+    # ~260 B/doc of digests — the digest-checkpoint idiom. Measured
+    # 1.46 s -> 0.93 s warm at sf0.1 (rebuilt-frame protocol).
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
     # Slim band table: doc_id + band key ONLY. Carrying the 32-long sig
     # through the 8× band explosion and the candidate join would multiply
     # shuffle volume by ~2 KB/doc; instead signatures are re-attached per
-    # candidate pair below, and Catalyst reuses the sigs aggregate's
-    # exchange across all three branches.
+    # candidate pair below off the shared checkpoint.
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.expr(
@@ -412,6 +418,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
               .filter(F.col("bucket_n") <= MAX_BUCKET)
               .drop("bucket_n"))
+    # Materialize the guarded chunk table ONCE (lazy checkpoint): the
+    # self-join's broadcast build side otherwise recomputes the whole
+    # signature pipeline (two full tokenize+64-bitsum passes — exchange
+    # reuse does not fire across the BroadcastExchange boundary).
+    # The table is 4 rows/doc x ~24 B of (doc_id, simhash, chunk, ckey)
+    # digests — the attrition-report digest-checkpoint idiom. Measured
+    # 1.44 s -> 0.68 s warm at sf0.1.
+    chunks = chunks.localCheckpoint(eager=False)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -694,8 +708,11 @@ def decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" {ROWS_PER_BAND})))"))
             .alias("band", "band_hash"))
 
-    tsig = minhash_signatures(train)
-    bsig = minhash_signatures(bench)
+    # Each signature table feeds its band explode AND a per-pair
+    # re-attach join — checkpoint once, same rationale (and measured
+    # shape) as minhash_lsh_pairs.
+    tsig = minhash_signatures(train).localCheckpoint(eager=False)
+    bsig = minhash_signatures(bench).localCheckpoint(eager=False)
     cand = (_fanout(bands_of(tsig, "train_id"), "band", "band_hash")
             .join(F.broadcast(bands_of(bsig, "bench_id")),
                   ["band", "band_hash"])
