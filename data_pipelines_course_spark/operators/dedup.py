@@ -173,8 +173,15 @@ def _pair_jaccard(docs: DataFrame) -> DataFrame:
     inline (see sized_shingle_hashes) — |A∩B| is the per-pair match count
     and |A∪B| = n1 + n2 − |A∩B|, so the whole computation is join → agg,
     with no sizes re-join. Integer counts → the jaccard double is
-    bit-identical on both engines."""
-    sh = _fanout(sized_shingle_hashes(docs), "h")
+    bit-identical on both engines.
+
+    The hashed-shingle table is materialized once (lazy checkpoint of
+    (doc_id, n, h) digests): the self-join's broadcast build side
+    otherwise re-runs the whole tokenize+shingle pipeline — exchange
+    reuse does not fire across a BroadcastExchange boundary. Measured
+    1.41 s -> 0.90 s warm at sf0.1 (rebuilt-frame protocol); values
+    unchanged (the checkpoint is pure materialization)."""
+    sh = _fanout(sized_shingle_hashes(docs), "h").localCheckpoint(eager=False)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -542,7 +549,13 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
        candidates ≪ corpus.
     """
     docs = load(spark, sf_dir, "documents")
-    sh = _fanout(sized_shingle_hashes(docs), "h")
+    # Digest checkpoints (r5, same rationale as _pair_jaccard): `sh`
+    # feeds the frequency aggregate AND the freq re-join; `docsets`
+    # feeds the prefix explode AND both verification attach joins —
+    # without materialization the shingle pipeline re-ran per consumer
+    # (broadcast boundaries defeat exchange reuse). Measured
+    # 3.85 s -> 2.33 s warm at sf0.1, values unchanged.
+    sh = _fanout(sized_shingle_hashes(docs), "h").localCheckpoint(eager=False)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
     plen = (F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n"))
             + F.lit(1)).cast("int")
@@ -556,7 +569,8 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
                    F.sort_array(F.transform("by_freq", lambda x: x["h"]))
                    .alias("arr"),
                    F.transform(F.slice("by_freq", F.lit(1), plen),
-                               lambda x: x["h"]).alias("pref")))
+                               lambda x: x["h"]).alias("pref"))
+               .localCheckpoint(eager=False))
     prefix = _fanout(
         docsets.select("doc_id", F.explode("pref").alias("h")), "h")
     a, b = prefix.alias("a"), prefix.alias("b")
