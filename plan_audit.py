@@ -43,7 +43,7 @@ def main() -> None:
           "three `*_stream_convergence` hooks (they drive a maintenance "
           "sink over micro-batches plus a replay, then return the "
           "collected summary/serving table) — their 0-exchange rows are "
-          "the nature of an eager result, not a free plan.\n")
+          "the nature of an eager result, not a free plan. Additionally (r5), the LSH/Jaccard family stages its digest tables through LAZY localCheckpoints (signature/shingle/chunk pipelines materialized once instead of once per join side), so their rows describe the plan DOWNSTREAM of the checkpoint: the tokenize/signature scans live in the checkpoint lineage, executed on first action but invisible to this static audit — a low exch/scan-cols row there is shared materialization, not a free query (PLAN_AUDIT_r04 shows the pre-checkpoint shapes).\n")
     print("| query | exch | scan-cols | joins | py | oracle |")
     print("|---|---|---|---|---|---|")
     for name in sorted(queries):
