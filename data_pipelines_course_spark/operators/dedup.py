@@ -874,9 +874,19 @@ def _span_frames(docs: DataFrame):
     """(base, wins) for the duplicated-span family: base stages the words
     array once; wins explodes the stride-1 window hashes off it. The ONE
     copy both dup_span_report and dup_span_trim build on (Spark side of
-    _DUCK_SPAN_CTES)."""
+    _DUCK_SPAN_CTES).
+
+    base is a LAZY checkpoint: trim consumes it three times (window
+    hashes, token explode, per-doc word counts) and report twice, so
+    the split otherwise re-tokenizes the corpus per consumer. Unlike
+    the digest checkpoints elsewhere in this module this materializes
+    the TOKENIZED CORPUS (~text-sized on executor storage, not a
+    digest) — the standard tokenized-intermediate tradeoff: storage
+    ~doubles during the query, each downstream pass saves a scan+split.
+    Measured 1.33 -> 1.06 s warm for trim at sf0.1."""
     base = (_widen(docs)
-            .select("doc_id", F.expr(_WORDS).alias("w")))
+            .select("doc_id", F.expr(_WORDS).alias("w"))
+            .localCheckpoint(eager=False))
     wins = (base.filter(F.size("w") >= _SPAN_W)
             .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
             .select("doc_id", F.col("x.pos").alias("pos"),
