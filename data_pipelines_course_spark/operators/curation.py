@@ -313,25 +313,29 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the held-out bench split) → stable train/eval assignment.
 
     Plan shape: the curation branch is scan → codegen filter → one
-    md5-hash shuffle; the decontamination branch re-derives the gram
-    table (documents scanned once more per side — the price of gram
-    semantics differing from content-hash semantics) but its bench gram
-    set broadcasts and the contaminated-id set is tiny, so the final
-    LEFT ANTI lands as a broadcast join under AQE. At 100 TB the only
-    unavoidable corpus shuffles remain the content-hash groupBy and the
-    per-doc gram count — everything else is map-side."""
+    md5-hash shuffle; the decontamination branch explodes the corpus
+    into gram digests ONCE (checkpointed; both the bench and train
+    filters read the materialization), its bench gram set broadcasts,
+    and the contaminated-id set is tiny, so the final LEFT ANTI lands
+    as a broadcast join under AQE. At 100 TB the only unavoidable
+    corpus shuffles remain the content-hash groupBy and the per-doc
+    gram count — everything else is map-side."""
     from .dedup import _GRAMS5_OF_W, _widen, _WORDS
 
     docs = load(spark, sf_dir, "documents")
     curated = curate(docs.filter(F.col("doc_id") % 10 != 0))
-    grams = (_widen(docs)
-             .select("doc_id", F.expr(_WORDS).alias("w"))
-             .filter(F.size("w") >= _NGRAM_N)
-             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
-    bench_g = (grams.filter(F.col("doc_id") % 10 == 0)
-               .select(F.xxhash64("gram").alias("gh")).distinct())
-    contaminated = (grams.filter(F.col("doc_id") % 10 != 0)
-                    .select("doc_id", F.xxhash64("gram").alias("gh"))
+    # Digest checkpoint (r5, the curation_attrition_report idiom): the
+    # bench and train branches are disjoint filters of ONE 5-gram
+    # explode — materialize its (doc_id, hash) digests once instead of
+    # exploding the corpus per branch.
+    gh = (_widen(docs)
+          .select("doc_id", F.expr(_WORDS).alias("w"))
+          .filter(F.size("w") >= _NGRAM_N)
+          .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram"))
+          .select("doc_id", F.xxhash64("gram").alias("gh"))
+          .localCheckpoint(eager=False))
+    bench_g = gh.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    contaminated = (gh.filter(F.col("doc_id") % 10 != 0)
                     .join(F.broadcast(bench_g), "gh")
                     .select("doc_id").distinct())
     return curated.join(contaminated, "doc_id", "left_anti")

@@ -822,14 +822,17 @@ def decontaminate_ngram_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom-filter pre-probe + shuffled semi-join — same answer, one more
     exchange."""
     docs = load(spark, sf_dir, "documents")
-    grams = (_widen(docs)
-             .select("doc_id", F.expr(_WORDS).alias("w"))
-             .filter(F.size("w") >= _NGRAM_N)
-             .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram")))
-    bench = (grams.filter(F.col("doc_id") % 10 == 0)
-             .select(F.xxhash64("gram").alias("gh")).distinct())
-    train = (grams.filter(F.col("doc_id") % 10 != 0)
-             .select("doc_id", F.xxhash64("gram").alias("gh")))
+    # Digest checkpoint (r5): bench and train are disjoint filters of
+    # one 5-gram explode — materialize its (doc_id, hash) digests once
+    # instead of exploding the corpus per branch (the attrition idiom).
+    gh = (_widen(docs)
+          .select("doc_id", F.expr(_WORDS).alias("w"))
+          .filter(F.size("w") >= _NGRAM_N)
+          .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram"))
+          .select("doc_id", F.xxhash64("gram").alias("gh"))
+          .localCheckpoint(eager=False))
+    bench = gh.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
+    train = gh.filter(F.col("doc_id") % 10 != 0)
     return (train.join(F.broadcast(bench), "gh")
             .groupBy(F.col("doc_id").alias("train_id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("hit_ngrams")))
