@@ -311,11 +311,21 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the same ground truth. Kept as a registered twin
     because the right algorithm is graph-shape-dependent: propagation
     wins on near-dup cliques (2-3 rounds), two-star on chain-heavy
-    graphs (O(log n) rounds regardless of diameter)."""
+    graphs (O(log n) rounds regardless of diameter).
+
+    Memoized per (application, sf_dir) like dedup_clusters — the
+    two-star loop converges eagerly, so repeat constructions in one
+    session (driver sweep, bench) reuse the checkpoint-backed result."""
     from .dedup import ngram_jaccard_threshold
 
+    memo_key = (spark.sparkContext.applicationId, sf_dir, "twostar")
+    hit = _CLUSTER_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
     pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
-    return connected_components_twostar(pairs, "doc1", "doc2")
+    result = connected_components_twostar(pairs, "doc1", "doc2")
+    _CLUSTER_MEMO[memo_key] = result
+    return result
 
 
 @query(
