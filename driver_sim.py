@@ -1,0 +1,103 @@
+"""Driver-simulation harness: replay the verify driver's CORRECTNESS gate
+against the current working tree BEFORE the round ends.
+
+Why this exists: the pytest parity suite (tests/test_parity.py) runs every
+oracle under the ENGINE session (`get_spark`, AQE/Arrow/conf overrides,
+local[8]); the verify driver instead builds its own VANILLA SparkSession
+and runs the first 50 entries of `queries()` in a fresh process. Bugs can
+hide in exactly that gap — the round-4 cogroup right-side truncation only
+reproduced in fresh vanilla sessions. This script mirrors the driver:
+
+  * fresh process, vanilla `SparkSession.builder.master(local[N])` —
+    no engine confs at build time (queries must self-configure);
+  * DuckDB views over the same parquet tables;
+  * row-count + schema + normalized-value comparison (the comparator is
+    imported from tests/conftest.py so the check stays in one place);
+  * queries without an oracle get the driver's rows-only check.
+
+Usage:
+    python driver_sim.py              # front-50 (what the driver records)
+    python driver_sim.py --all        # full registry
+    python driver_sim.py name [name]  # specific queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from tests.conftest import SF_DIR, TABLES, assert_frames_match  # noqa: E402
+from data_pipelines_course_spark.queries import (  # noqa: E402
+    all_oracles, all_queries)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    run_all = "--all" in sys.argv
+    queries = all_queries()
+    oracles = all_oracles()
+    if args:
+        names = args
+    elif run_all:
+        names = list(queries)
+    else:
+        names = list(queries)[:50]
+
+    # Vanilla session, as the driver builds it: master + shuffle partitions
+    # only. Everything else the engine needs must be self-applied by the
+    # queries (session.configure at each entry point).
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.appName("driver-sim")
+             .master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failed: dict[str, str] = {}
+    t_start = time.perf_counter()
+    for i, name in enumerate(names, 1):
+        if name not in queries:
+            failed[name] = "unknown query"
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, SF_DIR)
+            if name in oracles:
+                assert_frames_match(df, con.sql(oracles[name]), name)
+                status = "hash_match"
+            else:
+                n = df.count()
+                assert df.columns and n >= 0
+                status = f"rows_only({n})"
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            traceback.print_exc()
+            failed[name] = f"{type(exc).__name__}: {exc}"
+            status = "FAIL"
+        print(f"[{i}/{len(names)}] {name}: {status} "
+              f"({time.perf_counter() - t0:.2f}s)", flush=True)
+
+    total = time.perf_counter() - t_start
+    print(json.dumps({"checked": len(names), "failed": sorted(failed),
+                      "total_sec": round(total, 1)}))
+    if failed:
+        for name, err in failed.items():
+            print(f"FAILED {name}: {err}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
