@@ -19,6 +19,9 @@ Usage:
     python driver_sim.py              # front-50 (what the driver records)
     python driver_sim.py --all        # full registry
     python driver_sim.py name [name]  # specific queries
+    python driver_sim.py --sf-dir=/root/testdata/sf0.1 --all
+                                      # scale-up sweep (oracle views and
+                                      # Spark queries both re-pointed)
 """
 
 from __future__ import annotations
@@ -42,6 +45,10 @@ from data_pipelines_course_spark.queries import (  # noqa: E402
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     run_all = "--all" in sys.argv
+    sf_dir = SF_DIR
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
     queries = all_queries()
     oracles = all_oracles()
     if args:
@@ -55,16 +62,19 @@ def main() -> int:
     # only. Everything else the engine needs must be self-applied by the
     # queries (session.configure at each entry point).
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # SPARK_GRAFT_SIM_SHUFFLE != 32 doubles as a broad partition-count-
+    # invariance sweep: every hash must be identical at any parallelism.
+    shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "32")
     spark = (SparkSession.builder.appName("driver-sim")
              .master(f"local[{cpus}]")
-             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.shuffle.partitions", shuffle)
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed: dict[str, str] = {}
     t_start = time.perf_counter()
@@ -74,7 +84,7 @@ def main() -> int:
             continue
         t0 = time.perf_counter()
         try:
-            df = queries[name](spark, SF_DIR)
+            df = queries[name](spark, sf_dir)
             if name in oracles:
                 assert_frames_match(df, con.sql(oracles[name]), name)
                 status = "hash_match"
@@ -90,7 +100,8 @@ def main() -> int:
               f"({time.perf_counter() - t0:.2f}s)", flush=True)
 
     total = time.perf_counter() - t_start
-    print(json.dumps({"checked": len(names), "failed": sorted(failed),
+    print(json.dumps({"sf_dir": sf_dir,
+                      "checked": len(names), "failed": sorted(failed),
                       "total_sec": round(total, 1)}))
     if failed:
         for name, err in failed.items():
