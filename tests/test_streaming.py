@@ -878,3 +878,46 @@ def test_dedup_index_sink_replay_idempotent(spark, tmp_path):
     # Index itself also converged: one band set per doc per batch.
     idx = spark.read.parquet(index)
     assert idx.count() == idx.distinct().count()
+
+
+def test_concurrent_dynamic_overwrite_sinks_keep_all_partitions(
+        spark, tmp_path):
+    """Interleave regression pin for the review-r4 session-conf race: two
+    exactly-once sinks on ONE SparkSession, driven from two threads. The
+    old implementation toggled spark.sql.sources.partitionOverwriteMode
+    session-wide around each write, so one thread's restore could land
+    mid-way through the sibling's overwrite, flipping it to STATIC mode —
+    which deletes every partition but the current batch (data-loss
+    class). With the per-write `.option("partitionOverwriteMode",
+    "dynamic")` every batch partition of BOTH tables must survive an
+    aggressive interleave."""
+    import threading
+
+    n_batches = 6
+    df = spark.range(20).select(
+        F.col("id").alias("user_id"), (F.col("id") % 4).alias("k"))
+    paths = [str(tmp_path / "a"), str(tmp_path / "b")]
+    errs: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def run(path: str) -> None:
+        try:
+            sink = jobs.idempotent_batch_sink(path)
+            barrier.wait(timeout=30)
+            for i in range(n_batches):
+                sink(df, i)
+        except Exception as exc:  # noqa: BLE001 - surfaced via errs
+            errs.append(exc)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in paths]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    for p in paths:
+        got = spark.read.parquet(p)
+        batches = sorted(r["_batch_id"] for r in
+                         got.select("_batch_id").distinct().collect())
+        assert batches == list(range(n_batches)), (p, batches)
+        assert got.count() == 20 * n_batches
