@@ -283,9 +283,12 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention_cohorts",
     oracle="""
     WITH firsts AS (
+        -- positive modulo, NOT bare %: both engines' % takes the
+        -- dividend's sign, so a first event BEFORE the anchor would
+        -- snap its cohort week FORWARD past the event (epoch axis r5)
         SELECT user_id, CAST(min(ts) AS DATE)
-               - CAST((CAST(min(ts) AS DATE) - DATE '2024-01-01') % 7
-                      AS INTEGER) AS cohort_week
+               - CAST(((CAST(min(ts) AS DATE) - DATE '2024-01-01') % 7
+                       + 7) % 7 AS INTEGER) AS cohort_week
         FROM events GROUP BY user_id
     ),
     activity AS (
@@ -309,10 +312,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the one the groupBy already paid."""
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     anchor = F.to_date(F.lit("2024-01-01"))
+    # pmod, not %: % takes the dividend's sign, so a first event BEFORE
+    # the anchor date snapped its cohort week FORWARD past the event —
+    # the user's own first week then computed as offset -1 (Spark floor)
+    # or merged into week 0 (DuckDB truncating //). Backward snapping
+    # makes the first event week 0 by construction, after which floor
+    # and truncation agree (offsets are non-negative). Epoch axis r5.
     first = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
              .select("user_id",
                      F.date_sub(F.to_date("first_ts"),
-                                F.datediff(F.to_date("first_ts"), anchor) % 7)
+                                F.pmod(F.datediff(F.to_date("first_ts"),
+                                                  anchor), F.lit(7)))
                      .alias("cohort_week")))
     activity = (ev.join(first, "user_id")
                 .select("user_id", "cohort_week",

@@ -453,3 +453,108 @@ def test_skew_corpus_parity(spark, skew_dir, name):
         assert _norm(sp).equals(_norm(du))
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Axis 6 (r5): timestamp extremes. A 100 TB crawl's event-time column is
+# full of garbage a clean generator never produces: epoch-0 placeholders
+# (the single most common bad timestamp in the wild), pre-1970 values
+# (negative epoch seconds), far-future values, sub-second precision, and
+# sessions/conversions that SPAN the epoch boundary (negative->positive
+# arithmetic). Every date-derived key (sessions, SCD2 intervals, day
+# partitions, cohort months, sliding windows) must stay value-exact vs
+# the oracle across all of them.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def epoch_dir(tmp_path_factory):
+    import shutil
+
+    out = tmp_path_factory.mktemp("sfepoch")
+    T = pd.Timestamp
+    ev, eid = [], 0
+
+    def add(ts, u, et, v, props="{}"):
+        nonlocal eid
+        ev.append((eid, ts, u, et, v, props))
+        eid += 1
+
+    epoch0 = T("1970-01-01 00:00:00")
+    # u1 — the epoch-0 placeholder user: five TIED events at exactly 0.
+    for et, v in [("view", 1.0), ("click", 2.0), ("purchase", 30.0),
+                  ("view", 3.0), ("click", 4.0)]:
+        add(epoch0, 1, et, v)
+    # u2 — one session SPANNING the epoch boundary (gaps < 30 min), then
+    # a separate session the next day; click->purchase across zero.
+    add(T("1969-12-31 23:45:00"), 2, "view", 5.0)
+    add(T("1969-12-31 23:55:00"), 2, "click", 1.5)
+    add(T("1970-01-01 00:05:00"), 2, "purchase", 42.0)
+    add(T("1970-01-01 00:20:00"), 2, "view", 2.0)
+    add(T("1970-01-02 09:00:00"), 2, "view", 7.0)
+    # u3 — deep past (negative epoch): 1900 events, conversion 69 years
+    # after the click.
+    add(T("1900-01-01 00:00:00"), 3, "view", 1.0)
+    add(T("1900-01-01 01:00:00"), 3, "click", 2.5)
+    add(T("1969-06-01 12:34:56"), 3, "purchase", 99.0)
+    # u4 — far future, with sub-second (exact-millisecond) precision.
+    add(T("2250-01-01 00:00:00"), 4, "view", 1.0)
+    add(T("2250-01-01 00:00:00.123000"), 4, "click", 2.0)
+    add(T("2250-01-01 01:00:00"), 4, "purchase", 10.0)
+    # u5 — normal modern events at millisecond edges.
+    add(T("2024-06-01 12:00:00.001000"), 5, "click", 1.0)
+    add(T("2024-06-01 12:30:00.999000"), 5, "purchase", 55.0)
+    add(T("2024-06-01 13:30:00"), 5, "error", None)
+    # u6 — single epoch-0 event with NULL value.
+    add(epoch0, 6, "view", None, None)
+    pd.DataFrame(ev, columns=["event_id", "ts", "user_id", "event_type",
+                              "value", "props"]) \
+        .to_parquet(out / "events.parquet", index=False)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    # event-time designs across the epoch boundary
+    "sessionize_events", "scd2_user_state_intervals",
+    "asof_join_latest_click", "range_join_click_count",
+    "conversion_lag_native", "cogroup_conversion_lag",
+    # date-derived keys: day partitions (350-year gapfill spine), hours,
+    # datetime parts, cohort months
+    "daily_event_gapfill", "grouped_hour_sum", "derived_datetime_parts",
+    "retention_cohorts", "event_funnel",
+    # ordered windows over negative epochs
+    "window_first_last_ratio", "lag_lead_delta", "moving_average",
+    "range_position",
+    # the maintenance sinks: date/window partition VALUES become
+    # directory names (event_date=1900-01-01/), and the epoch-grid
+    # sliding windows must align for negative epochs too
+    "scd2_stream_convergence", "rollup_stream_convergence",
+    "trending_topk_stream_convergence",
+])
+def test_epoch_extremes_parity(spark, epoch_dir, name):
+    """Epoch-0 ties, pre-1970 sessions, far-future sub-second events:
+    every date/time-derived result must stay value-exact vs DuckDB."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{epoch_dir}/{t}.parquet'")
+        sp = all_queries()[name](spark, epoch_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+    finally:
+        con.close()
+    assert len(sp) == len(du), (len(sp), len(du))
+    assert sorted(sp.columns) == sorted(du.columns)
+    a, b = _norm(sp), _norm(du)
+    if not a.equals(b):
+        neq = (a != b)
+        bad = {c: int(neq[c].sum()) for c in a.columns if neq[c].any()}
+        raise AssertionError(
+            f"{name}: value mismatch in {bad};\n"
+            f"spark: {a[neq.any(axis=1)].head(3).to_dict('records')}\n"
+            f"duck:  {b[neq.any(axis=1)].head(3).to_dict('records')}")
