@@ -64,11 +64,21 @@ def _minmax_scale(pdf: "pd.DataFrame") -> "pd.DataFrame":
 
 @query(
     "minmax_scale_by_group",
+    # The degenerate group (max == min: single row or constant price)
+    # scales to 0.0 — the sklearn MinMaxScaler convention the pandas
+    # side implements — NOT the NULL that the raw 0/0 division yields in
+    # SQL; `x * 0.0` in the THEN branch keeps a NULL price NULL either
+    # way (broken-RI axis, r5: a NULL-returnflag singleton group hit the
+    # divergence).
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           {fround_sql('(l_extendedprice - min(l_extendedprice) OVER w)'
-                       ' / (max(l_extendedprice) OVER w'
-                       '    - min(l_extendedprice) OVER w)', 6)} AS scaled
+           CASE WHEN max(l_extendedprice) OVER w = min(l_extendedprice) OVER w
+                THEN l_extendedprice * 0.0
+                ELSE {fround_sql(
+                    '(l_extendedprice - min(l_extendedprice) OVER w)'
+                    ' / (max(l_extendedprice) OVER w'
+                    '    - min(l_extendedprice) OVER w)', 6)}
+           END AS scaled
     FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
     """,
 )

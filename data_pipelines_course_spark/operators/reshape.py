@@ -36,7 +36,12 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     each input row fans out to k output rows in the same task) — never
     the k-scan UNION ALL a hand-rolled melt pays. Value columns are
     pre-cast to one type because UNPIVOT requires a common value type
-    in both engines."""
+    in both engines.
+
+    NULL attributes are dropped explicitly: the declared contract is SQL
+    UNPIVOT, which EXCLUDES NULL cells by default, while Spark's `melt`
+    (pandas semantics) keeps them — on a part row with a NULL size the
+    two engines silently disagree by one row (broken-RI axis, r5)."""
     part = load(spark, sf_dir, "part").select(
         "p_partkey",
         F.col("p_size").cast("double").alias("size"),
@@ -45,6 +50,7 @@ def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       values=["size", "retailprice"],
                       variableColumnName="attr",
                       valueColumnName="val")
+            .filter(F.col("val").isNotNull())
             .orderBy("p_partkey", "attr"))
 
 
