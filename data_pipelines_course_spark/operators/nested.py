@@ -27,9 +27,16 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
 
 @query(
     "json_extract_props",
+    # json_valid guard + TRY_CAST: DuckDB's json_extract_string ERRORS on
+    # malformed JSON while Spark's from_json is PERMISSIVE (row -> NULL);
+    # both are no-ops on well-formed props (malformed-JSON axis, r5).
+    # Residual coercion divergences ('1.9', '"7"', duplicate keys) are
+    # pinned in tests/test_adversarial.py::test_json_coercion_divergence.
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k
     FROM events
     """,
 )
@@ -49,8 +56,11 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_group_by_key",
+    # Same malformed-JSON guards as json_extract_props (axis r5).
     oracle="""
-    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+    SELECT CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k,
            count(*) AS cnt, floor((sum(value)) * 100 + 0.5) / 100 AS total
     FROM events GROUP BY 1
     """,
@@ -187,19 +197,32 @@ def explode_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "variant_props_extract",
+    # Guarded like json_extract_props (axis r5); coercion divergences
+    # (variant truncates '1.9'->1, casts true->1, rejects duplicate
+    # keys) pinned in test_json_coercion_divergence.
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-           CAST(json_extract_string(props, '$.missing') AS INTEGER)
-               AS absent
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+           END AS k,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.missing')
+                              AS INTEGER)
+           END AS absent
     FROM events
     """,
 )
 def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed per-path extraction from a VARIANT column; absent paths are
-    NULL under try_variant_get (no declared schema anywhere)."""
+    NULL under try_variant_get (no declared schema anywhere).
+
+    try_parse_json, NOT parse_json: parse_json throws MALFORMED_RECORD on
+    the first bad document, so ONE corrupt props row would kill the whole
+    job — the exact failure mode a schema-free variant sweep exists to
+    survive. try_parse_json maps malformed input to a NULL variant, which
+    try_variant_get then reads as NULL (malformed-JSON axis, r5)."""
     ev = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.try_variant_get(v, "$.k", "int").alias("k"),
@@ -215,6 +238,11 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "props_map_stats",
+    # json_valid guard (axis r5): json_keys errors on malformed JSON;
+    # Spark's from_json(map) yields NULL there and explode drops the
+    # row, so filtering invalid rows IS the engine's semantics. A
+    # valid non-object ('[1,2]', scalar) has json_keys = [] on both
+    # sides (unnest drops / NULL map drops).
     oracle="""
     SELECT k AS prop_key,
            CAST(count(*) AS BIGINT) AS n_rows,
@@ -222,7 +250,8 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_values,
            min(json_extract_string(props, '$.' || k)) AS min_val,
            max(json_extract_string(props, '$.' || k)) AS max_val
-    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events
+          WHERE json_valid(props))
     GROUP BY k
     ORDER BY prop_key
     """,

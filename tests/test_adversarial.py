@@ -718,3 +718,114 @@ def test_broken_ri_parity(spark, ri_dir, name):
             f"{name}: value mismatch in {bad};\n"
             f"spark: {a[neq.any(axis=1)].head(3).to_dict('records')}\n"
             f"duck:  {b[neq.any(axis=1)].head(3).to_dict('records')}")
+
+
+# ---------------------------------------------------------------------------
+# Axis 8 (r5): malformed JSON payloads. A raw event feed's props column
+# contains truncated documents, unquoted keys, bare garbage, empty
+# strings, non-object JSON, wrong-case keys and out-of-range numbers.
+# The three access paths (typed from_json, schema-free variant, map
+# profile) must all DEGRADE to NULL/row-drop instead of erroring — and
+# must agree with the guarded oracle. The four coercion edges where the
+# engines genuinely disagree are pinned in
+# test_json_coercion_divergence below.
+# ---------------------------------------------------------------------------
+
+_JSON_AGREEING_PROPS = [
+    '{"k": 1}',             # well-formed
+    '{"k": }',              # malformed value
+    '{k: 2}',               # unquoted key
+    '{"k": 3',              # truncated
+    'not json at all',      # garbage
+    '',                     # empty string
+    None,                   # NULL
+    '[1, 2, 3]',            # valid JSON, not an object
+    '"just a string"',      # valid JSON scalar
+    '{"k": "notanint"}',    # non-numeric string where int expected
+    '{"k": null}',          # explicit null
+    '{"K": 5}',             # wrong-case key
+    '{"nested": {"k": 9}}', # k at the wrong depth
+    '{"k": 2147483648}',    # int32 overflow
+    '{"k": -1}',
+    '{"k": 0}',
+]
+
+
+@pytest.fixture(scope="module")
+def badjson_dir(tmp_path_factory):
+    import shutil
+
+    out = tmp_path_factory.mktemp("sfjson")
+    base = "/root/testdata/sf0.001"
+    rows = [(i, pd.Timestamp("2024-03-01") + pd.Timedelta(minutes=i),
+             i % 3, "view", float(i), p)
+            for i, p in enumerate(_JSON_AGREEING_PROPS)]
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type",
+                                "value", "props"]) \
+        .to_parquet(out / "events.parquet", index=False)
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{base}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    "json_extract_props", "json_group_by_key", "variant_props_extract",
+    "props_map_stats",
+])
+def test_malformed_json_parity(spark, badjson_dir, name):
+    """Malformed/hostile props must degrade to NULLs (never a job
+    failure) and stay value-exact vs the json_valid-guarded oracle."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{badjson_dir}/{t}.parquet'")
+        sp = all_queries()[name](spark, badjson_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+    finally:
+        con.close()
+    assert len(sp) == len(du), (len(sp), len(du))
+    assert sorted(sp.columns) == sorted(du.columns)
+    a, b = _norm(sp), _norm(du)
+    if not a.equals(b):
+        neq = (a != b)
+        bad = {c: int(neq[c].sum()) for c in a.columns if neq[c].any()}
+        raise AssertionError(
+            f"{name}: value mismatch in {bad};\n"
+            f"spark: {a[neq.any(axis=1)].head(4).to_dict('records')}\n"
+            f"duck:  {b[neq.any(axis=1)].head(4).to_dict('records')}")
+
+
+def test_json_coercion_divergence(spark):
+    """Documented cross-engine divergence pin #3 (beside the Unicode
+    casefold and \\s-class pins): the four JSON coercion edges where the
+    three access paths legitimately disagree. from_json (typed schema)
+    refuses all implicit coercions (-> NULL); the VARIANT path applies
+    cast semantics (truncates 1.9 -> 1, true -> 1, '7' -> 7) but rejects
+    duplicate-key objects; DuckDB's TRY_CAST of the extracted string
+    ROUNDS '1.9' -> 2 and takes the FIRST duplicate key while from_json
+    takes the LAST. These inputs are excluded from the axis-8 corpus;
+    this pin fails if any engine's behavior drifts."""
+    from pyspark.sql import functions as F
+
+    cases = ['{"k": 1.9}', '{"k": 1, "k": 2}', '{"k": true}', '{"k": "7"}']
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, props string")
+    got = {r["i"]: (r["fj"], r["tv"]) for r in df.select(
+        "i",
+        F.from_json("props", "k int").getField("k").alias("fj"),
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+        .alias("tv")).collect()}
+    assert got == {0: (None, 1), 1: (2, None), 2: (None, 1), 3: (None, 7)}
+
+    con = duckdb.connect()
+    try:
+        duck = [con.sql(
+            "SELECT TRY_CAST(json_extract_string($1, '$.k') AS INTEGER)",
+            params=[c]).fetchone()[0] for c in cases]
+    finally:
+        con.close()
+    assert duck == [2, 1, None, 7]
