@@ -32,6 +32,35 @@ from ..datasets import load
 from ..queries import query
 
 
+def key_uniqueness_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Duplicated-key audit: one row per key value that violates the
+    uniqueness contract, with its row count and the number of DISTINCT
+    payloads behind it (1 = exact re-delivery, the benign at-least-once
+    case; >1 = conflicting payloads under one key — the dangerous one).
+
+    Why it exists (PK-violation sweep, r5): the per-document digest
+    operators (shingle/Jaccard dedup, decontamination, span reports,
+    kNN over vec_id) compute their digest PER ROW, so a duplicated
+    doc_id/vec_id carrying two different texts makes "the document"
+    ambiguous and their results diverge from any entity-keyed oracle.
+    That uniqueness is a declared PRECONDITION of the corpus/similarity
+    family — violations must be caught by THIS audit (or healed by
+    dedup_exact/keep-first) upstream, never silently entity-merged
+    inside every operator. The relational/event family needs no such
+    precondition: the full TPC-H surface, SCD2, sessionization and
+    as-of joins are hash-exact on a PK-violating corpus
+    (tests/test_adversarial.py axis 9).
+
+    One hash-aggregate on the key: count + distinct full-row hash
+    (xxhash64 over all columns), map-side partial, no second scan."""
+    payload = F.xxhash64(*[F.col(c) for c in df.columns])
+    return (df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.countDistinct(payload).cast("bigint")
+                 .alias("n_distinct_payloads"))
+            .filter(F.col("n_rows") > 1))
+
+
 def snapshot_diff(base: DataFrame, nxt: DataFrame, key: str,
                   compare_cols: list[str]) -> DataFrame:
     """Keyed diff of two snapshots → (key, change_type) for every row

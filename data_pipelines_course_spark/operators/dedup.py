@@ -23,6 +23,14 @@ Scale design:
 No SQL oracle for the LSH/SimHash paths (hash-permutation semantics are
 not expressible in DuckDB's function set); they get rows-only driver
 checks plus pytest ground-truth tests against planted duplicates.
+
+PRECONDITION (whole module, and the similarity/kNN family): doc_id is a
+unique document identity. Digests (shingle sets, signatures, span
+hashes) are computed PER ROW, so a duplicated doc_id carrying two
+different texts makes every doc_id-keyed result ambiguous. Violations
+are an upstream data fault — detect with audit.key_uniqueness_report or
+heal with dedup_exact/keep-first BEFORE these operators (PK-violation
+axis, tests/test_adversarial.py axis 9).
 """
 
 from __future__ import annotations

@@ -829,3 +829,123 @@ def test_json_coercion_divergence(spark):
     finally:
         con.close()
     assert duck == [2, 1, None, 7]
+
+
+# ---------------------------------------------------------------------------
+# Axis 9 (r5): primary-key violations. At-least-once ingestion re-delivers
+# rows (same key, same payload) and broken upstreams re-ASSIGN keys (same
+# key, conflicting payload). The sweep over all 146 oracle-backed queries
+# found a crisp boundary: the relational/event family (all 22 TPC-H,
+# SCD2, sessionization, as-of joins, aggregates) is hash-exact on such a
+# corpus, while the per-document digest family (shingle/Jaccard dedup,
+# decontamination, span reports, kNN) computes digests PER ROW and
+# legitimately diverges from any entity-keyed oracle when one doc_id
+# carries two texts — doc_id/vec_id uniqueness is that family's declared
+# PRECONDITION, detected upstream by audit.key_uniqueness_report.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pk_dir(tmp_path_factory):
+    import shutil
+
+    out = tmp_path_factory.mktemp("sfpk")
+    base = "/root/testdata/sf0.001"
+
+    docs = pd.read_parquet(f"{base}/documents.parquet")
+    d0 = docs.iloc[0].copy()
+    d0["text"] = "conflicting payload for a duplicated key"
+    d0["source"] = "dupsrc"
+    d1 = docs.iloc[1].copy()                 # exact full-row re-delivery
+    docs = pd.concat([docs, pd.DataFrame([d0, d1])], ignore_index=True)
+    docs.to_parquet(out / "documents.parquet", index=False)
+
+    ev = pd.read_parquet(f"{base}/events.parquet")
+    e0 = ev.iloc[0].copy()
+    e0["ts"] = e0["ts"] + pd.Timedelta(hours=1)
+    e0["event_type"] = "purchase"            # conflicting payload
+    e1 = ev.iloc[1].copy()                   # exact re-delivery
+    ev = pd.concat([ev, pd.DataFrame([e0, e1])], ignore_index=True)
+    ev["ts"] = ev["ts"].astype("datetime64[ns]")   # keep NANOS encoding
+    ev.to_parquet(out / "events.parquet", index=False)
+
+    orders = pd.read_parquet(f"{base}/orders.parquet")
+    o0 = orders.iloc[0].copy()
+    o0["o_totalprice"] = 1.23
+    o0["o_orderdate"] = o0["o_orderdate"] + pd.Timedelta(days=40)
+    orders = pd.concat([orders, pd.DataFrame([o0])], ignore_index=True)
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(out / "orders.parquet", index=False)
+
+    cust = pd.read_parquet(f"{base}/customer.parquet")
+    c0 = cust.iloc[0].copy()
+    c0["c_acctbal"] = -500.0
+    c0["c_mktsegment"] = "MACHINERY"
+    cust = pd.concat([cust, pd.DataFrame([c0])], ignore_index=True)
+    cust.to_parquet(out / "customer.parquet", index=False)
+
+    for t in ["region", "nation", "supplier", "part", "lineitem",
+              "embeddings"]:
+        shutil.copy(f"{base}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", [
+    # event-time designs over a duplicated event_id (one re-delivery,
+    # one conflicting payload)
+    "scd2_user_state_intervals", "sessionize_events",
+    "asof_join_latest_click", "conversion_lag_native",
+    "daily_event_gapfill", "value_counts", "json_group_by_key",
+    # TPC-H / relational over a duplicated o_orderkey / c_custkey
+    "tpch_q4_late_shipment_priority", "tpch_q13_order_distribution",
+    "tpch_q18_large_orders", "customer_value_deciles", "rank_customers",
+    "snapshot_diff_orders", "flagship_grouped_agg",
+    # dedup_exact groups by md5(text), not doc_id — PK-safe by design
+    "dedup_exact",
+])
+def test_pk_violation_relational_parity(spark, pk_dir, name):
+    """The relational/event family declares NO key-uniqueness
+    precondition: duplicated keys flow through joins, windows and
+    aggregates with plain SQL multiplicity, hash-exact vs the oracle."""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{pk_dir}/{t}.parquet'")
+        sp = all_queries()[name](spark, pk_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+    finally:
+        con.close()
+    assert len(sp) == len(du), (len(sp), len(du))
+    a, b = _norm(sp), _norm(du)
+    assert a.equals(b), f"{name}: diverged on PK-violating corpus"
+
+
+def test_pk_violations_are_detectable(spark, pk_dir):
+    """audit.key_uniqueness_report catches every planted violation and
+    distinguishes re-delivery (1 payload) from conflict (2 payloads) —
+    the upstream gate the digest family's uniqueness precondition
+    relies on."""
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.operators.audit import (
+        key_uniqueness_report)
+
+    got = {r["doc_id"]: (r["n_rows"], r["n_distinct_payloads"])
+           for r in key_uniqueness_report(
+               load(spark, pk_dir, "documents"), ["doc_id"]).collect()}
+    docs0 = pd.read_parquet(f"{pk_dir}/documents.parquet")
+    k0, k1 = int(docs0.iloc[0]["doc_id"]), int(docs0.iloc[1]["doc_id"])
+    assert got[k0] == (2, 2) and got[k1] == (2, 1) and len(got) == 2
+
+    ev_dups = {r["event_id"]: (r["n_rows"], r["n_distinct_payloads"])
+               for r in key_uniqueness_report(
+                   load(spark, pk_dir, "events"), ["event_id"]).collect()}
+    assert sorted(v for v in ev_dups.values()) == [(2, 1), (2, 2)]
+
+    # clean table -> empty report. (supplier, not lineitem: the driver
+    # generator does NOT honor TPC-H's composite (l_orderkey,
+    # l_linenumber) PK — the real testdata carries >1k duplicate pairs,
+    # which is itself a fact this audit surfaces.)
+    assert key_uniqueness_report(
+        load(spark, pk_dir, "supplier"), ["s_suppkey"]).count() == 0
