@@ -64,10 +64,16 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     # SPARK_GRAFT_SIM_SHUFFLE != 32 doubles as a broad partition-count-
     # invariance sweep: every hash must be identical at any parallelism.
+    # SPARK_GRAFT_SIM_ANSI=false sweeps the other value of Spark 4's
+    # ANSI-mode default — a portability check across cluster configs.
     shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "32")
-    spark = (SparkSession.builder.appName("driver-sim")
-             .master(f"local[{cpus}]")
-             .config("spark.sql.shuffle.partitions", shuffle)
+    ansi = os.environ.get("SPARK_GRAFT_SIM_ANSI", "")
+    builder = (SparkSession.builder.appName("driver-sim")
+               .master(f"local[{cpus}]")
+               .config("spark.sql.shuffle.partitions", shuffle))
+    if ansi:
+        builder = builder.config("spark.sql.ansi.enabled", ansi)
+    spark = (builder
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
