@@ -23,16 +23,41 @@ __all__ = [
 
 def fround(col: Column, n: int = 2) -> Column:
     """Deterministic half-up-via-floor rounding on doubles (see module
-    docstring). floor() returns BIGINT in Spark; the division restores
-    DoubleType — and never yields -0.0."""
+    docstring). Spark's floor() on a double returns BIGINT — correct and
+    -0.0-free for |x·10ⁿ| < 2⁵³, but it silently maps NaN → 0 and clamps
+    anything ≥ 2⁶³ to Long.MAX (numeric-extremes sweep, r5). DuckDB's
+    floor stays in double space (NaN → NaN, 1e152 → 1e152), so the
+    bigint path is used only where it is exact; beyond 2⁵³ every double
+    is already integral and identity IS floor, which also passes NaN and
+    ±Inf through unchanged — bit-identical to the oracle's floor."""
     scale = 10 ** n
-    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    y = col * F.lit(scale) + F.lit(0.5)
+    floored = F.when(F.abs(y) < F.lit(float(2 ** 53)),
+                     F.floor(y).cast("double")).otherwise(y)
+    return floored / F.lit(scale)
 
 
 def fround_sql(expr: str, n: int = 2) -> str:
-    """DuckDB/ANSI equivalent of :func:`fround` (same double arithmetic)."""
+    """DuckDB/ANSI equivalent of :func:`fround` (same double arithmetic).
+    DuckDB's floor stays in double space, so no guard is needed — use
+    this ONLY for oracle strings. SQL text that also runs through
+    spark.sql needs :func:`fround_portable_sql`."""
     scale = 10 ** n
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def fround_portable_sql(expr: str, n: int = 2) -> str:
+    """fround as SQL text with IDENTICAL semantics on Spark and DuckDB —
+    for query strings that run verbatim on both engines. Spark's floor
+    returns BIGINT (NaN -> 0, |x| >= 2^63 clamps to Long.MAX), so the
+    bigint floor is used only in its exact range; beyond 2^53 doubles
+    are already integral and identity IS floor, and NaN/Inf fall
+    through unchanged. On DuckDB the CASE is a semantic no-op (its
+    floor already behaves this way)."""
+    scale = 10 ** n
+    y = f"(({expr}) * {scale} + 0.5)"
+    return (f"(CASE WHEN abs({y}) < 9007199254740992.0 "
+            f"THEN CAST(floor({y}) AS DOUBLE) ELSE {y} END / {scale})")
 
 
 def weekday_py(col: str | Column) -> Column:

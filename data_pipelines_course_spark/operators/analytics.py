@@ -98,11 +98,20 @@ def rolling_7day_customer_spend(spark: SparkSession,
 @query(
     "price_quantiles",
     scale_twin="price_quantiles_approx",
+    # NaN -> NULL inside quantile_cont: the engine excludes NaN like
+    # NULL (exact_quantiles), and DuckDB's quantile ordering with NaN
+    # present is unspecified (its partial sort uses raw < which NaN
+    # always fails) — the guard is a no-op on NaN-free data and pins
+    # one semantics on hostile data (numeric-extremes axis, r5).
     oracle="""
-    SELECT quantile_cont(l_extendedprice, 0.25) AS q25,
-           quantile_cont(l_extendedprice, 0.5) AS q50,
-           quantile_cont(l_extendedprice, 0.75) AS q75,
-           quantile_cont(l_extendedprice, 0.95) AS q95
+    SELECT quantile_cont(CASE WHEN isnan(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.25) AS q25,
+           quantile_cont(CASE WHEN isnan(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.5) AS q50,
+           quantile_cont(CASE WHEN isnan(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.75) AS q75,
+           quantile_cont(CASE WHEN isnan(l_extendedprice) THEN NULL
+                              ELSE l_extendedprice END, 0.95) AS q95
     FROM lineitem
     """,
 )
@@ -148,7 +157,11 @@ def exact_quantiles(df: DataFrame, col: str,
     # SAMPLED range partitioner, so the counts branch and the rank
     # branch must see the SAME materialized partitioning (re-evaluating
     # the lazy subtree twice could re-sample different boundaries).
-    vals = (df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    # NULL and NaN both excluded: quantile_cont (the oracle semantics)
+    # skips NaN like NULL, while Spark's sort would rank NaN largest and
+    # shift every quantile above it (numeric-extremes axis, r5).
+    vals = (df.select(F.col(col).alias("v"))
+            .filter(F.col("v").isNotNull() & ~F.isnan(F.col("v")))
             .repartitionByRange(n_parts, "v")
             .withColumn("pid", F.spark_partition_id())
             .persist())
@@ -188,8 +201,11 @@ def exact_quantiles(df: DataFrame, col: str,
             # lo*(1-f) + hi*f, NOT lo + f*(hi-lo): the two differ by an
             # ulp on some inputs and DuckDB quantile_cont (the oracle)
             # computes the former — property-tested on adversarial value
-            # sets in tests/test_functions.py.
-            out[q] = lo * (1 - f) + hi * f
+            # sets in tests/test_functions.py. Integral rank short-
+            # circuits to lo exactly as DuckDB does: computing hi*0
+            # would turn a +-Inf next-order-statistic into NaN
+            # (numeric-extremes axis, r5).
+            out[q] = lo if f == 0 else lo * (1 - f) + hi * f
         return out
     finally:
         vals.unpersist()
@@ -337,10 +353,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantity_quantiles_by_flag",
     scale_twin="quantity_quantiles_by_flag_approx",
+    # NaN -> NULL on both sides (registry quantile convention, see
+    # price_quantiles): Spark's percentile ranks NaN largest, DuckDB's
+    # NaN quantile ordering is unspecified. On NaN-free data the guard
+    # is a no-op; on hostile data it can otherwise agree only by luck
+    # (duplicated quantities absorb the one-rank shift).
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, 0.5) AS median_qty,
-           quantile_cont(l_quantity, 0.9) AS p90_qty
+           quantile_cont(CASE WHEN isnan(l_quantity) THEN NULL
+                              ELSE l_quantity END, 0.5) AS median_qty,
+           quantile_cont(CASE WHEN isnan(l_quantity) THEN NULL
+                              ELSE l_quantity END, 0.9) AS p90_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -352,9 +375,10 @@ def quantity_quantiles_by_flag(spark: SparkSession,
     swallows a third of the corpus at 100 TB — deliberate ground truth;
     the registered scale twin is the per-group sketch below."""
     li = load(spark, sf_dir, "lineitem")
+    nanfree = "CASE WHEN isnan(l_quantity) THEN NULL ELSE l_quantity END"
     return (li.groupBy("l_returnflag")
-            .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-                 F.expr("percentile(l_quantity, 0.9)").alias("p90_qty")))
+            .agg(F.expr(f"percentile({nanfree}, 0.5)").alias("median_qty"),
+                 F.expr(f"percentile({nanfree}, 0.9)").alias("p90_qty")))
 
 
 @query("quantity_quantiles_by_flag_approx")  # rows-only: sketch values

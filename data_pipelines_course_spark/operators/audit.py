@@ -197,16 +197,27 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "value_outliers_by_type",
+    # mu/sigma are computed over the FINITE values of each type (the
+    # isfinite guard is a no-op on clean data): one hostile Inf/NaN
+    # value otherwise crashes DuckDB's stddev (OutOfRangeException) and
+    # NaN-poisons Spark's sigma for the WHOLE type. With finite stats,
+    # a +-Inf value scores +-Inf and IS reported as the outlier it is;
+    # a NaN value has no orderable z-score and is excluded by the
+    # NOT-isnan clause on both engines (both rank NaN > 3.0 as true,
+    # which would otherwise flag it with an uncomparable score).
+    # Numeric-extremes axis, r5.
     oracle="""
     WITH stats AS (
         SELECT event_type,
-               avg(value) AS mu,
-               stddev_samp(value) AS sigma
+               avg(CASE WHEN isfinite(value) THEN value END) AS mu,
+               stddev_samp(CASE WHEN isfinite(value) THEN value END)
+                   AS sigma
         FROM events GROUP BY event_type)
     SELECT event_id, e.event_type,
            floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000 AS zscore
     FROM events e JOIN stats USING (event_type)
     WHERE abs(floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000) > 3.0
+      AND NOT isnan(floor(((e.value - mu) / sigma) * 10000 + 0.5) / 10000)
     """,
 )
 def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,12 +235,15 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     (review r4) — the same rounded-boundary rule every other float
     decision in the registry follows."""
     ev = load(spark, sf_dir, "events")
+    fin = F.when(~F.isnan("value")
+                 & (F.abs("value") < F.lit(float("inf"))), F.col("value"))
     stats = (ev.groupBy("event_type")
-             .agg(F.avg("value").alias("mu"),
-                  F.stddev_samp("value").alias("sigma")))
+             .agg(F.avg(fin).alias("mu"),
+                  F.stddev_samp(fin).alias("sigma")))
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     from ..functions.scalar import fround
     return (ev.join(stats, "event_type")
             .withColumn("zscore", fround(z, 4))
-            .filter(F.abs(F.col("zscore")) > 3.0)
+            .filter((F.abs(F.col("zscore")) > 3.0)
+                    & ~F.isnan(F.col("zscore")))
             .select("event_id", "event_type", "zscore"))

@@ -62,6 +62,9 @@ def _minmax_scale(pdf: "pd.DataFrame") -> "pd.DataFrame":
     return out
 
 
+_NANFREE_PRICE = ("CASE WHEN isnan(l_extendedprice) THEN NULL "
+                  "ELSE l_extendedprice END")
+
 @query(
     "minmax_scale_by_group",
     # The degenerate group (max == min: single row or constant price)
@@ -69,15 +72,20 @@ def _minmax_scale(pdf: "pd.DataFrame") -> "pd.DataFrame":
     # side implements — NOT the NULL that the raw 0/0 division yields in
     # SQL; `x * 0.0` in the THEN branch keeps a NULL price NULL either
     # way (broken-RI axis, r5: a NULL-returnflag singleton group hit the
-    # divergence).
+    # divergence). The window min/max exclude NaN like the pandas side's
+    # skipna (= sklearn's nanmin/nanmax): DuckDB's max otherwise returns
+    # NaN as the largest value and poisons the whole group's scale
+    # (numeric-extremes axis, r5); a NaN price itself still scales to
+    # NaN on both sides.
     oracle=f"""
     SELECT l_orderkey, l_linenumber, l_returnflag,
-           CASE WHEN max(l_extendedprice) OVER w = min(l_extendedprice) OVER w
+           CASE WHEN max({_NANFREE_PRICE}) OVER w
+                     = min({_NANFREE_PRICE}) OVER w
                 THEN l_extendedprice * 0.0
                 ELSE {fround_sql(
-                    '(l_extendedprice - min(l_extendedprice) OVER w)'
-                    ' / (max(l_extendedprice) OVER w'
-                    '    - min(l_extendedprice) OVER w)', 6)}
+                    f'(l_extendedprice - min({_NANFREE_PRICE}) OVER w)'
+                    f' / (max({_NANFREE_PRICE}) OVER w'
+                    f'    - min({_NANFREE_PRICE}) OVER w)', 6)}
            END AS scaled
     FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
     """,
@@ -97,28 +105,48 @@ def minmax_scale_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dispersion_stats",
+    # Moment aggregates run over the FINITE subset on both sides: one
+    # NaN/Inf price otherwise makes DuckDB's stddev raise
+    # OutOfRangeException (its M2 accumulator overflows) while Spark
+    # degrades to NaN — with the isfinite guard (a no-op on clean data)
+    # both engines produce the same finite dispersion, and non-finite
+    # values remain visible to the quality gates rather than silently
+    # poisoning every profile column (numeric-extremes axis, r5).
+    # Percentiles follow the registry NaN->NULL quantile convention.
     oracle=f"""
     SELECT l_returnflag,
-           {fround_sql('stddev_samp(l_extendedprice)', 4)} AS price_stddev,
-           {fround_sql('var_samp(l_extendedprice)', 2)} AS price_var,
-           {fround_sql('quantile_cont(l_quantity, 0.25)', 4)} AS qty_p25,
-           {fround_sql('quantile_cont(l_quantity, 0.5)', 4)} AS qty_median,
-           {fround_sql('quantile_cont(l_quantity, 0.75)', 4)} AS qty_p75
+           {fround_sql(
+               'stddev_samp(CASE WHEN isfinite(l_extendedprice)'
+               ' THEN l_extendedprice END)', 4)} AS price_stddev,
+           {fround_sql(
+               'var_samp(CASE WHEN isfinite(l_extendedprice)'
+               ' THEN l_extendedprice END)', 2)} AS price_var,
+           {fround_sql('quantile_cont(CASE WHEN NOT isnan(l_quantity)'
+                       ' THEN l_quantity END, 0.25)', 4)} AS qty_p25,
+           {fround_sql('quantile_cont(CASE WHEN NOT isnan(l_quantity)'
+                       ' THEN l_quantity END, 0.5)', 4)} AS qty_median,
+           {fround_sql('quantile_cont(CASE WHEN NOT isnan(l_quantity)'
+                       ' THEN l_quantity END, 0.75)', 4)} AS qty_p75
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stddev/variance/exact interpolated percentiles per group. Exact
-    `percentile` (sort-based), not percentile_approx — the approx sketch
-    would break oracle parity; at 100 TB swap to approx_percentile
-    deliberately and re-baseline."""
+    """stddev/variance/exact interpolated percentiles per group, each
+    over the finite subset (see oracle note). Exact `percentile`
+    (sort-based), not percentile_approx — the approx sketch would break
+    oracle parity; at 100 TB swap to approx_percentile deliberately and
+    re-baseline."""
     li = load(spark, sf_dir, "lineitem")
+    fin_price = F.when(~F.isnan("l_extendedprice")
+                       & (F.abs("l_extendedprice") < F.lit(float("inf"))),
+                       F.col("l_extendedprice"))
+    nanfree_qty = "CASE WHEN NOT isnan(l_quantity) THEN l_quantity END"
     return (li.groupBy("l_returnflag").agg(
-        fround(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        fround(F.var_samp("l_extendedprice"), 2).alias("price_var"),
-        fround(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_p25"),
-        fround(F.expr("percentile(l_quantity, 0.5)"), 4).alias("qty_median"),
-        fround(F.expr("percentile(l_quantity, 0.75)"), 4).alias("qty_p75"),
+        fround(F.stddev_samp(fin_price), 4).alias("price_stddev"),
+        fround(F.var_samp(fin_price), 2).alias("price_var"),
+        fround(F.expr(f"percentile({nanfree_qty}, 0.25)"), 4).alias("qty_p25"),
+        fround(F.expr(f"percentile({nanfree_qty}, 0.5)"), 4).alias("qty_median"),
+        fround(F.expr(f"percentile({nanfree_qty}, 0.75)"), 4).alias("qty_p75"),
     ))
 
 

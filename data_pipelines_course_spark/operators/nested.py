@@ -132,11 +132,14 @@ def array_element_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    mean_expr = F.expr(
-        "floor((aggregate(embedding, cast(0.0 as double),"
-        " (acc, x) -> acc + cast(x as double)) / size(embedding)) * 100 + 0.5) / 100"
-        " + cast(0 as double)")
-    return emb.select("vec_id", mean_expr.alias("emb_mean"))
+    # fround, not inline floor(): Spark's floor returns BIGINT, which
+    # maps a NaN mean to 0 and clamps |x| >= 2^63 to Long.MAX while the
+    # oracle's double-space floor passes both through (extremes axis r5).
+    raw = F.expr(
+        "aggregate(embedding, cast(0.0 as double),"
+        " (acc, x) -> acc + cast(x as double)) / size(embedding)")
+    return emb.select(
+        "vec_id", (fround(raw, 2) + F.lit(0.0)).alias("emb_mean"))
 
 
 # ---------------------------------------------------------------------------
@@ -155,11 +158,12 @@ def array_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_transform_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    norm = F.expr(
-        "floor((aggregate(transform(embedding,"
+    # fround for the same BIGINT-floor reason as array_mean above.
+    raw = F.expr(
+        "aggregate(transform(embedding,"
         " x -> cast(x as double) * cast(x as double)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)) * 100 + 0.5) / 100")
-    return emb.select("vec_id", norm.alias("sq_norm"))
+        " cast(0.0 as double), (acc, x) -> acc + x)")
+    return emb.select("vec_id", fround(raw, 2).alias("sq_norm"))
 
 
 # ---------------------------------------------------------------------------

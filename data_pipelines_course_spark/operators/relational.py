@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..datasets import load, register_views
-from ..functions.scalar import fround
+from ..functions.scalar import fround, fround_portable_sql
 from ..queries import query
 
 # ---------------------------------------------------------------------------
@@ -40,13 +40,21 @@ def _flagship_aggs():
         aggs.append(F.min(c).alias(f"{c} min"))
         aggs.append(F.max(c).alias(f"{c} max"))
         aggs.append(fround(F.avg(c), 2).alias(f"{c} mean"))
-        aggs.append(F.median(c).alias(f"{c} median"))
+        # Median excludes NaN like NULL (the registry's quantile
+        # convention, exact_quantiles): Spark's median ranks NaN
+        # largest while DuckDB's NaN quantile ordering is unspecified
+        # (numeric-extremes axis, r5) — NaN->NULL pins one semantics
+        # on both engines. min/max/avg need no wrap: both engines
+        # already agree there (max -> NaN, avg -> NaN).
+        aggs.append(
+            F.median(F.when(~F.isnan(c), F.col(c))).alias(f"{c} median"))
     return aggs
 
 
 _FLAGSHIP_ORACLE_COLS = ", ".join(
     f'min({c}) AS "{c} min", max({c}) AS "{c} max", '
-    f'floor((avg({c})) * 100 + 0.5) / 100 AS "{c} mean", median({c}) AS "{c} median"'
+    f'floor((avg({c})) * 100 + 0.5) / 100 AS "{c} mean", '
+    f'median(CASE WHEN isnan({c}) THEN NULL ELSE {c} END) AS "{c} median"'
     for c in _FLAGSHIP_COLS
 )
 
@@ -606,10 +614,10 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast dims, so the only shuffle is the final group-by.
 # ---------------------------------------------------------------------------
 
-_SQL_REGION_REVENUE = """
+_SQL_REGION_REVENUE = f"""
     SELECT r_name AS region, n_name AS nation,
            count(*) AS orders_cnt,
-           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+           {fround_portable_sql('sum(o_totalprice)', 2)} AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -654,10 +662,13 @@ def intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # input is scanned once, not once per set.
 # ---------------------------------------------------------------------------
 
-_SQL_GROUPING_SETS = """
+# fround_portable_sql, not bare floor(): this text runs VERBATIM on
+# both engines, and Spark's bigint floor would turn a NaN revenue into
+# 0 where DuckDB keeps NaN (numeric-extremes axis, r5).
+_SQL_GROUPING_SETS = f"""
     SELECT l_returnflag, l_linestatus,
            count(*) AS cnt,
-           floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS revenue
+           {fround_portable_sql('sum(l_extendedprice)', 2)} AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """

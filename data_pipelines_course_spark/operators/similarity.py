@@ -42,6 +42,29 @@ def norm(a: str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def finite_norm(a: str) -> Column:
+    """The vector is usable as a DIRECTION: norm positive AND finite.
+    A bare `norm > 0` does not exclude NaN — Spark ranks NaN largest in
+    comparisons, so a NaN-component vector passes it and then poisons
+    any centroid mean or unit-normalization built from it (numeric-
+    extremes axis, r5). Inf norms normalize to all-zero/NaN the same
+    way. Serving-path FILTERS that only rank candidates keep the
+    cheaper `norm > 0` (both engines agree on NaN cosines there); this
+    guard is for anything that becomes driver-side state."""
+    n = norm(a)
+    return (n > 0) & ~F.isnan(n) & (n < F.lit(float("inf")))
+
+
+def _usable_probe(qv) -> bool:
+    """Driver-side probe check: non-zero AND all-finite (a NaN/Inf probe
+    has no meaningful neighbors and its components would otherwise be
+    broadcast as literals into every score expression)."""
+    import math
+
+    vs = [float(x) for x in qv]
+    return any(v != 0.0 for v in vs) and all(math.isfinite(v) for v in vs)
+
+
 def _empty_topk(spark: SparkSession) -> DataFrame:
     """The empty result every ANN serving path degrades to when the
     probe vector is absent (zero-row corpus — an incremental pipeline's
@@ -217,7 +240,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if probe is None:  # probe absent (zero-row corpus): no neighbors
         return _empty_topk(spark)
     qvec, qbuckets = probe["embedding"], probe["buckets"]
-    if not any(float(v) != 0.0 for v in qvec):  # direction-less probe
+    if not _usable_probe(qvec):  # direction-less or non-finite probe
         return _empty_topk(spark)
     q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
     collide = None
@@ -312,8 +335,22 @@ IVF_K = 16       # coarse-quantizer cells
 IVF_NPROBE = 4   # cells searched per probe
 
 
+def _dlit(v: float) -> str:
+    """A double literal that parses for EVERY double: repr(nan)/repr(inf)
+    are bare words ('nan') that Spark's SQL parser resolves as column
+    names — one NaN centroid component then kills the whole query with
+    UNRESOLVED_COLUMN (numeric-extremes axis, r5)."""
+    if v != v:
+        return "cast('NaN' as double)"
+    if v == float("inf"):
+        return "cast('Infinity' as double)"
+    if v == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return f"cast({v!r} as double)"
+
+
 def _arr_sql(vs: list[float]) -> str:
-    return "array(" + ", ".join(f"cast({v!r} as double)" for v in vs) + ")"
+    return "array(" + ", ".join(_dlit(v) for v in vs) + ")"
 
 
 def _py_cos(a: list[float], b: list[float]) -> float:
@@ -346,7 +383,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-side routing cosine would divide by zero; adversarial find
     # r5) and a missing/zero-norm probe has no neighbors by definition.
     cent_rows = (emb.filter((F.col("vec_id") < IVF_K)
-                            & (norm("embedding") > 0))
+                            & finite_norm("embedding"))
                  .select("vec_id", "embedding").collect())
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in cent_rows}
@@ -354,7 +391,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if qrow is None or not cents:
         return _empty_topk(spark)
     qv = [float(x) for x in qrow["embedding"]]
-    if not any(v != 0.0 for v in qv):
+    if not _usable_probe(qv):
         return _empty_topk(spark)
     scores = F.array(*[
         F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
@@ -404,7 +441,12 @@ def _normalized(emb: DataFrame) -> DataFrame:
     # Zero-norm vectors are dropped: they cannot be unit-normalized and
     # carry no direction for any cosine-based assignment.
     return (emb.withColumn("_nrm", norm("embedding"))
-            .filter(F.col("_nrm") > 0)
+            # finite AND positive: NaN passes a bare `> 0` (Spark ranks
+            # NaN largest) and an Inf norm normalizes to zeros/NaN —
+            # either way one hostile vector would poison every centroid
+            # trained from this frame (numeric-extremes axis, r5).
+            .filter((F.col("_nrm") > 0) & ~F.isnan("_nrm")
+                    & (F.col("_nrm") < F.lit(float("inf"))))
             .withColumn("nv", F.transform(
                 "embedding", lambda x: x.cast("double") / F.col("_nrm")))
             .drop("_nrm"))
@@ -645,7 +687,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str
 
 
 def _sql_arr(vs: list[float]) -> str:
-    return "array(" + ",".join(f"{v!r}D" for v in vs) + ")"
+    # _dlit, not bare {v!r}D: a NaN/Inf lookup-table entry must stay a
+    # literal, not an unresolvable identifier (see _dlit).
+    return "array(" + ",".join(_dlit(v) for v in vs) + ")"
 
 
 def _pq_encode_sql(books: list[list[list[float]]], dsub: int) -> str:
@@ -752,7 +796,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-norm vectors can't route (no direction — adversarial find r5)
     cent_rows = (load(spark, sf_dir, "embeddings")
                  .filter((F.col("vec_id") < IVF_K)
-                         & (norm("embedding") > 0))
+                         & finite_norm("embedding"))
                  .select("vec_id", "embedding").collect())
     cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
              for r in cent_rows}

@@ -77,7 +77,9 @@ def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
             aa = pd.to_numeric(a, errors="coerce")
             bb = pd.to_numeric(b, errors="coerce")
             both_nan = aa.isna() & bb.isna()
-            close = (aa - bb).abs() <= 1e-6 + 1e-9 * bb.abs()
+            # Exact equality first: inf == inf must match (inf - inf is
+            # NaN, which would fail the closeness test below).
+            close = (aa == bb) | ((aa - bb).abs() <= 1e-6 + 1e-9 * bb.abs())
             bad = ~(both_nan | close)
         else:
             bad = a.astype(str) != b.astype(str)
