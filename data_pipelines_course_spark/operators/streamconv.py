@@ -187,13 +187,23 @@ def _rollup_mismatch_count(streamed: DataFrame, batch: DataFrame) -> int:
     """Rows where the maintained rollup disagrees with the batch truth.
     One-sided NULL sums must count as mismatches: abs(x - NULL) is NULL,
     which filter() drops — a sink bug that nulled out a daily sum would
-    otherwise pass the convergence proof (ADVICE r4)."""
+    otherwise pass the convergence proof (ADVICE r4). Sums agree when
+    both NULL, both the SAME non-finite value (abs(NaN - NaN) and
+    abs(Inf - Inf) are NaN, which Spark ranks > 1e-6 — a correctly
+    maintained NaN/Inf day otherwise reads as divergence; numeric-
+    extremes axis r5), or within the float-noise tolerance; anything
+    else — including one-sided NULLs, where every term below goes NULL
+    and the coalesce counts the row — is a mismatch."""
     joined = streamed.join(batch, ["event_date", "event_type"],
                            "full_outer")
+    s, b = F.col("sum_value"), F.col("b_sum")
+    sums_ok = ((s.isNull() & b.isNull())
+               | (F.isnan(s) & F.isnan(b))
+               | (s == b)                     # +-Inf == +-Inf
+               | (F.abs(s - b) <= 1e-6))
     bad = (F.col("n_events").isNull() | F.col("b_n").isNull()
            | (F.col("n_events") != F.col("b_n"))
-           | (F.col("sum_value").isNull() != F.col("b_sum").isNull())
-           | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-6))
+           | ~F.coalesce(sums_ok, F.lit(False)))
     return joined.filter(bad).count()
 
 

@@ -949,3 +949,196 @@ def test_pk_violations_are_detectable(spark, pk_dir):
     # which is itself a fact this audit surfaces.)
     assert key_uniqueness_report(
         load(spark, pk_dir, "supplier"), ["s_suppkey"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Axis 10 (r5): numeric extremes. NaN, +-Inf, -0.0, 1e150, the smallest
+# subnormal (5e-324) and true NULLs (pyarrow-written so NaN and NULL stay
+# distinct — pandas' to_parquet silently converts NaN to NULL) injected
+# into events.value, lineitem prices/quantities, orders.o_totalprice and
+# embedding vectors. This sweep found and the engine fixed: fround's
+# BIGINT floor (NaN -> 0.0, |x| >= 2^63 clamps to Long.MAX), NaN counted
+# in exact-quantile ranks, hi*0 NaN at integral ranks, NaN-poisoned
+# moment aggregates (DuckDB stddev raises OutOfRangeException on any
+# non-finite input), NaN centroid components parsed as SQL column names,
+# and non-finite sums flagged as divergence by the rollup convergence
+# tolerance. Engines genuinely agree (no guards needed) on: NaN grouping
+# (one group, both engines), min/max/avg/sum propagation, comparisons
+# (NaN > x true on both), and quantile interpolation through +-Inf.
+# ---------------------------------------------------------------------------
+
+_NAN, _INF = float("nan"), float("inf")
+
+
+@pytest.fixture(scope="module")
+def extremes_dir(tmp_path_factory):
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("sfextreme")
+    ts = lambda s: np.datetime64(s, "us")  # noqa: E731
+
+    # events: user 555 carries one row per extreme; user 556 puts +Inf
+    # and -Inf into ONE (user, type, hour) group so every sum/avg over
+    # it goes NaN.
+    ev = pq.read_table(f"{base}/events.parquet")
+    rows, eid = [], 9_000_000
+    extremes = [_NAN, _INF, -_INF, -0.0, 1e150, 5e-324, None]
+    types = ["view", "click", "purchase", "view", "click", "purchase",
+             "view"]
+    for i, (v, et) in enumerate(zip(extremes, types)):
+        rows.append((eid, ts(f"2024-05-01T0{i}:15:00"), 555, et, v,
+                     '{"k": %d}' % i))
+        eid += 1
+    rows += [(eid, ts("2024-05-02T10:00:00"), 556, "view", _INF, None),
+             (eid + 1, ts("2024-05-02T10:30:00"), 556, "view", -_INF,
+              None),
+             (eid + 2, ts("2024-05-02T11:00:00"), 556, "purchase", 2.5,
+              "{}")]
+    crafted = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string())})
+    pq.write_table(pa.concat_tables([ev, crafted.cast(ev.schema)]),
+                   out / "events.parquet")
+
+    # lineitem: order 7777777, one line per price extreme; one NaN and
+    # one Inf quantity feed the exact/approx quantile family.
+    li = pq.read_table(f"{base}/lineitem.parquet")
+    lrows = pa.table({
+        "l_orderkey": pa.array([7777777] * 6, pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 4, 5, 6], pa.int32()),
+        "l_quantity": pa.array([_NAN, _INF, 7.0, 3.0, 1.0, 2.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array(
+            [_INF, -_INF, _NAN, -0.0, 1e150, 5e-324], pa.float64()),
+        "l_discount": pa.array([0.05] * 6, pa.float64()),
+        "l_tax": pa.array([0.02] * 6, pa.float64()),
+        "l_returnflag": pa.array(["A", "N", "R", "A", "N", "R"],
+                                 pa.string()),
+        "l_linestatus": pa.array(["F", "O", "F", "O", "F", "O"],
+                                 pa.string()),
+        "l_shipdate": pa.array([ts("1995-06-15T00:00:00")] * 6,
+                               pa.timestamp("us"))})
+    pq.write_table(pa.concat_tables([li, lrows.cast(li.schema)]),
+                   out / "lineitem.parquet")
+
+    # orders: parent for 7777777 (+Inf totalprice) plus a NaN-priced one.
+    od = pq.read_table(f"{base}/orders.parquet")
+    orows = pa.table({
+        "o_orderkey": pa.array([7777777, 7777778], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O"], pa.string()),
+        "o_totalprice": pa.array([_INF, _NAN], pa.float64()),
+        "o_orderdate": pa.array([ts("1995-06-01T00:00:00"),
+                                 ts("1996-02-01T00:00:00")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["3-MEDIUM", "1-URGENT"],
+                                    pa.string())})
+    pq.write_table(pa.concat_tables([od, orows.cast(od.schema)]),
+                   out / "orders.parquet")
+
+    # embeddings: NaN vector, one-Inf-component vector, huge magnitude
+    # (norm overflows to Inf), tiny magnitude (norm squared underflows
+    # to 0), NaN-patched mix.
+    em = pq.read_table(f"{base}/embeddings.parquet")
+    dim = len(em.column("embedding")[0].as_py())
+
+    def vec(fill, patch=None):
+        v = [fill] * dim
+        if patch is not None:
+            v[0] = patch
+        return v
+
+    erows = pa.table({
+        "vec_id": pa.array([9001, 9002, 9003, 9004, 9005], pa.int64()),
+        "embedding": pa.array(
+            [vec(_NAN), vec(0.5, _INF), vec(1e200), vec(1e-200),
+             vec(0.25, _NAN)], pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 2, 0, 1], pa.int32())})
+    pq.write_table(pa.concat_tables([em, erows.cast(em.schema)]),
+                   out / "embeddings.parquet")
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents"]:
+        shutil.copy(f"{base}/{t}.parquet", out / f"{t}.parquet")
+    return str(out)
+
+
+EXTREME_QUERIES = [
+    # events.value consumers
+    "value_counts", "global_minmax", "salted_grouped_stats",
+    "range_position", "window_first_last_ratio", "daily_event_gapfill",
+    "grouped_hour_sum", "moving_average", "lag_lead_delta",
+    "event_funnel", "sessionize_events", "mixture_sample_events",
+    "retention_cohorts", "conversion_lag_native",
+    "asof_join_latest_click", "range_join_click_count",
+    "props_map_stats", "value_outliers_by_type",
+    # lineitem / orders price consumers
+    "price_quantiles", "quantity_quantiles_by_flag", "dispersion_stats",
+    "flagship_grouped_agg", "minmax_scale_by_group",
+    "grouping_sets_agg", "sql_region_revenue",
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "snapshot_diff_orders", "table_profile_orders",
+    # embeddings
+    "knn_brute_force", "embedding_neardup_topk", "label_centroid_norms",
+    "embedding_norm_stats", "array_mean", "array_transform_norm",
+    "array_size", "array_element_extract",
+]
+
+
+@pytest.mark.parametrize("name", EXTREME_QUERIES)
+def test_numeric_extremes_parity(spark, extremes_dir, name):
+    """Every numeric-consuming family stays value-exact against the
+    oracle when NaN/+-Inf/-0.0/1e150/subnormal/NULL values appear in the
+    measures. (The full 22-query TPC-H suite and the rollup-convergence
+    hook were additionally verified hash-identical on this corpus via
+    driver_sim during round 5; the scan-agg representatives q1/q6 stay
+    in the committed sweep.)"""
+    from data_pipelines_course_spark.queries import all_oracles, all_queries
+
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{extremes_dir}/{t}.parquet'")
+        sp = all_queries()[name](spark, extremes_dir).toPandas()
+        du = con.sql(all_oracles()[name]).df()
+    finally:
+        con.close()
+    assert len(sp) == len(du), (len(sp), len(du))
+    assert sorted(sp.columns) == sorted(du.columns)
+    a, b = _norm(sp), _norm(du)
+    if not a.equals(b):
+        neq = (a != b)
+        bad = {c: int(neq[c].sum()) for c in a.columns if neq[c].any()}
+        raise AssertionError(
+            f"{name}: value mismatch in {bad};\n"
+            f"spark: {a[neq.any(axis=1)].head(3).to_dict('records')}\n"
+            f"duck:  {b[neq.any(axis=1)].head(3).to_dict('records')}")
+
+
+def test_inf_values_reported_as_outliers(spark, extremes_dir):
+    """The semantic point of the finite-stats rework: a +-Inf value is
+    REPORTED as the outlier it is (zscore +-Inf), instead of NaN-
+    poisoning its whole event_type's sigma and silencing the gate; NaN
+    values (no orderable score) are excluded."""
+    from data_pipelines_course_spark.queries import all_queries
+
+    out = (all_queries()["value_outliers_by_type"](spark, extremes_dir)
+           .toPandas())
+    by_event = dict(zip(out["event_id"], out["zscore"]))
+    assert by_event.get(9000001) == _INF       # +Inf click
+    assert by_event.get(9000002) == -_INF      # -Inf purchase
+    assert 9000000 not in by_event             # NaN view: no score
+    assert not out["zscore"].map(
+        lambda z: z != z).any()                # no NaN scores anywhere

@@ -253,3 +253,44 @@ def test_simhash_hot_bucket_guard(spark, hotbucket_dir):
     assert len(in_hot) == 0
     kept = df[(df["doc1"] == 300) & (df["doc2"] == 301)]
     assert len(kept) == 1 and (kept["hamming"] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Numeric-extremes corpus (extremes_dir: NaN/Inf-component vectors, a
+# 1e200-magnitude vector whose norm overflows to Inf, a 1e-200 vector
+# whose squared norm underflows to 0). Round-5 finds pinned here: a NaN
+# centroid component used to be interpolated into SQL text and parsed
+# as an unresolvable COLUMN NAME (UNRESOLVED_COLUMN kill), and NaN
+# vectors passed the `norm > 0` trainer gate because Spark ranks NaN
+# largest in comparisons.
+# ---------------------------------------------------------------------------
+
+from tests.test_adversarial import extremes_dir  # noqa: F401
+
+
+def test_kmeans_trains_finite_centroids_on_extremes(spark, extremes_dir):
+    """Non-finite vectors are excluded from training (finite_norm gate):
+    every centroid component of the trained quantizer is finite, and
+    the objective history stays monotone non-decreasing."""
+    from data_pipelines_course_spark.operators.similarity import (
+        kmeans_train)
+
+    cents, history = kmeans_train(spark, extremes_dir)
+    assert cents and history
+    assert all(math.isfinite(x) for c in cents for x in c)
+    assert all(b >= a - 1e-9 for a, b in zip(history, history[1:]))
+
+
+@pytest.mark.parametrize("name", ANN_QUERIES + ["embedding_kmeans",
+                                                "semdedup_candidates"])
+def test_embedding_paths_survive_extremes(spark, extremes_dir, name):
+    """Every embedding path runs crash-free over NaN/Inf/overflow/
+    underflow vectors, keeps its schema, and never emits a non-finite
+    or out-of-range cosine."""
+    df = _queries()[name](spark, extremes_dir)
+    pdf = df.toPandas()
+    assert list(df.columns)
+    if "cos_sim" in pdf.columns and len(pdf):
+        vals = pdf["cos_sim"].dropna()
+        assert ((vals >= -1.0 - 1e-6) & (vals <= 1.0 + 1e-6)).all()
+        assert vals.map(math.isfinite).all()
