@@ -497,6 +497,15 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
     pruning instead of a full-log scan."""
     from ..operators.temporal import scd2_intervals
 
+    # NULL user_ids bucket to the sentinel -1 (one shared expression for
+    # probe, log filter and dim build): `user_id % N` is NULL for them,
+    # which crashed the touched-bucket collect (int(None)) and could
+    # never match an isin() filter — a CDC batch containing one NULL key
+    # would otherwise kill the sink (streaming review, r5). CDC feeds DO
+    # deliver NULL keys (broken-RI axis), and their history belongs in
+    # the dimension's NULL-key group, not in a crash.
+    bucket_of = F.coalesce(F.col("user_id") % buckets, F.lit(-1))
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -504,12 +513,12 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
         log_path = dim_path + "_events"
         idempotent_batch_sink(log_path)(batch_df, batch_id)
         touched = [int(r["b"]) for r in
-                   (batch_df.select((F.col("user_id") % buckets)
-                                    .alias("b")).distinct().collect())]
+                   (batch_df.select(bucket_of.alias("b"))
+                    .distinct().collect())]
         log = (spark.read.parquet(log_path).drop("_batch_id")
-               .filter((F.col("user_id") % buckets).isin(touched)))
+               .filter(bucket_of.isin(touched)))
         dim = (scd2_intervals(log)
-               .withColumn("bucket", F.col("user_id") % buckets))
+               .withColumn("bucket", bucket_of))
         (dim.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")  # per-write; see
          .partitionBy("bucket")                        # idempotent_batch_sink

@@ -68,17 +68,28 @@ def main() -> int:
     # ANSI-mode default — a portability check across cluster configs.
     shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "32")
     ansi = os.environ.get("SPARK_GRAFT_SIM_ANSI", "")
+    # SPARK_GRAFT_SIM_TZ=<zone> sweeps session-timezone portability:
+    # both engines are pinned to the SAME zone (Spark session TZ +
+    # DuckDB TimeZone), so any hash drift is a query depending on the
+    # session zone where it shouldn't (the testdata timestamps are
+    # zone-less TIMESTAMP_NTZ; a portable engine hashes identically
+    # under any session zone).
+    tz = os.environ.get("SPARK_GRAFT_SIM_TZ", "")
     builder = (SparkSession.builder.appName("driver-sim")
                .master(f"local[{cpus}]")
                .config("spark.sql.shuffle.partitions", shuffle))
     if ansi:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
+    if tz:
+        builder = builder.config("spark.sql.session.timeZone", tz)
     spark = (builder
              .config("spark.ui.enabled", "false")
              .config("spark.ui.showConsoleProgress", "false")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    if tz:
+        con.sql(f"SET TimeZone = '{tz}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

@@ -766,6 +766,45 @@ def test_scd2_maintenance_converges_and_touches_only_owned_buckets(
     assert after == bucket2_files
 
 
+def test_scd2_maintenance_null_user_keys(spark, tmp_path):
+    """A CDC batch with NULL user_ids must not kill the sink: `user_id %
+    N` is NULL for them, which crashed the touched-bucket collect
+    (int(None)) and could never match the isin() log filter (streaming
+    review, r5). NULL-key history lands in the sentinel bucket -1 with
+    correct SCD2 runs, non-NULL users are unaffected, and a replayed
+    batch leaves the dimension identical."""
+    import pandas as pd
+
+    dim = str(tmp_path / "scd2_dim")
+    sink = jobs.scd2_maintenance_sink(dim)
+
+    def batch(uids, eids, days, types):
+        return spark.createDataFrame(pd.DataFrame({
+            "user_id": pd.array(uids, dtype="Int64"),
+            "event_id": eids,
+            "ts": pd.to_datetime(days),
+            "event_type": types}))
+
+    sink(batch([1, 2, None], [1, 2, 3],
+               ["2024-01-01", "2024-01-02", "2024-01-03"],
+               ["view", "click", "view"]), 0)
+    b1 = batch([None, 1], [4, 5], ["2024-01-04", "2024-01-05"],
+               ["click", "view"])
+    sink(b1, 1)
+    first = sorted(repr(tuple(r)) for r in spark.read.parquet(dim).collect())
+    sink(b1, 1)  # replay: at-least-once delivery upstream
+    assert sorted(repr(tuple(r))
+                  for r in spark.read.parquet(dim).collect()) == first
+
+    out = spark.read.parquet(dim).toPandas()
+    null_runs = out[out["user_id"].isna()].sort_values("run_seq")
+    assert list(null_runs["state"]) == ["view", "click"]
+    assert set(null_runs["bucket"]) == {-1}
+    assert list(null_runs["is_current"]) == [False, True]
+    u1 = out[out["user_id"] == 1]
+    assert len(u1) == 1 and int(u1.iloc[0]["n_events"]) == 2
+
+
 def test_dedup_index_flags_near_copies_on_arrival(spark, tmp_path):
     """Incremental ingest dedup: a near-copy arriving in a LATER batch
     must be flagged against the index built from earlier batches; two
