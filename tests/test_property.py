@@ -150,7 +150,7 @@ def _union_find_components(edges):
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=_EDGES)
-def test_connected_components_match_union_find(spark, edges):
+def test_cc_both_algorithms_match_union_find(spark, edges):
     from data_pipelines_course_spark.operators.graph import (
         connected_components, connected_components_twostar)
 
@@ -162,3 +162,117 @@ def test_connected_components_match_union_find(spark, edges):
            for r in connected_components_twostar(df, "a", "b").collect()}
     assert prop == expected
     assert two == expected
+
+# ---------------------------------------------------------------------------
+# sessionize vs a sequential gap-scan: per-user (ts, event_id)-ordered
+# run of events, new session when the gap STRICTLY exceeds the window.
+# Generated timestamps deliberately collide (ties inside and across
+# users) — the event_id tie-break must make the assignment a pure
+# function of the row set, never of input order.
+# ---------------------------------------------------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 300)),  # (user, seconds)
+    min_size=1, max_size=12)
+
+
+def _sessionize_reference(rows, gap_s):
+    out = {}
+    by_user = {}
+    for eid, (u, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, eid))
+    for u, evs in by_user.items():
+        seq = 0
+        prev = None
+        for s, eid in sorted(evs):
+            if prev is None or (s - prev) > gap_s:
+                seq += 1
+            out[eid] = (u, seq)
+            prev = s
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_EVENTS)
+def test_sessionize_matches_gap_scan_reference(spark, rows):
+    import datetime
+
+    from data_pipelines_course_spark.operators.temporal import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, eid, base + datetime.timedelta(seconds=s))
+            for eid, (u, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user_id long, event_id long, ts timestamp")
+    got = {r["event_id"]: (r["user_id"], r["session_seq"])
+           for r in sessionize(df, gap_minutes=1).collect()}
+    assert got == _sessionize_reference(rows, gap_s=60)
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals vs a sequential run-length encoder, with NULL states in
+# the generated stream. The break predicate is SQL three-valued logic:
+# `lag IS NULL OR lag != et` — so a NULL state JOINS the preceding
+# non-NULL run (lag != NULL is NULL -> no break) but always breaks the
+# run AFTER it (lag IS NULL fires). The reference encodes exactly that
+# contract; divergence here would also break the DuckDB oracle parity
+# the adversarial NULL axis pins.
+# ---------------------------------------------------------------------------
+
+_STATE_EVENTS = st.lists(
+    st.tuples(st.integers(0, 1),                      # user
+              st.integers(0, 30),                     # seconds
+              st.sampled_from(["a", "b", None])),     # state
+    min_size=1, max_size=10)
+
+
+def _scd2_reference(rows):
+    by_user = {}
+    for eid, (u, s, et) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, eid, et))
+    out = []
+    for u, evs in by_user.items():
+        runs = []  # each: [states], [timestamps]
+        prev_et, have_prev = None, False
+        for s, eid, et in sorted(evs, key=lambda t: (t[0], t[1])):
+            breaks = (not have_prev) or (prev_et is None) or (
+                et is not None and et != prev_et)
+            if breaks:
+                runs.append(([et], [s]))
+            else:
+                runs[-1][0].append(et)
+                runs[-1][1].append(s)
+            prev_et, have_prev = et, True
+        for i, (states, stamps) in enumerate(runs):
+            non_null = [x for x in states if x is not None]
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((u, i + 1,
+                        min(non_null) if non_null else None,
+                        min(stamps),
+                        min(nxt) if nxt is not None else None,
+                        nxt is None,
+                        len(states)))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=_STATE_EVENTS)
+def test_scd2_intervals_match_run_length_reference(spark, rows):
+    import datetime
+
+    from data_pipelines_course_spark.operators.temporal import scd2_intervals
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [(u, eid, base + datetime.timedelta(seconds=s), et)
+            for eid, (u, s, et) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp, event_type string")
+    got = sorted(
+        (r["user_id"], r["run_seq"], r["state"],
+         (r["valid_from"] - base).total_seconds(),
+         (r["valid_to"] - base).total_seconds()
+         if r["valid_to"] is not None else None,
+         r["is_current"], r["n_events"])
+        for r in scd2_intervals(df).collect())
+    assert got == _scd2_reference(rows)
