@@ -276,3 +276,67 @@ def test_scd2_intervals_match_run_length_reference(spark, rows):
          r["is_current"], r["n_events"])
         for r in scd2_intervals(df).collect())
     assert got == _scd2_reference(rows)
+
+# ---------------------------------------------------------------------------
+# banded_range_join (collapsed shape) vs a per-row scan: every right row
+# with lts - window <= rts < lts must attach with exact multiplicity,
+# unmatched left rows must emit exactly ONE all-null row (the r4 band-
+# artifact bug class), and the band arithmetic must hold on PRE-EPOCH
+# timestamps too (negative micros exercise the trunc-vs-floor banding).
+# ---------------------------------------------------------------------------
+
+_RANGE_LEFT = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-60, 60)),   # (key, seconds)
+    min_size=1, max_size=6)
+_RANGE_RIGHT = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(-60, 60), st.integers(0, 9)),
+    min_size=0, max_size=8)
+
+
+def _range_reference(left, right, window_s):
+    out = []
+    for lid, (k, lts) in enumerate(left):
+        matches = [(rts, p) for (rk, rts, p) in right
+                   if rk == k and lts - window_s <= rts < lts]
+        if matches:
+            out.extend((lid, k, lts, rts, p) for rts, p in matches)
+        else:
+            out.append((lid, k, lts, None, None))
+    return sorted(out, key=lambda t: tuple(-2**62 if v is None else v
+                                           for v in t))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=_RANGE_LEFT, right=_RANGE_RIGHT,
+       window_s=st.sampled_from([5, 17, 30]))
+def test_banded_range_join_matches_scan_reference(spark, left, right, window_s):
+    import datetime
+
+    from data_pipelines_course_spark.operators.temporal import (
+        banded_range_join,
+    )
+
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def ts(s):
+        return epoch + datetime.timedelta(seconds=s)
+
+    ldf = spark.createDataFrame(
+        [(lid, k, ts(s)) for lid, (k, s) in enumerate(left)],
+        "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, ts(s), p) for (k, s, p) in right] or [],
+        "k long, ts timestamp, p long")
+    got = banded_range_join(
+        ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+        window_expr=F.expr(f"INTERVAL {window_s} SECONDS"),
+        band_micros=window_s * 1_000_000, left_id="lid").collect()
+    norm = sorted(
+        ((r["lid"], r["k"], int((r["ts"] - epoch).total_seconds()),
+          int((r["r_ts"] - epoch).total_seconds())
+          if r["r_ts"] is not None else None,
+          r["r_p"])
+         for r in got),
+        key=lambda t: tuple(-2**62 if v is None else v for v in t))
+    assert norm == _range_reference(left, right, window_s)
