@@ -51,9 +51,23 @@ def key_uniqueness_report(df: DataFrame, key_cols: list[str]) -> DataFrame:
     as-of joins are hash-exact on a PK-violating corpus
     (tests/test_adversarial.py axis 9).
 
-    One hash-aggregate on the key: count + distinct full-row hash
-    (xxhash64 over all columns), map-side partial, no second scan."""
-    payload = F.xxhash64(*[F.col(c) for c in df.columns])
+    One hash-aggregate on the key: count + distinct full-row hash,
+    map-side partial, no second scan. The 8-byte digest (not the full
+    row) is what shuffles for the distinct — at 100 TB the wide payload
+    columns never leave the map side.
+
+    Digest encoding: xxhash64 over a NULL-disambiguated per-column
+    encoding, NOT over the raw columns — Spark's hash expressions SKIP
+    null inputs (a NULL argument leaves the running hash unchanged), so
+    raw-column hashing would alias (k,'a',NULL) with (k,NULL,'a') and
+    misreport a conflicting-payload violation as benign re-delivery
+    (ADVICE r5). Every column contributes exactly one non-null argument:
+    its string cast, or a NUL-prefixed marker for NULL (no corpus string
+    starts with \\x00; Spark's double/timestamp→string casts are
+    injective, so distinct payloads keep distinct encodings)."""
+    payload = F.xxhash64(*[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+        for c in df.columns])
     return (df.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                  F.countDistinct(payload).cast("bigint")
@@ -247,3 +261,42 @@ def value_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter((F.abs(F.col("zscore")) > 3.0)
                     & ~F.isnan(F.col("zscore")))
             .select("event_id", "event_type", "zscore"))
+
+
+_LINEITEM_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+
+@query(
+    "key_uniqueness_report",
+    # Exact distinct-row count per violating key: DuckDB's row-value
+    # DISTINCT is null-safe in grouping, so it is the ground truth the
+    # Spark side's 64-bit digest approximates (collision probability
+    # ~n²/2⁶⁵ — vanishing at any verifiable scale, and the digest is
+    # what shuffles at 100 TB, not the payload).
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT ({", ".join(_LINEITEM_COLS)})) AS BIGINT)
+               AS n_distinct_payloads
+    FROM lineitem
+    GROUP BY l_orderkey, l_linenumber
+    HAVING count(*) > 1
+    """,
+)
+def lineitem_key_uniqueness_report(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """PK-violation audit of lineitem's composite (l_orderkey,
+    l_linenumber) key — the declared PRECONDITION gate for the digest
+    family (dedup/decontamination/kNN compute per-row digests, so a
+    duplicated key carrying two payloads makes results entity-ambiguous;
+    see operators/dedup.py module docstring). Registered because the
+    driver's own generator violates this TPC-H PK (11,785 duplicate
+    pairs at sf0.01, every one a conflicting-payload conflict — exactly
+    the fault class this audit exists to surface before the corpus
+    operators run). One hash-aggregate; the 8-byte NULL-disambiguated
+    digest is the only thing shuffled besides the key."""
+    return key_uniqueness_report(
+        load(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])

@@ -28,7 +28,9 @@ PRECONDITION (whole module, and the similarity/kNN family): doc_id is a
 unique document identity. Digests (shingle sets, signatures, span
 hashes) are computed PER ROW, so a duplicated doc_id carrying two
 different texts makes every doc_id-keyed result ambiguous. Violations
-are an upstream data fault — detect with audit.key_uniqueness_report or
+are an upstream data fault — detect with audit.key_uniqueness_report
+(registered as the `key_uniqueness_report` query, which runs this gate
+over lineitem's composite PK — the one the driver generator violates) or
 heal with dedup_exact/keep-first BEFORE these operators (PK-violation
 axis, tests/test_adversarial.py axis 9).
 """

@@ -115,68 +115,71 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 5 rotation: positions 1-11 are exactly the registered names
-    # with no CORRECTNESS row in r01∪r02∪r03∪r04 (the round-4 additions
-    # plus the two rows-only BPE queries displaced past the r4 cap).
-    # With these 11 recorded, driver coverage reaches 161/161.
-    # tests/test_registry.py asserts the front-50 contains every
-    # uncovered name, so the rotation can't silently go stale.
-    "dup_span_report",
-    "dup_span_trim",
-    "temperature_resample_docs",
-    "dedup_cluster_size_histogram",
-    "context_windows_report",
-    "lang_confusion_report",
-    "curation_attrition_report",
+    # Round 6 rotation (VERDICT r5 #1): coverage is complete except the
+    # round's single registration, so the front-50 is a pure regression
+    # re-record of the most drift-prone names. Position 1 is the only
+    # uncovered query (key_uniqueness_report, registered this round —
+    # tests/test_registry.py enforces its presence); positions 2-16 are
+    # the 15 rows-only queries, so the driver refreshes their row counts
+    # EVERY round; then the 7 ground-truth twins with their registered
+    # scale paths, the 3 streaming-convergence hooks, the exact-quantile
+    # and SCD2/as-of/sessionize family, the flagship, and the
+    # dedup/decontamination/curation core.
+    "key_uniqueness_report",
+    # rows-only family (15) — re-recorded every round by design.
     "quantity_quantiles_by_flag_approx",
-    "trending_topk_stream_convergence",
     "bpe_merge_table",
     "bpe_token_stats",
-    # Positions 12-50: already-covered queries whose re-verification is
-    # most valuable — scale-sensitive algorithms (exact quantiles, rank
-    # arithmetic, streaming-sink convergence, skew handling), the
-    # flagship, and the queries whose semantics were touched by round-4
-    # or round-5 hardening. The driver re-records hash rows for these,
-    # giving regression signal on the code most likely to drift.
-    "price_quantiles",
-    "quantity_quantiles_by_flag",
-    "scd2_stream_convergence",
-    "rollup_stream_convergence",
-    "scd2_user_state_intervals",
-    "snapshot_diff_orders",
+    "approx_distinct_count",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "decontaminate_lsh",
+    "ann_lsh_topk",
+    "ivf_topk",
+    "embedding_kmeans",
+    "semdedup_candidates",
+    "pq_topk",
+    "ivf_pq_topk",
+    "price_quantiles_approx",
+    "sketch_distinct_users_by_type",
+    # ground-truth twins (7) + their non-rows-only scale paths (3).
+    "ngram_jaccard_topk",
+    "ngram_jaccard_threshold",
+    "ngram_jaccard_threshold_prefix",
+    "embedding_neardup_topk",
     "cogroup_conversion_lag",
     "conversion_lag_native",
+    "price_quantiles",
+    "quantity_quantiles_by_flag",
+    "vocab_typo_pairs",
+    "vocab_typo_pairs_symspell",
+    # streaming-convergence hooks (3).
+    "scd2_stream_convergence",
+    "rollup_stream_convergence",
+    "trending_topk_stream_convergence",
+    # exact-quantile / temporal-state family.
+    "scd2_user_state_intervals",
     "asof_join_latest_click",
     "range_join_click_count",
-    "range_position",
-    "salted_join_segment_revenue",
-    "salted_grouped_stats",
+    "sessionize_events",
+    "customer_value_deciles",
+    "snapshot_diff_orders",
+    "value_outliers_by_type",
+    # flagship + dedup/decontamination/curation core + skew paths.
+    "flagship_grouped_agg",
     "dedup_exact",
     "dedup_clusters",
     "dedup_clusters_twostar",
     "dedup_keep_best",
-    "ngram_jaccard_threshold_prefix",
+    "dedup_cluster_size_histogram",
+    "dup_span_report",
+    "dup_span_trim",
     "decontaminate_exact",
     "decontaminate_ngram_hit",
     "corpus_curation_full",
-    "sessionize_events",
-    "flagship_grouped_agg",
-    "gopher_quality_flags",
-    "unigram_logprob_score",
-    "quality_mixture_sample",
-    "pii_redaction",
-    "vocabulary_build",
-    "encode_docs_to_ids",
-    "pack_sequences",
-    "tfidf_top_terms",
-    "boilerplate_ngrams",
-    "ngram_novelty_report",
-    "weighted_sample_docs",
-    "customer_value_deciles",
-    "daily_event_gapfill",
-    "table_profile_orders",
-    "value_outliers_by_type",
-    "media_dedup_hash",
+    "curation_attrition_report",
+    "salted_join_segment_revenue",
+    "salted_grouped_stats",
 )
 
 

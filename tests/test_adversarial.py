@@ -951,6 +951,28 @@ def test_pk_violations_are_detectable(spark, pk_dir):
         load(spark, pk_dir, "supplier"), ["s_suppkey"]).count() == 0
 
 
+def test_key_uniqueness_digest_is_null_position_safe(spark):
+    """The payload digest must NOT alias rows whose NULLs sit in
+    different columns: Spark's hash expressions skip null inputs, so a
+    raw xxhash64(c1, c2) maps (k,'a',NULL) and (k,NULL,'a') to the SAME
+    hash and a conflicting-payload violation would be misreported as
+    benign re-delivery (n_distinct_payloads=1) — ADVICE r5. The
+    NULL-disambiguated encoding keeps them distinct, while an exact
+    re-delivered pair (including its NULLs) still counts as one
+    payload."""
+    from data_pipelines_course_spark.operators.audit import (
+        key_uniqueness_report)
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, None, "a"),     # NULL-position conflict
+         (2, "x", None), (2, "x", None),     # exact re-delivery w/ NULL
+         (3, "y", "z")],                     # clean key
+        "k int, c1 string, c2 string")
+    got = {r["k"]: (r["n_rows"], r["n_distinct_payloads"])
+           for r in key_uniqueness_report(df, ["k"]).collect()}
+    assert got == {1: (2, 2), 2: (2, 1)}
+
+
 # ---------------------------------------------------------------------------
 # Axis 10 (r5): numeric extremes. NaN, +-Inf, -0.0, 1e150, the smallest
 # subnormal (5e-324) and true NULLs (pyarrow-written so NaN and NULL stay
