@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .schemas import TABLE_NAMES, TESTDATA_SCHEMAS
 from .session import configure
+from .memo import evict_stale
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -80,6 +81,7 @@ def cache_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = _cache_key(spark, sf_dir, name)
     with _CACHE_LOCK:
         if key not in _CACHED:
+            evict_stale(_CACHED, key[0])
             _CACHED[key] = load(spark, sf_dir, name).cache()
         return _CACHED[key]
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..datasets import load
 from ..queries import query
 from .dedup import _DUCK_SHINGLES, _DUCK_WORDS, JACCARD_T
+from ..memo import evict_stale
 
 
 def connected_components(edges: DataFrame, src: str, dst: str,
@@ -96,7 +97,10 @@ def connected_components(edges: DataFrame, src: str, dst: str,
 
 
 # Session-scoped memo for the converged cluster frame (checkpoint-backed;
-# keyed by applicationId so a new session naturally evicts).
+# keyed by applicationId; stale-session entries are swept on every miss
+# via memo.evict_stale — the appId key alone would only ORPHAN them,
+# ADVICE r5). Within a session the memo assumes sf_dir's parquet is an
+# immutable snapshot (see memo.py).
 _CLUSTER_MEMO: dict[tuple, DataFrame] = {}
 
 
@@ -159,6 +163,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CLUSTER_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    evict_stale(_CLUSTER_MEMO, memo_key[0])
     pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
     result = connected_components(pairs, "doc1", "doc2")
     _CLUSTER_MEMO[memo_key] = result
@@ -322,6 +327,7 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CLUSTER_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    evict_stale(_CLUSTER_MEMO, memo_key[0])
     pairs = ngram_jaccard_threshold(spark, sf_dir).select("doc1", "doc2")
     result = connected_components_twostar(pairs, "doc1", "doc2")
     _CLUSTER_MEMO[memo_key] = result

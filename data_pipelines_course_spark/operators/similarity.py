@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import query
+from ..memo import evict_stale
 
 QUERY_VEC_ID = 0  # fixed probe vector for the deterministic top-k queries
 TOP_K = 10
@@ -461,7 +462,14 @@ def _best_cell(cents: list[list[float]]) -> Column:
     return F.element_at(F.sort_array(scores, asc=False), 1)
 
 
-# Session-scoped training memos (deterministic, KB-sized driver objects).
+# Session-scoped training memos (deterministic, KB-sized driver
+# objects; stale-session entries swept on miss via memo.evict_stale —
+# see memo.py). Unlocked BY CHOICE: a first-construction race between
+# threads double-computes the same deterministic result and the last
+# write wins — tolerated because every value is pure-function-of-inputs
+# (result equality under a real race is pinned by
+# tests/test_concurrency.py); a lock would serialize all first calls
+# behind a multi-second training job.
 _TRAIN_MEMO: dict[tuple, tuple] = {}
 
 
@@ -489,6 +497,7 @@ def kmeans_train(
     hit = _TRAIN_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    evict_stale(_TRAIN_MEMO, memo_key[0])
     base = _normalized(load(spark, sf_dir, "embeddings")).select("vec_id", "nv")
     base = base.persist()
     try:
@@ -655,6 +664,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str
     hit = _TRAIN_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    evict_stale(_TRAIN_MEMO, memo_key[0])
     import numpy as np
 
     emb = _normalized(load(spark, sf_dir, "embeddings"))

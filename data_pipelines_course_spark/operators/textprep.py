@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..datasets import load
 from ..functions.scalar import fround, fround_sql
 from ..queries import query
+from ..memo import evict_stale
 
 # Patterns are deliberately written in the common subset of Java regex
 # (Spark) and RE2 (DuckDB): character classes, \b, {m,}, alternation —
@@ -342,7 +343,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 20  # merge rounds to train (toy scale; the loop is the point)
 
 # Session-scoped memo for trained merge lists (KB-sized driver state;
-# keyed by applicationId so a new session naturally evicts).
+# keyed by applicationId; stale-session entries swept on miss via
+# memo.evict_stale — see memo.py for the hygiene + snapshot caveat).
 _BPE_MEMO: dict[tuple, list[tuple[str, str]]] = {}
 
 
@@ -387,6 +389,7 @@ def bpe_train(spark: SparkSession, sf_dir: str,
     hit = _BPE_MEMO.get(memo_key)
     if hit is not None:
         return hit
+    evict_stale(_BPE_MEMO, memo_key[0])
     docs = load(spark, sf_dir, "documents")
     vocab = (docs.select(F.explode(
                  F.split(F.trim(F.lower(F.col("text"))), r"\s+"))

@@ -156,27 +156,41 @@ def compact_parquet(spark, path: str, target_file_mb: int = 128) -> int:
     # duplication (review r4). Partitioned tables compact to one file
     # per partition (repartition on the partition keys); flat tables
     # coalesce toward the target split size as before.
-    # Collect ALL partition levels by walking the first k=v directory
-    # chain, not just the top level: a multi-level layout (e.g.
+    # Collect ALL partition levels by walking EVERY k=v branch, not just
+    # the first child at each depth: a multi-level layout (e.g.
     # write_training_shards' source=/bin=) compacted with only the first
     # key would demote the inner keys to data columns — recreating the
     # conflicting-layout/replay hazard this rewrite exists to prevent
-    # (ADVICE r4). Hive layouts carry exactly one key per level;
-    # mixed keys at one level are malformed, so fail loudly.
+    # (ADVICE r4). And the first branch alone is not a safe witness for
+    # its siblings (ADVICE r5): if that branch is shallower than the
+    # others (partially deleted or empty partition), deeper keys would
+    # be missed and silently demoted on rewrite. Breadth-first across
+    # all branches: every level must carry exactly one key, present in
+    # either ALL branches or NONE — mixed keys or ragged depth are
+    # malformed layouts, so fail loudly instead of guessing.
     pcols: list[str] = []
-    cur = jvm_path
+    level = [jvm_path]
     while True:
-        kvdirs = [st.getPath() for st in fs.listStatus(cur)
-                  if st.isDirectory() and "=" in st.getPath().getName()]
+        per_dir = [[st.getPath() for st in fs.listStatus(d)
+                    if st.isDirectory() and "=" in st.getPath().getName()]
+                   for d in level]
+        kvdirs = [p for dirs in per_dir for p in dirs]
         if not kvdirs:
             break
+        ragged = [str(d) for d, dirs in zip(level, per_dir) if not dirs]
+        if ragged:
+            raise IOError(
+                "compact_parquet: ragged partition depth — key "
+                f"'{kvdirs[0].getName().split('=', 1)[0]}' present under "
+                f"some sibling branches but absent under {ragged[:3]} — "
+                "refusing to guess a layout")
         keys = {p.getName().split("=", 1)[0] for p in kvdirs}
         if len(keys) != 1:
             raise IOError(
                 f"compact_parquet: mixed partition keys {sorted(keys)} at "
-                f"one level under {cur} — refusing to guess a layout")
+                f"one level under {path} — refusing to guess a layout")
         pcols.append(keys.pop())
-        cur = kvdirs[0]
+        level = kvdirs
     if pcols:
         (df.repartition(*[F.col(c) for c in pcols])
          .write.mode("overwrite").partitionBy(*pcols).parquet(tmp_s))

@@ -497,14 +497,22 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
     pruning instead of a full-log scan."""
     from ..operators.temporal import scd2_intervals
 
-    # NULL user_ids bucket to the sentinel -1 (one shared expression for
+    # NULL user_ids bucket to the sentinel N (one shared expression for
     # probe, log filter and dim build): `user_id % N` is NULL for them,
     # which crashed the touched-bucket collect (int(None)) and could
     # never match an isin() filter — a CDC batch containing one NULL key
     # would otherwise kill the sink (streaming review, r5). CDC feeds DO
     # deliver NULL keys (broken-RI axis), and their history belongs in
-    # the dimension's NULL-key group, not in a crash.
-    bucket_of = F.coalesce(F.col("user_id") % buckets, F.lit(-1))
+    # the dimension's NULL-key group, not in a crash. pmod (not %) with
+    # sentinel N, not -1: Spark's % keeps the dividend's sign, so a
+    # negative-key corpus would spread across buckets -1..-(N-1) and
+    # user_id ≡ -1 (mod N) would ALIAS the -1 sentinel — whole-bucket
+    # recompute kept that correct, but the NULL group wasn't the
+    # disjoint partition the layout claims (ADVICE r5). With pmod, real
+    # keys of either sign occupy 0..N-1 and the sentinel N is provably
+    # theirs alone.
+    bucket_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(buckets)),
+                           F.lit(buckets))
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -47,3 +47,29 @@ def test_events_nanos_bigint_branch(spark, tmp_path):
     assert dict(df.dtypes)["ts"] == "timestamp"
     got = df.select(F.unix_micros("ts").alias("us")).first()["us"]
     assert got == nanos // 1000  # exact µs, no float rounding
+
+
+def test_memo_eviction_drops_stale_session_entries(spark):
+    """The appId-keyed memos must SWEEP dead-session entries on a miss,
+    not just skip them (ADVICE r5): a long-lived process cycling
+    SparkSessions would otherwise accumulate DataFrames bound to stopped
+    SparkContexts. Simulated with planted foreign-appId entries — the
+    next miss removes them while live-session entries survive."""
+    from data_pipelines_course_spark.memo import evict_stale
+    from data_pipelines_course_spark import datasets as D
+    from tests.conftest import SF_DIR as sf_dir
+
+    # Unit semantics: only foreign appIds are dropped.
+    memo = {("dead-app", "x"): 1, ("live-app", "y"): 2}
+    evict_stale(memo, "live-app")
+    assert memo == {("live-app", "y"): 2}
+
+    # Integration: cache_table's miss path sweeps the planted orphan.
+    app = spark.sparkContext.applicationId
+    with D._CACHE_LOCK:
+        D._CACHED[("application_0000_dead", sf_dir, "region")] = object()
+    D.cache_table(spark, sf_dir, "nation")
+    with D._CACHE_LOCK:
+        assert ("application_0000_dead", sf_dir, "region") not in D._CACHED
+        assert (app, sf_dir, "nation") in D._CACHED
+    D.uncache_table(spark, sf_dir, "nation")

@@ -339,3 +339,37 @@ def test_compact_parquet_multilevel_partitions(spark, tmp_path):
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("source", "bin").parquet(path))
     assert spark.read.parquet(path).count() == 2400
+
+
+def test_compact_parquet_shallow_first_branch_fails_loudly(spark, tmp_path):
+    """The layout walk must not trust the FIRST k=v branch as a witness
+    for its siblings (ADVICE r5): with bin= partially deleted under the
+    lexically-first source=, a first-branch-only walk would miss the
+    'bin' level entirely and silently demote it to a data column on
+    rewrite — the exact conflicting-layout hazard compaction exists to
+    prevent. Ragged depth is a malformed layout: refuse loudly, leave
+    the table untouched."""
+    import glob
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipelines_course_spark.sinks.writers import compact_parquet
+
+    path = str(tmp_path / "ragged")
+    df = spark.range(600).select(
+        F.col("id"),
+        (F.col("id") % 2).cast("string").alias("source"),
+        (F.col("id") % 3).alias("bin"))
+    (df.repartition(4).write.partitionBy("source", "bin")
+     .mode("overwrite").parquet(path))
+    # Hollow out the first branch: source=0 loses all its bin= children.
+    for d in glob.glob(f"{path}/source=0/bin=*"):
+        shutil.rmtree(d)
+    before = sorted(glob.glob(f"{path}/source=*/bin=*/part-*.parquet"))
+    with pytest.raises(IOError, match="ragged partition depth"):
+        compact_parquet(spark, path, target_file_mb=128)
+    # untouched: no swap happened, surviving leaves identical
+    assert sorted(glob.glob(
+        f"{path}/source=*/bin=*/part-*.parquet")) == before

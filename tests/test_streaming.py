@@ -770,9 +770,11 @@ def test_scd2_maintenance_null_user_keys(spark, tmp_path):
     """A CDC batch with NULL user_ids must not kill the sink: `user_id %
     N` is NULL for them, which crashed the touched-bucket collect
     (int(None)) and could never match the isin() log filter (streaming
-    review, r5). NULL-key history lands in the sentinel bucket -1 with
-    correct SCD2 runs, non-NULL users are unaffected, and a replayed
-    batch leaves the dimension identical."""
+    review, r5). NULL-key history lands in the DISJOINT sentinel bucket
+    N (pmod keeps real keys of either sign in 0..N-1; the old -1
+    sentinel aliased user_id ≡ -1 (mod N) — ADVICE r5) with correct
+    SCD2 runs, non-NULL users — including NEGATIVE ids — are
+    unaffected, and a replayed batch leaves the dimension identical."""
     import pandas as pd
 
     dim = str(tmp_path / "scd2_dim")
@@ -785,9 +787,11 @@ def test_scd2_maintenance_null_user_keys(spark, tmp_path):
             "ts": pd.to_datetime(days),
             "event_type": types}))
 
-    sink(batch([1, 2, None], [1, 2, 3],
-               ["2024-01-01", "2024-01-02", "2024-01-03"],
-               ["view", "click", "view"]), 0)
+    # user -1 is the adversarial key: -1 % 16 = -1 in Spark's sign-
+    # preserving %, which would land it IN the old NULL sentinel bucket.
+    sink(batch([1, 2, None, -1], [1, 2, 3, 6],
+               ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-01"],
+               ["view", "click", "view", "signup"]), 0)
     b1 = batch([None, 1], [4, 5], ["2024-01-04", "2024-01-05"],
                ["click", "view"])
     sink(b1, 1)
@@ -799,10 +803,15 @@ def test_scd2_maintenance_null_user_keys(spark, tmp_path):
     out = spark.read.parquet(dim).toPandas()
     null_runs = out[out["user_id"].isna()].sort_values("run_seq")
     assert list(null_runs["state"]) == ["view", "click"]
-    assert set(null_runs["bucket"]) == {-1}
+    assert set(null_runs["bucket"]) == {16}  # sentinel N, disjoint
     assert list(null_runs["is_current"]) == [False, True]
     u1 = out[out["user_id"] == 1]
     assert len(u1) == 1 and int(u1.iloc[0]["n_events"]) == 2
+    # Negative key: pmod puts -1 in bucket 15, NOT the sentinel, and its
+    # history is its own run — never merged with the NULL-key group.
+    um1 = out[out["user_id"] == -1]
+    assert len(um1) == 1 and set(um1["bucket"]) == {15}
+    assert um1.iloc[0]["state"] == "signup"
 
 
 def test_dedup_index_flags_near_copies_on_arrival(spark, tmp_path):
