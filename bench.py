@@ -188,6 +188,12 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "sf": sf,
+        # Protocol self-description (VERDICT r5 #7): warm number = min of
+        # `reps` re-runs of the constructed frame; one-time work carried
+        # by cold. `staging` is the digest-materialization mode in force
+        # (staging.py) so cross-round artifacts are comparable.
+        "reps": warm_reps,
+        "staging": os.environ.get("SPARK_GRAFT_STAGING", "checkpoint"),
     })
     print(headline_payload, flush=True)
 

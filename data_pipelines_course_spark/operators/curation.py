@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import ORACLES, query
+from ..staging import stage
 from .dedup import _DUCK_GRAMS5, _DUCK_WORDS, _NGRAM_N
 from .sampling import _bucket_sql, hash_bucket
 from .textops import STOP_DE, STOP_EN, STOP_FR, _duck_hits, _spark_hits
@@ -333,7 +334,7 @@ def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.size("w") >= _NGRAM_N)
           .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram"))
           .select("doc_id", F.xxhash64("gram").alias("gh"))
-          .localCheckpoint(eager=False))
+          .transform(stage))
     bench_g = gh.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     contaminated = (gh.filter(F.col("doc_id") % 10 != 0)
                     .join(F.broadcast(bench_g), "gh")
@@ -420,7 +421,7 @@ def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.expr(_spark_hits(STOP_EN))
     kept_small = (cand.filter((n_tokens >= _MIN_TOKENS) & (stop_hits > 0))
                   .select("doc_id", F.md5("text").alias("h"), "source")
-                  .localCheckpoint(eager=False))
+                  .transform(stage))
     reps = (kept_small.groupBy("h")
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
@@ -430,7 +431,7 @@ def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.size("w") >= _NGRAM_N)
           .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram"))
           .select("doc_id", F.xxhash64("gram").alias("gh"))
-          .localCheckpoint(eager=False))
+          .transform(stage))
     bench_g = (gh.filter(F.col("doc_id") % 10 == 0)
                .select("gh").distinct())
     contaminated = (gh.filter(F.col("doc_id") % 10 != 0)

@@ -24,6 +24,21 @@ No SQL oracle for the LSH/SimHash paths (hash-permutation semantics are
 not expressible in DuckDB's function set); they get rows-only driver
 checks plus pytest ground-truth tests against planted duplicates.
 
+DIGEST STAGING / cluster resilience (VERDICT r5 #3): every multiply-
+consumed digest table in this module (shingle hashes, signatures,
+simhash chunks — 9 sites) is materialized through ``staging.stage()``,
+because exchange reuse does not fire across a BroadcastExchange
+boundary and each consumer would otherwise re-run the digest pipeline.
+The default strategy is ``localCheckpoint(eager=False)`` — fastest, but
+it stores blocks on executors WITHOUT lineage fallback: on a real
+cluster, losing ONE executor (spot kill, dynamic-allocation idle reap)
+makes the checkpointed partitions unrecoverable and fails the job. Set
+``SPARK_GRAFT_STAGING=persist`` on preemptible/dynamic clusters —
+MEMORY_AND_DISK keeps lineage, so lost blocks recompute instead of
+failing; values are identical in every mode (full-registry driver_sim
+sweep under persist, NOTES_r06). See ``staging.py`` for the full
+trade-off matrix, including ``none`` for plan audits.
+
 PRECONDITION (whole module, and the similarity/kNN family): doc_id is a
 unique document identity. Digests (shingle sets, signatures, span
 hashes) are computed PER ROW, so a duplicated doc_id carrying two
@@ -42,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import query
+from ..staging import stage
 
 
 def _fanout(df: DataFrame, *cols: str) -> DataFrame:
@@ -191,7 +207,7 @@ def _pair_jaccard(docs: DataFrame) -> DataFrame:
     reuse does not fire across a BroadcastExchange boundary. Measured
     1.41 s -> 0.90 s warm at sf0.1 (rebuilt-frame protocol); values
     unchanged (the checkpoint is pure materialization)."""
-    sh = _fanout(sized_shingle_hashes(docs), "h").localCheckpoint(eager=False)
+    sh = _fanout(sized_shingle_hashes(docs), "h").transform(stage)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.h") == F.col("b.h"))
@@ -325,7 +341,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+minhash pipeline ran up to twice more. (doc_id, sig) is
     # ~260 B/doc of digests — the digest-checkpoint idiom. Measured
     # 1.46 s -> 0.93 s warm at sf0.1 (rebuilt-frame protocol).
-    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    sigs = minhash_signatures(docs).transform(stage)
     # Slim band table: doc_id + band key ONLY. Carrying the 32-long sig
     # through the 8× band explosion and the candidate join would multiply
     # shuffle volume by ~2 KB/doc; instead signatures are re-attached per
@@ -442,7 +458,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The table is 4 rows/doc x ~24 B of (doc_id, simhash, chunk, ckey)
     # digests — the attrition-report digest-checkpoint idiom. Measured
     # 1.44 s -> 0.68 s warm at sf0.1.
-    chunks = chunks.localCheckpoint(eager=False)
+    chunks = chunks.transform(stage)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
@@ -565,7 +581,7 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
     # without materialization the shingle pipeline re-ran per consumer
     # (broadcast boundaries defeat exchange reuse). Measured
     # 3.85 s -> 2.33 s warm at sf0.1, values unchanged.
-    sh = _fanout(sized_shingle_hashes(docs), "h").localCheckpoint(eager=False)
+    sh = _fanout(sized_shingle_hashes(docs), "h").transform(stage)
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("freq"))
     plen = (F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n"))
             + F.lit(1)).cast("int")
@@ -580,7 +596,7 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
                    .alias("arr"),
                    F.transform(F.slice("by_freq", F.lit(1), plen),
                                lambda x: x["h"]).alias("pref"))
-               .localCheckpoint(eager=False))
+               .transform(stage))
     prefix = _fanout(
         docsets.select("doc_id", F.explode("pref").alias("h")), "h")
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -735,8 +751,8 @@ def decontaminate_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Each signature table feeds its band explode AND a per-pair
     # re-attach join — checkpoint once, same rationale (and measured
     # shape) as minhash_lsh_pairs.
-    tsig = minhash_signatures(train).localCheckpoint(eager=False)
-    bsig = minhash_signatures(bench).localCheckpoint(eager=False)
+    tsig = minhash_signatures(train).transform(stage)
+    bsig = minhash_signatures(bench).transform(stage)
     cand = (_fanout(bands_of(tsig, "train_id"), "band", "band_hash")
             .join(F.broadcast(bands_of(bsig, "bench_id")),
                   ["band", "band_hash"])
@@ -840,7 +856,7 @@ def decontaminate_ngram_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.size("w") >= _NGRAM_N)
           .select("doc_id", F.explode(F.expr(_GRAMS5_OF_W)).alias("gram"))
           .select("doc_id", F.xxhash64("gram").alias("gh"))
-          .localCheckpoint(eager=False))
+          .transform(stage))
     bench = gh.filter(F.col("doc_id") % 10 == 0).select("gh").distinct()
     train = gh.filter(F.col("doc_id") % 10 != 0)
     return (train.join(F.broadcast(bench), "gh")
@@ -899,7 +915,7 @@ def _span_frames(docs: DataFrame):
     Measured 1.33 -> 1.06 s warm for trim at sf0.1."""
     base = (_widen(docs)
             .select("doc_id", F.expr(_WORDS).alias("w"))
-            .localCheckpoint(eager=False))
+            .transform(stage))
     wins = (base.filter(F.size("w") >= _SPAN_W)
             .select("doc_id", F.explode(F.expr(_SPAN_WINS_OF_W)).alias("x"))
             .select("doc_id", F.col("x.pos").alias("pos"),

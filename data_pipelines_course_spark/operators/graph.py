@@ -19,6 +19,19 @@ round so plan depth stays constant instead of growing per iteration (at
 iteration k an un-checkpointed plan replays all k-1 prior joins). The
 driver-side `.count()` per round is a scalar convergence probe, not a
 data collect.
+
+These loop checkpoints are deliberately NOT routed through the
+env-gated `staging.stage()` (VERDICT r5 #3): the loops NEED lineage
+truncation — under persist the plan would deepen every round and the
+fixpoint's analysis cost would explode. The executor-loss exposure is
+therefore accepted here and bounded: each round's state is a K-row
+label table, so a lost localCheckpoint block fails only the in-flight
+build, which restarts from the (cheap) edge list — not a 100 TB rescan.
+On dynamically-allocated clusters, keep executors holding loop state
+alive across rounds (`spark.dynamicAllocation.cachedExecutorIdleTimeout`
+above the loop's wall-clock) or disable dynamic allocation for the CC
+job; the converged RESULT is then memoized (below) so the loop runs
+once per session.
 """
 
 from __future__ import annotations

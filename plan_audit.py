@@ -8,10 +8,16 @@ broadcast, Python leaking into a hot path) show up in review diffs, not
 just in wall-clock drift.
 
 Usage: python plan_audit.py [sf_dir] > PLAN_AUDIT_rNN.md
+       python plan_audit.py --staging=none [sf_dir]
+           # audit the PRE-staging plan shapes: the digest families'
+           # full lineage (tokenize/signature scans included) instead of
+           # the post-localCheckpoint stub — VERDICT r5 #5. `--staging=`
+           # accepts any staging.stage() mode (checkpoint|persist|none).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 from data_pipelines_course_spark.plans import analysis as pa
@@ -20,7 +26,15 @@ from data_pipelines_course_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    for a in list(args):
+        if a.startswith("--staging="):
+            # Must be set BEFORE query construction: stage() reads the
+            # env at call time, so 'none' rebuilds every digest family
+            # query with its full recomputable lineage in the main plan.
+            os.environ["SPARK_GRAFT_STAGING"] = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries, oracles = all_queries(), all_oracles()
@@ -43,7 +57,11 @@ def main() -> None:
           "three `*_stream_convergence` hooks (they drive a maintenance "
           "sink over micro-batches plus a replay, then return the "
           "collected summary/serving table) — their 0-exchange rows are "
-          "the nature of an eager result, not a free plan. Additionally (r5), the LSH/Jaccard family stages its digest tables through LAZY localCheckpoints (signature/shingle/chunk pipelines materialized once instead of once per join side), so their rows describe the plan DOWNSTREAM of the checkpoint: the tokenize/signature scans live in the checkpoint lineage, executed on first action but invisible to this static audit — a low exch/scan-cols row there is shared materialization, not a free query (PLAN_AUDIT_r04 shows the pre-checkpoint shapes).\n")
+          "the nature of an eager result, not a free plan. Additionally (r5), the LSH/Jaccard family stages its digest tables through the env-gated staging.stage() gate (default: lazy localCheckpoint — signature/shingle/chunk pipelines materialized once instead of once per join side), so under the default their rows describe the plan DOWNSTREAM of the checkpoint: the tokenize/signature scans live in the checkpoint lineage, executed on first action but invisible to this static audit — a low exch/scan-cols row there is shared materialization, not a free query. Re-run `python plan_audit.py --staging=none` to regenerate the PRE-staging shapes (full digest lineage in the main plan) on demand — r6, replacing the one-shot PLAN_AUDIT_r04 reference.\n")
+    mode = os.environ.get("SPARK_GRAFT_STAGING", "checkpoint")
+    print(f"Staging mode for this audit: `{mode}`"
+          + (" (pre-staging full-lineage shapes)" if mode == "none" else "")
+          + "\n")
     print("| query | exch | scan-cols | joins | py | oracle |")
     print("|---|---|---|---|---|---|")
     for name in sorted(queries):

@@ -1,0 +1,66 @@
+"""Digest-staging gate (VERDICT r5 #3): the SPARK_GRAFT_STAGING env var
+selects how multiply-consumed digest tables materialize (localCheckpoint
+| persist | none). Values must be identical in every mode — the mode is
+purely an execution-resilience choice (localCheckpoint blocks have no
+lineage fallback on executor loss; persist recomputes; none re-derives).
+The round's full-registry proof is driver_sim under persist; these tests
+pin the contract in-suite on representative queries from each staged
+family (shingle, signature, simhash-chunk, curation digests)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipelines_course_spark.queries import all_queries, load_registry
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(map(repr, (tuple(r[c] for c in cols)
+                             for r in df.collect())))
+
+
+@pytest.mark.parametrize("name", [
+    "ngram_jaccard_threshold_prefix",   # staged shingle digest, 2 consumers
+    "minhash_lsh_pairs",                # staged signature table
+    "simhash_pairs",                    # staged chunk table
+    "decontaminate_lsh",                # two staged signature tables
+    "curation_attrition_report",        # staged survivor/5-gram digests
+])
+def test_staging_modes_are_value_neutral(spark, monkeypatch, name):
+    load_registry()
+    fn = all_queries()[name]
+    got = {}
+    for mode in ("checkpoint", "persist", "none"):
+        monkeypatch.setenv("SPARK_GRAFT_STAGING", mode)
+        got[mode] = _rows(fn(spark, SF_DIR))
+    assert got["checkpoint"] == got["persist"] == got["none"]
+    assert got["checkpoint"]  # non-degenerate: the query returns rows
+
+
+def test_unknown_staging_mode_fails_loudly(spark, monkeypatch):
+    from data_pipelines_course_spark.staging import stage
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "replicate")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_STAGING"):
+        stage(spark.range(3).toDF("id"))
+
+
+def test_persist_mode_retains_lineage(spark, monkeypatch):
+    """persist mode must keep the recomputable lineage (the whole point:
+    executor loss degrades to recompute, not job failure) while
+    checkpoint mode truncates it to an RDD scan."""
+    from data_pipelines_course_spark.staging import stage
+
+    base = spark.range(100).toDF("id").selectExpr("id", "id * 2 AS v")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "persist")
+    p = stage(base)
+    assert p.storageLevel.useDisk  # MEMORY_AND_DISK
+    plan = p._jdf.queryExecution().analyzed().toString()
+    assert "Range" in plan  # source still in lineage
+    p.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "checkpoint")
+    c = stage(base)
+    plan = c._jdf.queryExecution().analyzed().toString()
+    assert "Range" not in plan  # lineage truncated (LogicalRDD)
