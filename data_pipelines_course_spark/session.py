@@ -27,6 +27,9 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones, demote SMJ->BHJ when a side turns out small. Essential at 100 TB.
+    # Env-gated (SPARK_GRAFT_AQE, default on) so the driver_sim invariance
+    # sweep can prove correctness never DEPENDS on a runtime re-plan —
+    # AQE must only ever change the physical strategy, never a value.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -45,13 +48,25 @@ _RUNTIME_CONF: dict[str, str] = {
 }
 
 
+def _runtime_conf() -> dict[str, str]:
+    """The conf set with env overrides applied (read at call time, so a
+    fresh process — or a test via monkeypatch — flips knobs without code
+    change). Only AQE is overridable: every other entry is a correctness
+    requirement (TZ parity, nanos reader), not a strategy choice."""
+    conf = dict(_RUNTIME_CONF)
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "").lower()
+    if aqe in ("false", "0", "off"):
+        conf["spark.sql.adaptive.enabled"] = "false"
+    return conf
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime confs to an existing session (idempotent).
 
     Called at the top of every public query entry point so the driver's own
     SparkSession behaves identically to one built by :func:`get_spark`.
     """
-    for key, value in _RUNTIME_CONF.items():
+    for key, value in _runtime_conf().items():
         try:
             spark.conf.set(key, value)
         except Exception:
@@ -88,6 +103,6 @@ def get_spark(app_name: str = "data-pipelines-course-spark",
         # parsed JSON lines and the \r-rewritten bars corrupt tail capture.
         .config("spark.ui.showConsoleProgress", "false")
     )
-    for key, value in _RUNTIME_CONF.items():
+    for key, value in _runtime_conf().items():
         builder = builder.config(key, value)
     return configure(builder.getOrCreate())

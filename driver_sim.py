@@ -68,6 +68,10 @@ def main() -> int:
     # ANSI-mode default — a portability check across cluster configs.
     shuffle = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE", "32")
     ansi = os.environ.get("SPARK_GRAFT_SIM_ANSI", "")
+    # SPARK_GRAFT_AQE=false (consumed ENGINE-side, session._runtime_conf)
+    # sweeps with adaptive execution disabled: every skew split, partition
+    # coalesce, and SMJ->BHJ demotion the engine leans on is a runtime
+    # re-PLAN — values must be identical with the re-planner off.
     # SPARK_GRAFT_SIM_TZ=<zone> sweeps session-timezone portability:
     # both engines are pinned to the SAME zone (Spark session TZ +
     # DuckDB TimeZone), so any hash drift is a query depending on the

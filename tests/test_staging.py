@@ -64,3 +64,23 @@ def test_persist_mode_retains_lineage(spark, monkeypatch):
     c = stage(base)
     plan = c._jdf.queryExecution().analyzed().toString()
     assert "Range" not in plan  # lineage truncated (LogicalRDD)
+
+
+def test_aqe_env_gate_value_neutral(spark, monkeypatch):
+    """SPARK_GRAFT_AQE=false (session._runtime_conf) disables adaptive
+    execution engine-wide; the queries that lean hardest on runtime
+    re-planning (salted skew join, AQE-coalesced aggregates) must return
+    identical values — AQE may only change the physical strategy."""
+    from data_pipelines_course_spark.session import configure
+
+    name = "salted_join_segment_revenue"
+    load_registry()
+    fn = all_queries()[name]
+    base = _rows(fn(spark, SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_AQE", "false")
+    configure(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert _rows(fn(spark, SF_DIR)) == base
+    monkeypatch.delenv("SPARK_GRAFT_AQE")
+    configure(spark)  # restore for the rest of the session-scoped suite
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
