@@ -402,10 +402,10 @@ def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the quality gate — no raw text travels — feeds the n_quality
     count, the dedup groupBy, and the representative-source join;
     `gh` = (doc_id, xxhash64(gram)) after one explode feeds both the
-    bench gram set and the contamination probe. Both are LAZY
-    localCheckpoints (first consumer materializes; O(rows × ~50 B) of
-    digests on executor-local storage, the multimodal digests-only
-    idiom), so the corpus text is scanned once per branch and the
+    bench gram set and the contamination probe. Both are staged through
+    the env-gated ``staging.stage()`` (lazy — first consumer
+    materializes; O(rows × ~50 B) of digests, the multimodal
+    digests-only idiom), so the corpus text is scanned once per branch and the
     explode CPU is paid once. Measured honestly at sf0.1 the wall-clock
     is a wash (~1.9 s either shape — stage-scheduling overhead
     dominates 5k docs), but the corpus-scan count drops 6 → 3 and the

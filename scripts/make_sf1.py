@@ -52,6 +52,32 @@ def lineitem(con: duckdb.DuckDBPyConnection) -> None:
     """)
 
 
+def orders(con: duckdb.DuckDBPyConnection) -> None:
+    """o_orderkey shifted IDENTICALLY to lineitem's l_orderkey so every
+    order/lineitem join at sf1 preserves referential integrity; o_custkey
+    stays unshifted (each customer simply owns 10x orders — the realistic
+    scale-up direction, and the dimension tables stay verbatim)."""
+    cols = [r[0] for r in con.sql(
+        f"DESCRIBE SELECT * FROM '{SRC}/orders.parquet'").fetchall()]
+    rest = ", ".join(c for c in cols if c != "o_orderkey")
+    con.sql(f"""
+        COPY (SELECT o_orderkey + i * 10000000 AS o_orderkey, {rest}
+              FROM '{SRC}/orders.parquet', range({COPIES}) t(i)
+              ORDER BY i, o_orderkey)
+        TO '{OUT}/orders.parquet' (FORMAT parquet)
+    """)
+
+
+def dims_verbatim(con: duckdb.DuckDBPyConnection) -> None:
+    """region/nation/customer/supplier/part copy unchanged: lineitem's
+    l_partkey/l_suppkey and orders' o_custkey are unshifted, so the
+    verbatim dimensions keep every FK resolvable (fact tables grow 10x,
+    dimensions don't — exactly how a real decade of scale arrives)."""
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                f"TO '{OUT}/{t}.parquet' (FORMAT parquet)")
+
+
 def events(con: duckdb.DuckDBPyConnection) -> None:
     con.sql(f"""
         COPY (SELECT event_id + i * 100000000 AS event_id, ts,
@@ -119,10 +145,12 @@ def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     lineitem(con)
+    orders(con)
+    dims_verbatim(con)
     events(con)
     documents()
     embeddings()
-    for t in ("lineitem", "events", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         n = duckdb.sql(
             f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows", file=sys.stderr)
