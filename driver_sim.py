@@ -79,9 +79,16 @@ def main() -> int:
     # zone-less TIMESTAMP_NTZ; a portable engine hashes identically
     # under any session zone).
     tz = os.environ.get("SPARK_GRAFT_SIM_TZ", "")
+    # SPARK_GRAFT_SIM_DRIVER_MEM sizes the single local JVM for scale-up
+    # sweeps (the sf1 tier OOMs the 1g vanilla default). Machine sizing,
+    # not an engine conf — the driver's own gate at sf0.01 runs without
+    # it, so leaving it unset keeps the replay faithful.
+    mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM", "")
     builder = (SparkSession.builder.appName("driver-sim")
                .master(f"local[{cpus}]")
                .config("spark.sql.shuffle.partitions", shuffle))
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
     if ansi:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
     if tz:
