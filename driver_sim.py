@@ -90,11 +90,20 @@ def main() -> int:
     # not an engine conf — the driver's own gate at sf0.01 runs without
     # it, so leaving it unset keeps the replay faithful.
     mem = os.environ.get("SPARK_GRAFT_SIM_DRIVER_MEM", "")
+    # SPARK_GRAFT_SIM_EXTRA_CONF="k=v;k=v" — arbitrary session confs for
+    # one-off execution-structure axes (wholeStage codegen off, tiny
+    # maxPartitionBytes input splits, …). Applied at build time like the
+    # driver would; engine queries may still override what
+    # session.configure() owns (that override IS part of the contract).
+    extra = os.environ.get("SPARK_GRAFT_SIM_EXTRA_CONF", "")
     builder = (SparkSession.builder.appName("driver-sim")
                .master(f"local[{cpus}]")
                .config("spark.sql.shuffle.partitions", shuffle))
     if mem:
         builder = builder.config("spark.driver.memory", mem)
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if ansi:
         builder = builder.config("spark.sql.ansi.enabled", ansi)
     if tz:
