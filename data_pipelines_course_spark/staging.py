@@ -33,7 +33,14 @@ materialization strategy lives, selected by ``SPARK_GRAFT_STAGING``:
 
 The mode is read at query-CONSTRUCTION time, per call — a fresh process
 (driver, bench, audit) picks its strategy with one env var and no code
-change. The iterative driver loops (``operators/graph.py`` label
+change.
+
+Block lifecycle: repeated query constructions stage fresh tables, but
+neither mode leaks unboundedly — once a constructed frame becomes
+unreachable, Spark's ContextCleaner GC hook drops its checkpoint/cache
+blocks, and under memory pressure persist's MEMORY_AND_DISK evicts LRU
+(recomputing from lineage on re-read). The memoized consumers
+(graph/BPE/kmeans) hold exactly one referenced frame per (app, sf_dir). The iterative driver loops (``operators/graph.py`` label
 propagation, ``operators/textprep.py`` BPE training) are NOT routed
 through this gate: they need lineage TRUNCATION each round — under
 ``persist`` their plan would double every iteration and the fixpoint
