@@ -115,71 +115,66 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 6 rotation (VERDICT r5 #1): coverage is complete except the
-    # round's single registration, so the front-50 is a pure regression
-    # re-record of the most drift-prone names. Position 1 is the only
-    # uncovered query (key_uniqueness_report, registered this round —
-    # tests/test_registry.py enforces its presence); positions 2-16 are
-    # the 15 rows-only queries, so the driver refreshes their row counts
-    # EVERY round; then the 7 ground-truth twins with their registered
-    # scale paths, the 3 streaming-convergence hooks, the exact-quantile
-    # and SCD2/as-of/sessionize family, the flagship, and the
-    # dedup/decontamination/curation core.
-    "key_uniqueness_report",
-    # rows-only family (15) — re-recorded every round by design.
-    "quantity_quantiles_by_flag_approx",
-    "bpe_merge_table",
-    "bpe_token_stats",
-    "approx_distinct_count",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "decontaminate_lsh",
-    "ann_lsh_topk",
-    "ivf_topk",
-    "embedding_kmeans",
-    "semdedup_candidates",
-    "pq_topk",
-    "ivf_pq_topk",
-    "price_quantiles_approx",
-    "sketch_distinct_users_by_type",
-    # ground-truth twins (7) + their non-rows-only scale paths (3).
-    "ngram_jaccard_topk",
-    "ngram_jaccard_threshold",
-    "ngram_jaccard_threshold_prefix",
-    "embedding_neardup_topk",
-    "cogroup_conversion_lag",
-    "conversion_lag_native",
-    "price_quantiles",
-    "quantity_quantiles_by_flag",
-    "vocab_typo_pairs",
-    "vocab_typo_pairs_symspell",
-    # streaming-convergence hooks (3).
-    "scd2_stream_convergence",
-    "rollup_stream_convergence",
-    "trending_topk_stream_convergence",
-    # exact-quantile / temporal-state family.
-    "scd2_user_state_intervals",
-    "asof_join_latest_click",
-    "range_join_click_count",
-    "sessionize_events",
-    "customer_value_deciles",
-    "snapshot_diff_orders",
-    "value_outliers_by_type",
-    # flagship + dedup/decontamination/curation core + skew paths.
-    "flagship_grouped_agg",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "dedup_keep_best",
-    "dedup_cluster_size_histogram",
-    "dup_span_report",
-    "dup_span_trim",
-    "decontaminate_exact",
-    "decontaminate_ngram_hit",
-    "corpus_curation_full",
-    "curation_attrition_report",
-    "salted_join_segment_revenue",
-    "salted_grouped_stats",
+    # Round 7 rotation (VERDICT r6 #1): the rotation is now a STALENESS
+    # RATCHET. Coverage is complete (162/162 across six rounds), so each
+    # round fronts the 50 names whose most recent driver CORRECTNESS row
+    # is OLDEST — ranked by (latest round, name) — guaranteeing every
+    # query's driver row is refreshed on a ≤4-round cycle and no green
+    # cell can silently go stale. Freshness at r7 start: r2=44, r3=33,
+    # r4=17, r5=18, r6=50. This front-50 = all 44 r2 names + the 6
+    # alphabetically-first r3 names; tests/test_registry.py recomputes
+    # the ranking from the committed CORRECTNESS files and fails with a
+    # paste-ready tuple when the rotation goes stale.
+    "anti_join_stopwords",
+    "array_element_extract",
+    "array_mean",
+    "array_size",
+    "array_transform_norm",
+    "broadcast_join",
+    "case_when_bucket",
+    "cube_agg",
+    "derived_datetime_parts",
+    "distinct_count",
+    "doc_fingerprint",
+    "doc_length_stats",
+    "except_inactive_customers",
+    "explode_array_agg",
+    "filter_contains",
+    "filter_date_window",
+    "filter_equality",
+    "global_minmax",
+    "grouped_count",
+    "grouped_hour_sum",
+    "grouping_sets_agg",
+    "intersect_nation_keys",
+    "join_multiway_revenue",
+    "json_extract_props",
+    "json_group_by_key",
+    "lag_lead_delta",
+    "lang_id",
+    "literal_and_cast",
+    "moving_average",
+    "projection_pluck",
+    "rank_customers",
+    "rollup_agg",
+    "semi_join_active_customers",
+    "sort_by_computed",
+    "sql_region_revenue",
+    "tail_slice",
+    "text_quality",
+    "token_count",
+    "topk_words",
+    "union_all",
+    "value_counts",
+    "variant_props_extract",
+    "window_first_last_ratio",
+    "wordcount",
+    "contamination_report",
+    "corpus_curation",
+    "deterministic_sample_docs",
+    "dispersion_stats",
+    "duplicate_ratio_report",
+    "embedding_norm_stats",
 )
 
 

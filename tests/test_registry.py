@@ -19,46 +19,47 @@ from data_pipelines_course_spark import queries as Q
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _driver_covered() -> set[str]:
-    names: set[str] = set()
+def _driver_latest_round() -> dict[str, int]:
+    """name -> most recent round with a committed driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        names |= set(json.loads(f.read_text()).keys())
-    return names
+        rnd = int(f.stem.split("_r")[1])
+        for name in json.loads(f.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
-def test_driver_first_is_exactly_the_uncovered_set():
-    """DRIVER_FIRST must front-load precisely the registered queries that
-    have no CORRECTNESS row in any committed driver file yet. When the
-    next round's file lands and covers them, this test fails, forcing the
-    rotation to advance — it cannot silently go stale."""
+def test_driver_first_is_the_staleness_ratchet():
+    """The rotation is a staleness ratchet (VERDICT r6 #1).
+
+    Queries with NO driver row ever take absolute priority (a new
+    registration must get its first row next round). With coverage
+    complete, the front-50 must be exactly the 50 registered names whose
+    most recent driver row is OLDEST, ranked by (latest round, name) —
+    so every query re-records on a ≤4-round cycle. When the next round's
+    CORRECTNESS file lands and refreshes the front, the ranking shifts
+    and this test fails with a paste-ready corrected tuple: the rotation
+    cannot silently go stale."""
     Q.load_registry()
     registered = set(Q.QUERIES)
-    uncovered = registered - _driver_covered()
-    if not uncovered:
-        # Full coverage achieved: the rotation's only remaining duty is
-        # to not name queries that don't exist.
-        assert set(Q.DRIVER_FIRST) <= registered
-        return
+    latest = _driver_latest_round()
     cap = 50
-    front = set(Q.DRIVER_FIRST[: min(cap, len(Q.DRIVER_FIRST))])
-    if len(uncovered) <= cap:
-        if not front >= uncovered:
-            # Self-healing failure mode: print the corrected front of
-            # DRIVER_FIRST verbatim so the fix is a paste, not a thought.
-            fixed = sorted(uncovered) + [
-                n for n in Q.DRIVER_FIRST if n not in uncovered
-            ]
-            tup = "\n".join(f'    "{n}",' for n in fixed[:cap])
-            raise AssertionError(
-                "rotation stale: uncovered queries missing from DRIVER_FIRST "
-                f"front-50: {sorted(uncovered - front)}\n"
-                "Replace the front of DRIVER_FIRST in "
-                "data_pipelines_course_spark/queries.py with:\n"
-                f"DRIVER_FIRST = (\n{tup}\n    ...\n)"
-            )
-    else:
-        # More uncovered than the cap: the front must at least be all-uncovered.
-        assert front <= uncovered
+    # Never-covered names rank at round 0 — automatically first.
+    ranked = sorted(registered, key=lambda n: (latest.get(n, 0), n))
+    want = ranked[: min(cap, len(ranked))]
+    front = list(Q.DRIVER_FIRST[: min(cap, len(Q.DRIVER_FIRST))])
+    if set(front) != set(want):
+        # Self-healing failure mode: print the corrected front of
+        # DRIVER_FIRST verbatim so the fix is a paste, not a thought.
+        tup = "\n".join(f'    "{n}",' for n in want)
+        raise AssertionError(
+            "rotation stale: front-50 is not the 50 stalest names.\n"
+            f"missing from front: {sorted(set(want) - set(front))}\n"
+            f"should not be in front: {sorted(set(front) - set(want))}\n"
+            "Replace DRIVER_FIRST in "
+            "data_pipelines_course_spark/queries.py with:\n"
+            f"DRIVER_FIRST = (\n{tup}\n)"
+        )
 
 
 def test_driver_first_names_exist_and_unique():
