@@ -69,8 +69,19 @@ def timed(spark, queries, name: str, sf_dir: str) -> dict:
     if t.is_alive():
         spark.sparkContext.cancelJobGroup(f"twin:{name}")
         t.join(30)
-        return {"budget_exceeded": True, "budget_sec": BUDGET,
-                "ran_sec": round(time.perf_counter() - start, 1)}
+        res = {"budget_exceeded": True, "budget_sec": BUDGET,
+               "ran_sec": round(time.perf_counter() - start, 1)}
+        if "cold" in out:
+            # The cold rep completed before the budget tripped during
+            # the warm rep — a real measurement, keep it (ADVICE r6).
+            res["cold"] = out["cold"]
+        if t.is_alive():
+            # Cancellation failed to stop the worker within the grace
+            # join: the daemon thread keeps running jobs on this
+            # SparkSession, contaminating every later timing (ADVICE
+            # r6). Flag it so main() taints subsequent results.
+            res["runaway"] = True
+        return res
     if "err" in out and "cold" not in out:
         return {"error": out["err"]}
     return out
@@ -92,9 +103,17 @@ def main() -> None:
     # blows the budget; dict de-dups the shared jaccard twin.
     names = list(dict.fromkeys(
         [t for t in SCALE_TWINS.values()] + list(SCALE_TWINS)))
+    tainted = False
     for name in names:
-        results[name] = timed(spark, queries, name, sf_dir)
-        print(f"  {name}: {results[name]}", file=sys.stderr, flush=True)
+        r = timed(spark, queries, name, sf_dir)
+        if tainted:
+            # A prior runaway worker is still executing on this
+            # SparkSession: this timing shares its executors.
+            r["tainted_by_runaway"] = True
+        results[name] = r
+        if r.get("runaway"):
+            tainted = True
+        print(f"  {name}: {r}", file=sys.stderr, flush=True)
 
     payload = json.dumps({
         "metric": "twin_crossover",

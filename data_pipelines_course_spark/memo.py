@@ -29,6 +29,16 @@ def evict_stale(memo: dict, app_id: str) -> None:
     Keys must be tuples whose first element is the applicationId. Called
     on a cache miss (the only time the dict can grow), so the sweep is
     O(entries) on the rare session-change path and free on hits.
+
+    Thread-safety (ADVICE r6): the deliberately-unlocked memos
+    (_TRAIN_MEMO, _BPE_MEMO, _CLUSTER_MEMO) tolerate a double-compute
+    race, but iterating the live dict while another thread's first
+    construction inserts would raise RuntimeError("dictionary changed
+    size during iteration"). ``list(memo)`` snapshots the keys in one
+    atomic bytecode op under the GIL, and ``pop(k, None)`` tolerates a
+    concurrent evictor having removed the key already — so the worst
+    case stays double-compute, never a crash.
     """
-    for k in [k for k in memo if k[0] != app_id]:
-        del memo[k]
+    for k in list(memo):
+        if k[0] != app_id:
+            memo.pop(k, None)

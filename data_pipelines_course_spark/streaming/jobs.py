@@ -514,10 +514,49 @@ def scd2_maintenance_sink(dim_path: str, buckets: int = SCD2_BUCKETS):
     bucket_of = F.coalesce(F.pmod(F.col("user_id"), F.lit(buckets)),
                            F.lit(buckets))
 
+    # Backward-compat guard (ADVICE r6): a dimension written under the
+    # pre-r6 sign-preserving layout (% with sentinel -1) holds
+    # bucket=-1 .. bucket=-(N-1) partitions that the pmod layout never
+    # writes — and dynamic partition overwrite only rewrites buckets
+    # present in NEW data, so those stale partitions would survive an
+    # in-place upgrade and duplicate NULL/negative-key history in every
+    # read of the dimension. Detect them once per sink and fail loudly:
+    # the fix is a rebuild from the event log (delete dim_path, replay),
+    # not a silent merge.
+    checked = []
+
+    def _reject_legacy_layout(spark) -> None:
+        if checked:
+            return
+        checked.append(True)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(dim_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return
+        stale = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("bucket="):
+                try:
+                    if int(name.split("=", 1)[1]) < 0:
+                        stale.append(name)
+                except ValueError:
+                    continue
+        if stale:
+            raise ValueError(
+                f"scd2_maintenance_sink: {dim_path} contains legacy "
+                f"sign-preserving bucket partitions {sorted(stale)} "
+                "(pre-pmod layout). Dynamic partition overwrite never "
+                "rewrites them, so they would duplicate NULL/negative-"
+                "key history. Rebuild the dimension from the event log: "
+                f"delete {dim_path} and replay {dim_path}_events."
+            )
+
     def update(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        _reject_legacy_layout(spark)
         log_path = dim_path + "_events"
         idempotent_batch_sink(log_path)(batch_df, batch_id)
         touched = [int(r["b"]) for r in

@@ -97,19 +97,27 @@ def documents() -> None:
     out = {k: [] for k in ("doc_id", "text", "lang", "source", "n_chars")}
     for i in range(COPIES):
         for j in range(n):
-            words = base["text"][j].split()
-            if i > 0:
+            if i == 0:
+                # Copy 0 is byte-verbatim (ADVICE r6): round-tripping
+                # through split/join would collapse any non-single-space
+                # whitespace and recompute n_chars, silently diverging
+                # sf1 copy-0 docs from their sf0.1 originals.
+                text = base["text"][j]
+                n_chars = base["n_chars"][j]
+            else:
+                words = base["text"][j].split()
                 # Perturb a sliding subset of positions per copy: same
                 # doc, different copies share most 3-gram shingles ->
                 # genuine near-dup clusters for the threshold family.
                 for p in range(i % 7, len(words), 7):
                     words[p] = vocab[int(rng.integers(0, len(vocab)))]
-            text = " ".join(words)
+                text = " ".join(words)
+                n_chars = len(text)
             out["doc_id"].append(base["doc_id"][j] + i * 1_000_000)
             out["text"].append(text)
             out["lang"].append(base["lang"][j])
             out["source"].append(base["source"][j])
-            out["n_chars"].append(len(text))
+            out["n_chars"].append(n_chars)
     pq.write_table(pa.table({
         "doc_id": pa.array(out["doc_id"], pa.int64()),
         "text": pa.array(out["text"], pa.string()),

@@ -814,6 +814,41 @@ def test_scd2_maintenance_null_user_keys(spark, tmp_path):
     assert um1.iloc[0]["state"] == "signup"
 
 
+def test_scd2_maintenance_rejects_legacy_bucket_layout(spark, tmp_path):
+    """A dimension written under the pre-r6 sign-preserving layout
+    (sentinel bucket=-1, negative buckets for negative keys) must be
+    rejected loudly (ADVICE r6): dynamic partition overwrite only
+    rewrites buckets present in new data, so stale negative-bucket
+    partitions would survive an in-place upgrade and duplicate
+    NULL/negative-key history in every read. The guard fires before the
+    first write; a fresh path and a pmod-layout path pass untouched."""
+    import pandas as pd
+    import pytest
+
+    def batch():
+        return spark.createDataFrame(pd.DataFrame({
+            "user_id": [1], "event_id": [1],
+            "ts": pd.to_datetime(["2024-01-01"]),
+            "event_type": ["view"]}))
+
+    # Legacy layout present -> loud failure naming the rebuild path.
+    dim = tmp_path / "scd2_dim_legacy"
+    (dim / "bucket=-1").mkdir(parents=True)
+    (dim / "bucket=3").mkdir()
+    sink = jobs.scd2_maintenance_sink(str(dim))
+    with pytest.raises(ValueError, match="legacy sign-preserving"):
+        sink(batch(), 0)
+    # The guard fired before any write: no event log, no new buckets.
+    assert not (tmp_path / "scd2_dim_legacy_events").exists()
+
+    # pmod layout (sentinel N, non-negative buckets) passes.
+    dim_ok = str(tmp_path / "scd2_dim_ok")
+    sink_ok = jobs.scd2_maintenance_sink(dim_ok)
+    sink_ok(batch(), 0)   # fresh path: guard is a no-op
+    sink_ok(batch(), 1)   # existing pmod layout: still fine
+    assert spark.read.parquet(dim_ok).count() == 1
+
+
 def test_dedup_index_flags_near_copies_on_arrival(spark, tmp_path):
     """Incremental ingest dedup: a near-copy arriving in a LATER batch
     must be flagged against the index built from earlier batches; two
