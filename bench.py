@@ -130,10 +130,54 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def loadavg() -> float:
+    """Host 1-minute load average — the bench-noise tell (VERDICT r6 #3).
+
+    This machine's ambient load cycles 0.2 -> 5+ with nothing of ours
+    running; r5/r6 adjudicated "regression or noise?" via NOTES prose
+    and judge reruns. Recording load per rep makes a noisy run
+    self-labeling: a warm number taken at load 5 explains itself."""
+    try:
+        with open("/proc/loadavg") as f:
+            return round(float(f.read().split()[0]), 2)
+    except OSError:
+        return round(os.getloadavg()[0], 2)
+
+
+def wait_for_quiet(gate: float, max_wait_sec: float = 600.0,
+                   poll_sec: float = 10.0) -> dict:
+    """Block until 1-min load < gate, with bounded retries.
+
+    Returns metadata for the JSON: whether the gate was met, how long we
+    waited, and the load on exit. On timeout the bench RUNS ANYWAY
+    (a number labeled noisy beats no number) — `met: false` in the JSON
+    tells the reader to trust cold_total's inflation ratio instead."""
+    t0 = time.perf_counter()
+    load = loadavg()
+    while load >= gate and (time.perf_counter() - t0) < max_wait_sec:
+        print(f"  quiet-gate: load {load} >= {gate}, waiting...",
+              file=sys.stderr, flush=True)
+        time.sleep(poll_sec)
+        load = loadavg()
+    return {"gate": gate, "met": load < gate,
+            "waited_sec": round(time.perf_counter() - t0, 1),
+            "load_at_start": load}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # --quiet-gate=<load> (or SPARK_GRAFT_QUIET_GATE): wait for an
+    # ambient-load window before timing, bounded at 10 min. The driver
+    # invokes bench.py bare, so per-rep load fields below appear in the
+    # JSON regardless of whether the gate is used.
+    gate_env = os.environ.get("SPARK_GRAFT_QUIET_GATE")
+    gate: float | None = float(gate_env) if gate_env else None
+    for a in sys.argv[1:]:
+        if a.startswith("--quiet-gate="):
+            gate = float(a.split("=", 1)[1])
+    quiet = wait_for_quiet(gate) if gate is not None else None
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -161,19 +205,28 @@ def main() -> None:
     warm_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    # Per-query loadavg trace: [cold-start, each warm-rep start..., end].
+    # Self-labeling noise (VERDICT r6 #3): a rep that overlapped an
+    # ambient-load spike carries the spike in its own row.
+    loads: dict[str, list[float]] = {}
     for name in HEADLINE:
+        trace = [loadavg()]
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)  # plan construction + analysis
         run_query(df)
         cold[name] = round(time.perf_counter() - t0, 3)
         best = float("inf")
         for _ in range(warm_reps):
+            trace.append(loadavg())
             t0 = time.perf_counter()
             run_query(df)
             best = min(best, time.perf_counter() - t0)
+        trace.append(loadavg())
+        loads[name] = trace
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.3f}s (cold {cold[name]:.3f}s, "
-              f"min of {warm_reps})", file=sys.stderr)
+              f"min of {warm_reps}, load {trace[0]}->{trace[-1]})",
+              file=sys.stderr)
 
     # The headline JSON is printed TWICE — immediately after the headline
     # loop AND as the very last line — and kept short (extras go to a
@@ -194,6 +247,12 @@ def main() -> None:
         # (staging.py) so cross-round artifacts are comparable.
         "reps": warm_reps,
         "staging": os.environ.get("SPARK_GRAFT_STAGING", "checkpoint"),
+        # Noise self-labeling (VERDICT r6 #3): per-query 1-min loadavg
+        # trace [cold-start, warm-rep starts..., end] + the quiet-gate
+        # outcome (null when ungated). Reading: quiet floor lives at
+        # load <~1; traces >~3 explain an inflated warm/cold total.
+        "load": loads,
+        "quiet_gate": quiet,
     })
     print(headline_payload, flush=True)
 
