@@ -24,7 +24,15 @@ materialization strategy lives, selected by ``SPARK_GRAFT_STAGING``:
   ``spark.dynamicAllocation.cachedExecutorIdleTimeout`` high enough
   that idle reaping doesn't evict the digest mid-query). Values are
   identical to checkpoint mode — proven by the driver_sim full-registry
-  sweep under ``SPARK_GRAFT_STAGING=persist`` (NOTES_r06).
+  sweep under ``SPARK_GRAFT_STAGING=persist`` (NOTES_r06) — and the
+  recompute-on-block-loss behavior is OBSERVED, not assumed:
+  ``tests/test_staging.py::test_persist_mode_recomputes_lost_blocks``
+  drops every staged block between two consumers of one constructed
+  frame and requires a hash match (VERDICT r6 #4). The mirror
+  injection under ``checkpoint`` (drop a block, watch the job fail) is
+  not locally testable — localCheckpoint blocks live in RDD storage
+  with no catalog handle, and a single JVM has no executor to lose —
+  which is precisely why that mode's caveat is documented here.
 - ``none`` — no staging: consumers re-derive the digest from raw
   lineage. Slowest (re-runs the pipeline per consumer) but exposes the
   FULL logical plan — used by ``plan_audit.py --staging=none`` to audit

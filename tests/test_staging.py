@@ -66,6 +66,44 @@ def test_persist_mode_retains_lineage(spark, monkeypatch):
     assert "Range" not in plan  # lineage truncated (LogicalRDD)
 
 
+def test_persist_mode_recomputes_lost_blocks(spark, monkeypatch):
+    """Fault injection (VERDICT r6 #4): persist's RESILIENCE claim —
+    lost staged blocks degrade to lineage recompute, not job failure —
+    observed, not assumed. Run a staged query under persist, consume it
+    once (materializing the digest blocks in the cache manager), DROP
+    every cached block mid-stream via spark.catalog.clearCache() — the
+    local stand-in for an executor taking its block manager down — then
+    consume the same constructed frame again and require a hash match.
+
+    The mirror-image injection under `checkpoint` mode (drop a
+    localCheckpoint block, observe the job FAIL because lineage is
+    truncated) is NOT locally testable: localCheckpoint blocks live in
+    RDD storage, not the SQL cache manager, and a single-JVM local run
+    has no executor whose loss would drop them — the only handle would
+    be reaching into the staged frame's internal RDD, which the query
+    surface deliberately does not expose. That failure mode is
+    documented at staging.py's mode table instead."""
+    from data_pipelines_course_spark.staging import stage  # noqa: F401
+
+    load_registry()
+    fn = all_queries()["ngram_jaccard_threshold_prefix"]
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "persist")
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # isolate: start with an empty SQL cache
+    assert cache_mgr.isEmpty()
+    df = fn(spark, SF_DIR)
+    # Dataset.persist registers the staged digest plan eagerly.
+    assert not cache_mgr.isEmpty()
+    first = _rows(df)  # first consumer materializes the staged blocks
+    spark.catalog.clearCache()  # inject: every staged block is lost
+    assert cache_mgr.isEmpty()
+    # Second consumer of the SAME constructed frame: its compiled plan
+    # still scans the (now-empty) in-memory relation, whose cache
+    # buffers must rebuild from the retained lineage.
+    assert _rows(df) == first
+    assert first  # non-degenerate
+
+
 def test_aqe_env_gate_value_neutral(spark, monkeypatch):
     """SPARK_GRAFT_AQE=false (session._runtime_conf) disables adaptive
     execution engine-wide; the queries that lean hardest on runtime
