@@ -119,7 +119,13 @@ _CLUSTER_MEMO: dict[tuple, DataFrame] = {}
 
 # Shared recursive-CTE oracle prefix: exact-Jaccard edges (J >= 0.6)
 # over 3-gram shingles -> symmetric closure -> transitive reachability.
-_DUCK_CC_CTES = f"""
+# Split at the edge list (VERDICT r6 #2): _DUCK_EDGE_CTES is the
+# polynomial part (shingle self-join), reusable by the driver_sim
+# union-find referee; the recursive `reach` closure appended below is
+# what explodes at sf>=1 (~26 min per sibling query at sf1 for ~25 s of
+# Spark work). The concatenation keeps every registered oracle string
+# byte-identical to the pre-split form.
+_DUCK_EDGE_CTES = f"""
     WITH RECURSIVE
     sh AS (
         SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
@@ -138,7 +144,9 @@ _DUCK_CC_CTES = f"""
         JOIN sizes s2 ON i.doc2 = s2.doc_id
         WHERE CAST(i.inter_cnt AS DOUBLE) / (s1.n + s2.n - i.inter_cnt)
               >= {JACCARD_T}
-    ),
+    )"""
+
+_DUCK_CC_CTES = _DUCK_EDGE_CTES + """,
     sym AS (SELECT doc1 AS a, doc2 AS b FROM edges
             UNION ALL SELECT doc2, doc1 FROM edges),
     reach(node, r) AS (

@@ -22,6 +22,10 @@ Usage:
     python driver_sim.py --sf-dir=/root/testdata/sf0.1 --all
                                       # scale-up sweep (oracle views and
                                       # Spark queries both re-pointed)
+    python driver_sim.py --referee --sf-dir=/tmp/spark_graft_sf1 --all
+                                      # dedup-cluster family checked
+                                      # against the union-find referee
+                                      # instead of the recursive CTE
 """
 
 from __future__ import annotations
@@ -41,6 +45,101 @@ from tests.conftest import SF_DIR, TABLES, assert_frames_match  # noqa: E402
 from data_pipelines_course_spark.queries import (  # noqa: E402
     all_oracles, all_queries)
 
+# The dedup-cluster family whose registered recursive-CTE oracles are
+# intractable at sf>=1 (VERDICT r6 #2: ~26 min of DuckDB transitive
+# closure per sibling for ~25 s of Spark work). `--referee` swaps ONLY
+# these four comparisons to a union-find ground truth; the registered
+# oracles (the driver contract) are untouched.
+CLUSTER_REFEREE = ("dedup_clusters", "dedup_clusters_twostar",
+                   "dedup_keep_best", "dedup_cluster_size_histogram")
+
+
+class _PandasRel:
+    """Duck-typed stand-in for a DuckDB relation: assert_frames_match
+    only calls .df()."""
+
+    def __init__(self, df):
+        self._df = df
+
+    def df(self):
+        return self._df
+
+
+def union_find_components(edges) -> dict[int, int]:
+    """node -> component-minimum id, via union-find with min-root union
+    and path compression — O(E α(E)), pure stdlib. Min-root union keeps
+    the smaller root on every merge, so by induction each tree's
+    terminal root IS the minimum id of its component: the same
+    cluster_id = min(component) contract as the registered CTE oracle
+    (`min(r) ... GROUP BY node`) and the Spark label propagation.
+    Nodes appear only via edges — isolated docs are their own trivial
+    cluster and are not emitted, matching both oracle and engine."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for a, b in edges:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in nodes}
+
+
+def cluster_referee_frames(con) -> dict:
+    """All four dedup-cluster family results as pandas frames, from one
+    union-find pass over the DuckDB edge list (the polynomial prefix of
+    the registered oracle — the recursive `reach` closure is exactly
+    what this referee replaces). Validated hash-identical to the CTE
+    oracles at sf0.01 and sf0.1 by tests/test_cluster_referee.py."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_pipelines_course_spark.operators.graph import _DUCK_EDGE_CTES
+
+    edges = con.sql(
+        _DUCK_EDGE_CTES + "\n    SELECT doc1, doc2 FROM edges").fetchall()
+    comp = union_find_components(edges)
+
+    clusters = pd.DataFrame(
+        {"doc_id": list(comp), "cluster_id": [comp[d] for d in comp]})
+
+    # keep_best: longest member wins, ties -> lowest doc_id. Text length
+    # comes from DuckDB so the semantics (len() on the same parquet)
+    # are the oracle's, not a reimplementation.
+    tl = dict(con.sql(
+        "SELECT doc_id, len(text) AS tl FROM documents").fetchall())
+    best: dict[int, tuple] = {}
+    size: Counter = Counter()
+    for d, c in comp.items():
+        size[c] += 1
+        key = (tl[d], -d)
+        if c not in best or key > best[c][0]:
+            best[c] = (key, d)
+    keep = pd.DataFrame({
+        "cluster_id": list(best),
+        "keep_doc_id": [best[c][1] for c in best],
+        "dropped": [size[c] - 1 for c in best]})
+
+    hist = Counter(size.values())
+    histogram = pd.DataFrame({
+        "cluster_size": list(hist),
+        "n_clusters": [hist[s] for s in hist]})
+
+    return {"dedup_clusters": clusters,
+            "dedup_clusters_twostar": clusters,
+            "dedup_keep_best": keep,
+            "dedup_cluster_size_histogram": histogram}
+
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -51,6 +150,11 @@ def main() -> int:
     # sf1) this still drives the full Spark side — the engine's cost is
     # what the sweep is measuring, not DuckDB's.
     rows_only = "--rows-only" in sys.argv
+    # --referee: value-check the dedup-cluster family against the
+    # union-find referee instead of the recursive-CTE oracle — for
+    # sf>=1 tiers where the CTE is intractable. Lazy: computed on the
+    # first cluster query encountered, shared by all four.
+    referee = "--referee" in sys.argv
     sf_dir = SF_DIR
     for a in sys.argv[1:]:
         if a.startswith("--sf-dir="):
@@ -120,6 +224,7 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failed: dict[str, str] = {}
+    referee_frames: dict | None = None
     t_start = time.perf_counter()
     for i, name in enumerate(names, 1):
         if name not in queries:
@@ -128,7 +233,13 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             df = queries[name](spark, sf_dir)
-            if name in oracles and not rows_only:
+            if referee and name in CLUSTER_REFEREE and not rows_only:
+                if referee_frames is None:
+                    referee_frames = cluster_referee_frames(con)
+                assert_frames_match(df, _PandasRel(referee_frames[name]),
+                                    name)
+                status = "hash_match(referee)"
+            elif name in oracles and not rows_only:
                 assert_frames_match(df, con.sql(oracles[name]), name)
                 status = "hash_match"
             else:
