@@ -167,6 +167,12 @@ def main() -> int:
         names = list(queries)
     else:
         names = list(queries)[:50]
+    if "--skip-scale-twins" in sys.argv:
+        # Scale-tier sweeps exclude the 7 tagged ground-truth twins:
+        # their sf>=1 behavior is bench_twins.py's job (measured
+        # crossover curves), not a correctness sweep's.
+        from data_pipelines_course_spark.queries import SCALE_TWINS
+        names = [n for n in names if n not in SCALE_TWINS]
 
     # Vanilla session, as the driver builds it: master + shuffle partitions
     # only. Everything else the engine needs must be self-applied by the
