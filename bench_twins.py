@@ -21,6 +21,10 @@ Usage:
     python scripts/make_sf1.py          # once, ~30 s
     python bench_twins.py               # prints one JSON line
     python bench_twins.py --sf-dir=/root/testdata/sf0.1   # sanity tier
+    python bench_twins.py --sf-dir=/tmp/spark_graft_sf10_docs \
+        --queries=ngram_jaccard_topk,ngram_jaccard_threshold,...
+                  # documents-only tier (VERDICT r6 #5): time exactly
+                  # these queries; JSON carries "queries" not "pairs"
 """
 
 from __future__ import annotations
@@ -89,19 +93,32 @@ def timed(spark, queries, name: str, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    only: list[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
-    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
-        sys.exit(f"{sf_dir} missing — run scripts/make_sf1.py first")
+        if a.startswith("--queries="):
+            # Explicit query list for partial tiers (the sf10 docs-only
+            # tier carries documents.parquet alone — only the corpus
+            # family can run there). Twins still run before ground
+            # truths if the caller lists them first.
+            only = [n for n in a.split("=", 1)[1].split(",") if n]
+    probe = "documents" if only else "lineitem"
+    if not os.path.exists(f"{sf_dir}/{probe}.parquet"):
+        sys.exit(f"{sf_dir} missing {probe}.parquet — run the tier's "
+                 "derivation script first (scripts/make_sf1.py or "
+                 "scripts/make_sf10_docs.py)")
     spark = get_spark(app_name="twin-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
+    unknown = [n for n in (only or []) if n not in queries]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
 
     results: dict[str, dict] = {}
     # Twins first: their numbers must exist even when the ground truth
     # blows the budget; dict de-dups the shared jaccard twin.
-    names = list(dict.fromkeys(
+    names = only or list(dict.fromkeys(
         [t for t in SCALE_TWINS.values()] + list(SCALE_TWINS)))
     tainted = False
     for name in names:
@@ -115,14 +132,18 @@ def main() -> None:
             tainted = True
         print(f"  {name}: {r}", file=sys.stderr, flush=True)
 
-    payload = json.dumps({
+    body: dict = {
         "metric": "twin_crossover",
         "sf_dir": sf_dir,
         "budget_sec": BUDGET,
-        "pairs": {g: {"ground_truth": results[g], "twin": results[t],
-                      "twin_name": t}
-                  for g, t in SCALE_TWINS.items()},
-    })
+    }
+    if only:
+        body["queries"] = results
+    else:
+        body["pairs"] = {g: {"ground_truth": results[g],
+                             "twin": results[t], "twin_name": t}
+                         for g, t in SCALE_TWINS.items()}
+    payload = json.dumps(body)
     print(payload, flush=True)
     spark.stop()
 

@@ -89,8 +89,15 @@ def events(con: duckdb.DuckDBPyConnection) -> None:
     """)
 
 
-def documents() -> None:
-    base = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
+def documents(src: str = None, out_dir: str = None,
+              id_stride: int = 1_000_000) -> None:
+    """10 near-dup copies of `src`'s documents into `out_dir` (defaults:
+    the module-level sf0.1 -> sf1 derivation). Parameterized so
+    make_sf10_docs.py can apply the SAME derivation one decade further
+    (sf1 -> sf10-docs) with a wider doc_id stride."""
+    src = src or SRC
+    out_dir = out_dir or OUT
+    base = pq.read_table(f"{src}/documents.parquet").to_pydict()
     n = len(base["doc_id"])
     vocab = sorted({w for t in base["text"] for w in t.split()})
     rng = np.random.default_rng(SEED)
@@ -113,7 +120,7 @@ def documents() -> None:
                     words[p] = vocab[int(rng.integers(0, len(vocab)))]
                 text = " ".join(words)
                 n_chars = len(text)
-            out["doc_id"].append(base["doc_id"][j] + i * 1_000_000)
+            out["doc_id"].append(base["doc_id"][j] + i * id_stride)
             out["text"].append(text)
             out["lang"].append(base["lang"][j])
             out["source"].append(base["source"][j])
@@ -124,7 +131,7 @@ def documents() -> None:
         "lang": pa.array(out["lang"], pa.string()),
         "source": pa.array(out["source"], pa.string()),
         "n_chars": pa.array(out["n_chars"], pa.int64()),
-    }), f"{OUT}/documents.parquet")
+    }), f"{out_dir}/documents.parquet")
 
 
 def embeddings() -> None:
