@@ -555,6 +555,20 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
     corpora, where pairs sharing ≥1 shingle vastly outnumber pairs with
     J ≥ t and the full shared-shingle join is quadratic-ish.
 
+    Regime boundary (measured r7, TWIN_BENCH_r07.json): prefix
+    filtering's pruning power comes from the RARE end of the shingle
+    frequency spectrum. On a shingle-SATURATED corpus — distinct
+    shingles stop growing while the corpus grows, so every shingle's
+    frequency scales with N (the sf10-docs tier: ~30k distinct shingles
+    at 5k/50k/500k docs; naive candidate pairs 1.3M → 127M → 12.3B) —
+    the prefix buckets are as hot as everything else and this twin is
+    candidate-bound like the ground truth (both >300 s at 500k docs,
+    parity ~20 s at 50k). Past that boundary the registered path is
+    sketch-based LSH (`minhash_lsh_pairs`: 23 s at 500k docs), whose
+    cost scales with docs × bands, not shingle-frequency squared.
+    Boilerplate-heavy crawl corpora at 100 TB sit in exactly that
+    regime for their hot families.
+
     Prefix filtering: order every doc's shingles by one consistent
     global order — here ascending global frequency (rarest first), the
     strongest pruning order — then if J(A,B) ≥ t, A and B must collide
