@@ -136,12 +136,18 @@ def loadavg() -> float:
     This machine's ambient load cycles 0.2 -> 5+ with nothing of ours
     running; r5/r6 adjudicated "regression or noise?" via NOTES prose
     and judge reruns. Recording load per rep makes a noisy run
-    self-labeling: a warm number taken at load 5 explains itself."""
+    self-labeling: a warm number taken at load 5 explains itself.
+
+    One decimal, deliberately: the headline JSON line must stay well
+    under the driver's 2000-char tail-capture window (BENCH_r06.json
+    shows `tail` is the last 2000 chars; a line that doesn't fit whole
+    parses to null, the BENCH_r03 failure mode), and 95 trace values
+    at 2 decimals plus two-digit loads would crowd it."""
     try:
         with open("/proc/loadavg") as f:
-            return round(float(f.read().split()[0]), 2)
+            return round(float(f.read().split()[0]), 1)
     except OSError:
-        return round(os.getloadavg()[0], 2)
+        return round(os.getloadavg()[0], 1)
 
 
 def wait_for_quiet(gate: float, max_wait_sec: float = 600.0,
