@@ -227,7 +227,17 @@ def main() -> int:
     if tz:
         con.sql(f"SET TimeZone = '{tz}'")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        except duckdb.IOException:
+            # Partial tiers (the documents-only sf10 derivation) lack
+            # some tables. A missing view only matters if an oracle
+            # actually references it — and then that comparison fails
+            # loudly on its own ("Table ... does not exist"), which is
+            # the right failure, not a startup crash.
+            print(f"  (no {t}.parquet at {sf_dir}; view skipped)",
+                  file=sys.stderr)
 
     failed: dict[str, str] = {}
     referee_frames: dict | None = None
