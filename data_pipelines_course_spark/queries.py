@@ -115,66 +115,64 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 7 rotation (VERDICT r6 #1): the rotation is now a STALENESS
-    # RATCHET. Coverage is complete (162/162 across six rounds), so each
-    # round fronts the 50 names whose most recent driver CORRECTNESS row
-    # is OLDEST — ranked by (latest round, name) — guaranteeing every
-    # query's driver row is refreshed on a ≤4-round cycle and no green
-    # cell can silently go stale. Freshness at r7 start: r2=44, r3=33,
-    # r4=17, r5=18, r6=50. This front-50 = all 44 r2 names + the 6
-    # alphabetically-first r3 names; tests/test_registry.py recomputes
-    # the ranking from the committed CORRECTNESS files and fails with a
-    # paste-ready tuple when the rotation goes stale.
-    "anti_join_stopwords",
-    "array_element_extract",
-    "array_mean",
-    "array_size",
-    "array_transform_norm",
-    "broadcast_join",
-    "case_when_bucket",
-    "cube_agg",
-    "derived_datetime_parts",
-    "distinct_count",
-    "doc_fingerprint",
-    "doc_length_stats",
-    "except_inactive_customers",
-    "explode_array_agg",
-    "filter_contains",
-    "filter_date_window",
-    "filter_equality",
-    "global_minmax",
-    "grouped_count",
-    "grouped_hour_sum",
-    "grouping_sets_agg",
-    "intersect_nation_keys",
-    "join_multiway_revenue",
-    "json_extract_props",
-    "json_group_by_key",
-    "lag_lead_delta",
-    "lang_id",
-    "literal_and_cast",
-    "moving_average",
-    "projection_pluck",
-    "rank_customers",
-    "rollup_agg",
-    "semi_join_active_customers",
-    "sort_by_computed",
-    "sql_region_revenue",
-    "tail_slice",
-    "text_quality",
-    "token_count",
-    "topk_words",
-    "union_all",
-    "value_counts",
-    "variant_props_extract",
-    "window_first_last_ratio",
-    "wordcount",
-    "contamination_report",
-    "corpus_curation",
-    "deterministic_sample_docs",
-    "dispersion_stats",
-    "duplicate_ratio_report",
-    "embedding_norm_stats",
+    # Round 8 rotation: staleness-ratchet front (VERDICT r7 #2) — the 50
+    # names whose most recent driver CORRECTNESS row is oldest, ranked
+    # (latest round, name). Freshness at r8 start: r3=27, r4=17, r5=18,
+    # r6=50, r7=50; this front = all 27 r3 names + all 17 r4 names + the
+    # 6 alphabetically-first r5 names (mixes in rows-only names as they
+    # age — expected per VERDICT r7 obs. #2). tests/test_registry.py
+    # recomputes the ranking from the committed CORRECTNESS files and
+    # fails with a paste-ready tuple when the rotation goes stale.
+    "event_funnel",
+    "knn_brute_force",
+    "label_centroid_norms",
+    "lang_token_stats",
+    "media_feature_extract",
+    "media_frame_sample",
+    "media_kind_stats",
+    "minmax_scale_by_group",
+    "mixture_sample_events",
+    "pivot_status_counts",
+    "repetition_ratio",
+    "retention_cohorts",
+    "rolling_7day_customer_spend",
+    "stratified_sample_per_source",
+    "token_length_histogram",
+    "topk_orders_per_segment",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q4_late_shipment_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "train_eval_split_docs",
+    "type_token_ratio_by_source",
+    "lateral_topk_per_nation",
+    "media_feature_extract_arrow",
+    "props_map_stats",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_top_acctbal_per_nation",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "unpivot_part_attrs",
+    "boilerplate_ngrams",
+    "context_windows_report",
+    "daily_event_gapfill",
+    "encode_docs_to_ids",
+    "gopher_quality_flags",
+    "lang_confusion_report",
 )
 
 
