@@ -159,15 +159,18 @@ def wait_for_quiet(gate: float, max_wait_sec: float = 600.0,
     (a number labeled noisy beats no number) — `met: false` in the JSON
     tells the reader to trust cold_total's inflation ratio instead."""
     t0 = time.perf_counter()
-    load = loadavg()
+    load_entry = load = loadavg()
     while load >= gate and (time.perf_counter() - t0) < max_wait_sec:
         print(f"  quiet-gate: load {load} >= {gate}, waiting...",
               file=sys.stderr, flush=True)
         time.sleep(poll_sec)
         load = loadavg()
+    # Both loads recorded (ADVICE r7): on a timed-out gate the exit load
+    # is NOT the load the gate saw at entry, and the persisted JSON is
+    # what readers adjudicate noise from.
     return {"gate": gate, "met": load < gate,
             "waited_sec": round(time.perf_counter() - t0, 1),
-            "load_at_start": load}
+            "load_at_entry": load_entry, "load_at_exit": load}
 
 
 def main() -> None:

@@ -67,7 +67,9 @@ class _PandasRel:
 
 def union_find_components(edges) -> dict[int, int]:
     """node -> component-minimum id, via union-find with min-root union
-    and path compression — O(E α(E)), pure stdlib. Min-root union keeps
+    and path compression — ~O(E log E) amortized, pure stdlib (min-root
+    union is not union-by-rank, so the inverse-Ackermann bound does not
+    apply; path compression alone gives amortized log). Min-root union keeps
     the smaller root on every merge, so by induction each tree's
     terminal root IS the minimum id of its component: the same
     cluster_id = min(component) contract as the registered CTE oracle

@@ -26,8 +26,11 @@ from data_pipelines_course_spark.queries import all_oracles, load_registry
 
 
 def _sorted_rows(df) -> list[tuple]:
+    # Compare python-native values, not reprs: numpy scalar reprs vary
+    # by dtype (int32 vs int64) and numpy version ('5' vs 'np.int64(5)'),
+    # so a duckdb/pandas dtype shift would fail spuriously (ADVICE r7).
     cols = sorted(df.columns)
-    return sorted(map(repr, (tuple(r) for r in df[cols].itertuples(index=False))))
+    return sorted(map(tuple, df[cols].astype(object).values.tolist()))
 
 
 # At sf0.1 only the base clustering is re-pinned: each sibling's CTE
