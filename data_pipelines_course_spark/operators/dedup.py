@@ -328,6 +328,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows); only same-bucket docs are joined. est_jaccard = fraction of
     agreeing signature components; pairs below 0.5 are dropped.
 
+    Recall contract (measured r8, RECALL_r08.json): 8 bands x 4 rows puts
+    the banding s-curve's midpoint at (1/b)^(1/r) = 0.595 ~= JACCARD_T —
+    the textbook operating point for t=0.6 (MMDS ch.3), which means
+    recall at exactly J=t is definitionally ~0.67 for ANY correctly
+    tuned banding, rising to 0.985 at J=0.8 and ~1 at J>=0.9. Measured
+    per-J-band recall tracks that curve at-or-above theory at every tier
+    including the shingle-saturated 500k-doc tier (sampled-GT referee,
+    recall_referee.py): J>=0.8 recall = 1.0 there (88/88), aggregate
+    0.92; at sf1 the aggregate is 0.88 only because 46% of that corpus's
+    truth pairs sit in [0.6,0.7) where the s-curve pays its designed
+    0.75 — the per-band numbers are AT theory, so the aggregate is a
+    corpus-distribution fact, not an implementation gap.
+
     Skew guard: buckets larger than MAX_BUCKET are excluded via a window
     count over (band, band_hash) — the window's hash partitioning is the
     self-join's key, so the guard reuses the `_fanout` exchange and adds
@@ -428,7 +441,16 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with Hamming(simhash1, simhash2) ≤ HAM_T. By pigeonhole, any
     such pair agrees exactly on at least one of 4 16-bit chunks — the
-    chunk-equality join is the candidate filter (no quadratic scan)."""
+    chunk-equality join is the candidate filter (no quadratic scan).
+
+    Semantics note (measured r8, RECALL_r08.json): Hamming ≤ 3 on a
+    64-bit profile is a NEAR-EXACT duplicate detector (Charikar'02 /
+    Manku et al. WWW'07 use it for crawl near-dups), not a
+    Jaccard-threshold scan — vs the exact J≥0.6 truth set it recovers
+    ~0.67 of J≥0.9 pairs and almost nothing below 0.8 at sf1/sf10-docs.
+    For threshold-Jaccard dedup use minhash_lsh_pairs; simhash's niche
+    is boilerplate/template pages with tiny edits, at about half
+    minhash's cost (8.1 s vs 14.0 s at 500k docs, TWIN_BENCH_r07)."""
     docs = load(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
     chunks = sigs.select(

@@ -1,0 +1,204 @@
+"""Sampled-ground-truth LSH recall referee (VERDICT r7 #1).
+
+TWIN_BENCH_r07 proved the LSH family (minhash/simhash) is the only
+viable near-dup path at the shingle-saturated sf10-docs tier — but its
+RECALL there was unmeasured: the >=0.9 contract is tested only where the
+exact-Jaccard ground truth is tractable (tests/test_dedup_recall.py),
+and at 500k docs the exact GT is budget-dead (>300 s), which is
+precisely the regime that motivates LSH.
+
+This referee closes the gap with a sampled exact GT:
+
+1. Draw a deterministic md5-bucket sample of the corpus (the engine's
+   own oracle-checkable sampling primitive, operators/sampling.py —
+   DuckDB computes identical buckets, so the sample itself is pinned by
+   tests/test_recall_referee.py against an independent engine).
+2. Compute exact-Jaccard pairs WITHIN the sample via the registered
+   `_pair_jaccard` plan at registered JACCARD_T. Validity: Jaccard is a
+   pairwise function of the two documents alone, so the sample's exact
+   pair set IS the full corpus's exact pair set restricted to sampled
+   endpoints — no estimation, no approximation (property pinned at
+   sf0.01 by test_sample_gt_is_restriction_of_full_gt).
+3. Run the REGISTERED full-corpus LSH queries (`minhash_lsh_pairs`,
+   `simhash_pairs`) at full-corpus signature/banding/skew-guard
+   parameters, restrict their output to within-sample pairs, and score
+   recall = |found ∩ sample_GT| / |sample_GT|.
+
+Because minhash signatures are per-document, banding recall for a pair
+does not depend on the rest of the corpus EXCEPT through the
+MAX_BUCKET skew guard and est-Jaccard cutoff — which is exactly why the
+measurement must run the registered full-corpus query, not an LSH rerun
+on the sample: the guard and the bucket sizes must be the 500k-doc ones.
+
+simhash recall vs the Jaccard-threshold GT is reported as MEASURED
+context, not a contract: simhash bounds Hamming distance on a 64-bit
+profile (cosine-like on shingle frequency space), a different similarity
+notion than set Jaccard, so its number documents the regime rather than
+gating it.
+
+Sample-size math: a pair survives uniform doc sampling only if BOTH
+endpoints survive, so truth pairs shrink by mod^2, not mod — at sf1,
+mod=10 keeps just 7 of 635 truth pairs (measured). The sf10 default is
+therefore mod=8 (~62.5k docs, truth/64 expected pairs): dense enough
+for per-band statistics, while the sample GT's candidate space
+(~12.3B/64 ≈ 192M shared-shingle pairs) stays inside the budget the
+full-corpus GT (12.3B) blows.
+
+Usage:
+    python recall_referee.py                       # sf10-docs, mod=8
+    python recall_referee.py --sf-dir=/tmp/spark_graft_sf1 \
+        --mod=10 --full-gt                         # + direct full-GT
+                                                   #   recall (referee
+                                                   #   validation tier)
+Prints one JSON line per invocation; round artifact = RECALL_r08.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.operators.dedup import (
+    BANDS, JACCARD_T, ROWS_PER_BAND, _pair_jaccard,
+)
+from data_pipelines_course_spark.operators.sampling import hash_bucket
+from data_pipelines_course_spark.queries import all_queries
+from data_pipelines_course_spark.session import get_spark
+
+
+def sample_documents(docs: DataFrame, mod: int, bucket: int = 0) -> DataFrame:
+    """Deterministic ~1/mod sample: md5-bucket on doc_id (the engine's
+    oracle-checkable sampling primitive). mod=1 is the full corpus."""
+    if mod <= 1:
+        return docs
+    return docs.filter(hash_bucket(F.col("doc_id"), mod) == bucket)
+
+
+def exact_pairs_within(sample: DataFrame) -> dict[tuple[int, int], float]:
+    """(doc1, doc2) -> exact jaccard for all within-sample pairs at the
+    registered threshold, via the registered exact plan."""
+    rows = (_pair_jaccard(sample)
+            .filter(F.col("_jac") >= JACCARD_T)
+            .collect())
+    return {(r["doc1"], r["doc2"]): r["_jac"] for r in rows}
+
+
+def restrict_to_sample(pairs: DataFrame, sample: DataFrame) -> DataFrame:
+    """Keep pairs whose BOTH endpoints were sampled (broadcast semi-joins
+    against the K-row id frame — the pair frame never collects)."""
+    ids = F.broadcast(sample.select("doc_id").distinct())
+    return (pairs
+            .join(ids.withColumnRenamed("doc_id", "doc1"), "doc1", "semi")
+            .join(ids.withColumnRenamed("doc_id", "doc2"), "doc2", "semi"))
+
+
+def _banding_p(j: float) -> float:
+    """P(a J-similar pair co-buckets in >=1 band) under the REGISTERED
+    banding (BANDS bands x ROWS_PER_BAND rows): 1-(1-J^r)^b. This is the
+    s-curve every LSH paper tunes against (Leskovec/Rajaraman/Ullman,
+    MMDS ch.3) — 0.67 at J=0.6, 0.985 at J=0.8 for 8x4."""
+    return 1.0 - (1.0 - j ** ROWS_PER_BAND) ** BANDS
+
+
+def _recall(found: set, truth: dict, theory: bool = True) -> dict:
+    hit = [p for p in truth if p in found]
+    missed = sorted((p for p in truth if p not in found),
+                    key=lambda p: truth[p])
+    # Stratify by TRUE Jaccard: aggregate recall is a property of the
+    # corpus's J-distribution; the implementation contract is per-band
+    # recall tracking the banding s-curve (theory_mean below). Measured
+    # >= theory per band = banding + skew guard + est-cutoff healthy;
+    # measured << theory = implementation bug.
+    by_band = {}
+    for lo, hi in ((0.6, 0.7), (0.7, 0.8), (0.8, 0.9), (0.9, 1.01)):
+        band = [p for p, j in truth.items() if lo <= j < hi]
+        if not band:
+            continue
+        n_hit = sum(p in found for p in band)
+        cell = {
+            "n": len(band), "hit": n_hit,
+            "recall": round(n_hit / len(band), 4),
+        }
+        if theory:
+            # Minhash only: the s-curve is the minhash banding's, not a
+            # prediction for the Hamming-threshold simhash detector.
+            cell["theory_mean"] = round(
+                sum(_banding_p(truth[p]) for p in band) / len(band), 4)
+        by_band[f"[{lo},{hi if hi <= 1 else 1.0})"] = cell
+    return {
+        "truth_pairs": len(truth),
+        "found_in_truth": len(hit),
+        "recall": round(len(hit) / len(truth), 4) if truth else None,
+        "by_band": by_band,
+        # The missed tail, nearest-threshold first: banding theory says
+        # misses concentrate just above t.
+        "missed_jaccard_head": [round(truth[p], 4) for p in missed[:10]],
+    }
+
+
+def measure(spark: SparkSession, sf_dir: str, mod: int, bucket: int = 0,
+            full_gt: bool = False) -> dict:
+    docs = load(spark, sf_dir, "documents")
+    sample = sample_documents(docs, mod, bucket).transform(
+        lambda d: d.persist())
+    n_docs = docs.count()
+    n_sample = sample.count()
+
+    t0 = time.perf_counter()
+    truth = exact_pairs_within(sample)
+    gt_sec = time.perf_counter() - t0
+
+    q = all_queries()
+    out = {"sf_dir": sf_dir, "n_docs": n_docs, "mod": mod, "bucket": bucket,
+           "n_sample": n_sample, "jaccard_t": JACCARD_T,
+           "sample_gt_sec": round(gt_sec, 1), "lsh": {}}
+    for name in ("minhash_lsh_pairs", "simhash_pairs"):
+        t0 = time.perf_counter()
+        pairs = q[name](spark, sf_dir)
+        within = {(r["doc1"], r["doc2"])
+                  for r in restrict_to_sample(pairs, sample).collect()}
+        out["lsh"][name] = dict(
+            _recall(within, truth, theory=name.startswith("minhash")),
+            sec=round(time.perf_counter() - t0, 1))
+    if full_gt:
+        # Referee-validation mode (tractable tiers only): direct recall
+        # against the FULL exact GT, to show sampled recall estimates it.
+        t0 = time.perf_counter()
+        full_truth = {(r["doc1"], r["doc2"]): r["jaccard"] for r in
+                      q["ngram_jaccard_threshold"](spark, sf_dir).collect()}
+        out["full_gt_sec"] = round(time.perf_counter() - t0, 1)
+        out["full_gt"] = {}
+        for name in ("minhash_lsh_pairs", "simhash_pairs"):
+            found = {(r["doc1"], r["doc2"])
+                     for r in q[name](spark, sf_dir).collect()}
+            out["full_gt"][name] = _recall(
+                found, full_truth, theory=name.startswith("minhash"))
+    sample.unpersist()
+    return out
+
+
+def main() -> None:
+    sf_dir = "/tmp/spark_graft_sf10_docs"
+    mod, bucket, full_gt = 8, 0, False
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--mod="):
+            mod = int(a.split("=", 1)[1])
+        elif a.startswith("--bucket="):
+            bucket = int(a.split("=", 1)[1])
+        elif a == "--full-gt":
+            full_gt = True
+    spark = get_spark(app_name="recall-referee")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, sf_dir, mod, bucket, full_gt)),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,15 @@ Expected recall math (8 bands × 4 rows): P(candidate) = 1-(1-J^4)^8 —
 duplicates are near-exact (J≈1), so measured recall is 1.0 at sf0.01
 (25/25 pairs); the 0.9 floor leaves room for borderline-J pairs at other
 scale factors without masking a real banding regression.
+
+Sharpened contract (r8, RECALL_r08.json): the UNIVERSAL floor is 0.9 on
+J≥0.8 pairs — measured 1.0 at sf0.01, sf1 (full GT) and the saturated
+sf10-docs tier (sampled GT). The AGGREGATE is corpus-dependent: at sf1,
+46% of truth pairs sit in [0.6,0.7) where a correctly-tuned-for-t=0.6
+banding pays its designed ~0.75, so the aggregate reads 0.88 while every
+per-band number is at theory. test_minhash_lsh_recall_confident_band
+pins the universal floor; the aggregate test stays at sf0.01 where the
+corpus makes it meaningful.
 """
 
 from __future__ import annotations
@@ -31,6 +40,22 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert recall >= 0.9, (
         f"LSH recall {recall:.3f} < 0.9 "
         f"(missed {sorted(truth - cand)[:10]})")
+
+
+def test_minhash_lsh_recall_confident_band(spark):
+    """The universal recall floor: ≥0.9 on J≥0.8 truth pairs (the
+    s-curve's near-certain region, theory ≥0.985 there). This is the
+    band the sampled-GT referee holds at 1.0 across all three measured
+    tiers (RECALL_r08.json) — here it is pinned in-suite at sf0.01."""
+    q = all_queries()
+    confident = {(r["doc1"], r["doc2"])
+                 for r in q["ngram_jaccard_threshold"](spark, SF_DIR).collect()
+                 if r["jaccard"] >= 0.8}
+    assert confident, "no J>=0.8 truth pairs — corpus changed?"
+    cand = {(r["doc1"], r["doc2"])
+            for r in q["minhash_lsh_pairs"](spark, SF_DIR).collect()}
+    recall = len(confident & cand) / len(confident)
+    assert recall >= 0.9, f"confident-band recall {recall:.3f} < 0.9"
 
 
 def test_decontaminate_lsh_recall_vs_exact(spark):

@@ -1,0 +1,86 @@
+"""Pins for the sampled-ground-truth LSH recall referee (VERDICT r7 #1).
+
+recall_referee.py measures minhash/simhash recall at the shingle-
+saturated sf10-docs tier, where the exact-Jaccard GT is budget-dead and
+only a SAMPLED exact GT is tractable. These tests pin the referee's two
+load-bearing properties at sf0.01, where everything is cheap:
+
+1. The sampler is deterministic AND oracle-checkable: the md5-bucket
+   membership is recomputed by DuckDB (an independent engine) and must
+   match row-for-row — so the sf10 sample is a pure function of doc_id,
+   not of partitioning, ordering, or Spark version.
+2. Restriction validity: exact-Jaccard pairs computed WITHIN the sample
+   equal the full-corpus exact pairs restricted to sampled endpoints.
+   Jaccard is a pairwise function of the two documents alone, so the
+   sampled GT is exact, not an estimate — this is the whole argument
+   for why sampled recall measures true recall.
+3. Plumbing identity: with mod=1 (sample = corpus) the referee's recall
+   equals the direct full-GT recall of tests/test_dedup_recall.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from recall_referee import (
+    exact_pairs_within, measure, restrict_to_sample, sample_documents,
+)
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.operators.sampling import _bucket_sql
+from data_pipelines_course_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+MOD = 4
+
+
+def test_sampler_deterministic_and_oracle_checkable(spark):
+    docs = load(spark, SF_DIR, "documents")
+    ids1 = sorted(r["doc_id"] for r in
+                  sample_documents(docs, MOD).select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  sample_documents(docs, MOD).select("doc_id").collect())
+    assert ids1 == ids2 and ids1, "sampler not deterministic (or empty)"
+    duck_ids = sorted(r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{SF_DIR}/documents.parquet' "
+        f"WHERE {_bucket_sql('doc_id', MOD)} = 0").fetchall())
+    assert ids1 == duck_ids, "md5-bucket sample diverges from DuckDB"
+
+
+def test_sample_gt_is_restriction_of_full_gt(spark):
+    docs = load(spark, SF_DIR, "documents")
+    sample = sample_documents(docs, MOD)
+    ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    sample_gt = exact_pairs_within(sample)
+    q = all_queries()
+    full_gt = {(r["doc1"], r["doc2"]): r["jaccard"]
+               for r in q["ngram_jaccard_threshold"](spark, SF_DIR).collect()}
+    restricted = {p: j for p, j in full_gt.items()
+                  if p[0] in ids and p[1] in ids}
+    assert set(sample_gt) == set(restricted)
+    for p, j in restricted.items():
+        assert abs(sample_gt[p] - j) < 1e-6
+
+
+def test_restrict_to_sample_keeps_only_sampled_endpoints(spark):
+    docs = load(spark, SF_DIR, "documents")
+    sample = sample_documents(docs, MOD)
+    ids = {r["doc_id"] for r in sample.select("doc_id").collect()}
+    q = all_queries()
+    pairs = q["minhash_lsh_pairs"](spark, SF_DIR)
+    within = {(r["doc1"], r["doc2"])
+              for r in restrict_to_sample(pairs, sample).collect()}
+    full = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
+    assert within == {p for p in full if p[0] in ids and p[1] in ids}
+
+
+def test_referee_equals_direct_when_sample_is_all(spark):
+    out = measure(spark, SF_DIR, mod=1)
+    assert out["n_sample"] == out["n_docs"] == 500
+    q = all_queries()
+    truth = {(r["doc1"], r["doc2"])
+             for r in q["ngram_jaccard_threshold"](spark, SF_DIR).collect()}
+    found = {(r["doc1"], r["doc2"])
+             for r in q["minhash_lsh_pairs"](spark, SF_DIR).collect()}
+    direct = round(len(truth & found) / len(truth), 4)
+    assert out["lsh"]["minhash_lsh_pairs"]["recall"] == direct
+    assert out["lsh"]["minhash_lsh_pairs"]["truth_pairs"] == len(truth)
