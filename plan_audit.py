@@ -27,6 +27,7 @@ from data_pipelines_course_spark.session import get_spark
 
 def main() -> None:
     args = list(sys.argv[1:])
+    only: set[str] | None = None
     for a in list(args):
         if a.startswith("--staging="):
             # Must be set BEFORE query construction: stage() reads the
@@ -34,10 +35,21 @@ def main() -> None:
             # query with its full recomputable lineage in the main plan.
             os.environ["SPARK_GRAFT_STAGING"] = a.split("=", 1)[1]
             args.remove(a)
+        elif a.startswith("--queries="):
+            # Subset audit — e.g. the bench HEADLINE set at a scale tier
+            # whose full-registry construction cost (eager driver-loop
+            # queries) would dominate (VERDICT r7 #4: sf1 headline).
+            only = set(a.split("=", 1)[1].split(","))
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     queries, oracles = all_queries(), all_oracles()
+    if only is not None:
+        unknown = only - set(queries)
+        if unknown:
+            raise SystemExit(f"--queries names not registered: {unknown}")
+        queries = {n: q for n, q in queries.items() if n in only}
 
     print(f"# Plan audit — {len(queries)} registered queries, {sf_dir}\n")
     print("Legend: exch = shuffle Exchange count; scan-cols = columns "

@@ -64,7 +64,8 @@ from pyspark.sql import functions as F
 
 from data_pipelines_course_spark.datasets import load
 from data_pipelines_course_spark.operators.dedup import (
-    BANDS, JACCARD_T, ROWS_PER_BAND, _pair_jaccard,
+    BANDS, JACCARD_T, NUM_PERM, ROWS_PER_BAND, _pair_jaccard,
+    minhash_signatures,
 )
 from data_pipelines_course_spark.operators.sampling import hash_bucket
 from data_pipelines_course_spark.queries import all_queries
@@ -141,6 +142,42 @@ def _recall(found: set, truth: dict, theory: bool = True) -> dict:
     }
 
 
+def diagnose_missed(spark: SparkSession, sf_dir: str,
+                    missed: list[tuple[int, int]]) -> list[dict]:
+    """Attribute each missed minhash pair to its mechanism, by recomputing
+    the two documents' signatures and replaying the registered pipeline's
+    three drop points in order:
+
+      banding     — no band's 4-row slice agrees (the s-curve's designed
+                    loss; the only loss theory predicts),
+      est_cutoff  — a band agrees but the 32-perm estimated Jaccard lands
+                    below the query's 0.5 output floor,
+      skew_guard_or_bug — a band agrees AND est >= 0.5: the only
+                    registered-path explanation left is MAX_BUCKET
+                    exclusion (never engaged at any measured tier —
+                    max bucket 56 at 500k docs, TWIN_BENCH_r07), so this
+                    verdict demands investigation, not a shrug.
+    """
+    ids = sorted({d for p in missed for d in p})
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id").isin(ids))
+    sigs = {r["doc_id"]: list(r["sig"])
+            for r in minhash_signatures(docs).collect()}
+    out = []
+    for d1, d2 in missed:
+        s1, s2 = sigs[d1], sigs[d2]
+        agree = sum(
+            1 for b in range(BANDS)
+            if s1[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            == s2[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND])
+        est = sum(x == y for x, y in zip(s1, s2)) / NUM_PERM
+        cause = ("banding" if agree == 0
+                 else "est_cutoff" if est < 0.5
+                 else "skew_guard_or_bug")
+        out.append({"doc1": d1, "doc2": d2, "agreeing_bands": agree,
+                    "est_jaccard": round(est, 4), "cause": cause})
+    return out
+
+
 def measure(spark: SparkSession, sf_dir: str, mod: int, bucket: int = 0,
             full_gt: bool = False) -> dict:
     docs = load(spark, sf_dir, "documents")
@@ -165,6 +202,11 @@ def measure(spark: SparkSession, sf_dir: str, mod: int, bucket: int = 0,
         out["lsh"][name] = dict(
             _recall(within, truth, theory=name.startswith("minhash")),
             sec=round(time.perf_counter() - t0, 1))
+        if name.startswith("minhash"):
+            missed = [p for p in truth if p not in within][:40]
+            if missed:
+                out["lsh"][name]["missed_diagnosis"] = diagnose_missed(
+                    spark, sf_dir, missed)
     if full_gt:
         # Referee-validation mode (tractable tiers only): direct recall
         # against the FULL exact GT, to show sampled recall estimates it.

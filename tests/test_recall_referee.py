@@ -23,7 +23,8 @@ from __future__ import annotations
 import duckdb
 
 from recall_referee import (
-    exact_pairs_within, measure, restrict_to_sample, sample_documents,
+    diagnose_missed, exact_pairs_within, measure, restrict_to_sample,
+    sample_documents,
 )
 from data_pipelines_course_spark.datasets import load
 from data_pipelines_course_spark.operators.sampling import _bucket_sql
@@ -71,6 +72,32 @@ def test_restrict_to_sample_keeps_only_sampled_endpoints(spark):
               for r in restrict_to_sample(pairs, sample).collect()}
     full = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
     assert within == {p for p in full if p[0] in ids and p[1] in ids}
+
+
+def test_diagnose_missed_attribution(spark):
+    """The miss-attribution replays the registered pipeline's drop
+    points: a near-identical pair must show all bands agreeing and
+    est~1 (so if it were missed, the verdict would be the
+    investigate-me one), while a dissimilar pair is a banding miss."""
+    from data_pipelines_course_spark.operators.dedup import _pair_jaccard
+
+    q = all_queries()
+    top = q["ngram_jaccard_topk"](spark, SF_DIR).collect()
+    near = (top[0]["doc1"], top[0]["doc2"])          # jaccard ~1
+    assert top[0]["jaccard"] >= 0.9
+    # A pair sharing ZERO shingles (absent from the shared-shingle join
+    # output): a banding miss with certainty — any band agreement would
+    # need 4 simultaneous minhash collisions on disjoint sets.
+    docs = load(spark, SF_DIR, "documents")
+    sharing = {(r["doc1"], r["doc2"])
+               for r in _pair_jaccard(docs).select("doc1", "doc2").collect()}
+    far = next((near[0], b) for b in range(near[0] + 1, near[0] + 50)
+               if b != near[1] and (near[0], b) not in sharing
+               and (b, near[0]) not in sharing)
+    near_r, far_r = diagnose_missed(spark, SF_DIR, [near, far])
+    assert near_r["agreeing_bands"] == 8 and near_r["est_jaccard"] >= 0.9
+    assert near_r["cause"] == "skew_guard_or_bug"    # found-pair replay
+    assert far_r["cause"] == "banding" and far_r["agreeing_bands"] == 0
 
 
 def test_referee_equals_direct_when_sample_is_all(spark):
