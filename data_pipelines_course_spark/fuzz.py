@@ -37,6 +37,11 @@ see functions/scalar.py and VERDICT r2-r5):
     default; DuckDB defaults NULLS LAST).
   * float-valued columns never appear in ordered-LIMIT queries — a
     last-bit difference at the cut boundary would be a false positive.
+
+Grammar v2 (generate_v2, separate frozen digest) adds the null-semantics
+territory v1 deliberately avoided: LEFT OUTER joins with count(col) vs
+count(*), COALESCE, CASE WHEN buckets, and IS NULL anti-join shapes —
+see the v2 section below for the null-portability rules.
 """
 
 from __future__ import annotations
@@ -266,10 +271,14 @@ class FuzzQuery:
     distinct: bool = False
     having_min: int | None = None
     limit: int | None = None
+    left_join: bool = False  # v2: tables is a (left, right) LEFT JOIN pair
 
     # -- Spark side (DataFrame API, not spark.sql) --------------------
     def df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = _source_df(spark, sf_dir, self.tables)
+        if self.left_join:
+            out = _left_source_df(spark, sf_dir, self.tables)
+        else:
+            out = _source_df(spark, sf_dir, self.tables)
         for p in self.preds:
             out = out.filter(p.make())
         if self.aggs:
@@ -277,6 +286,8 @@ class FuzzQuery:
             for fn, operand, name, cast_double in self.aggs:
                 if fn == "count":
                     c = F.count(F.lit(1))
+                elif fn == "count_col":
+                    c = F.count(operand.make())
                 else:
                     c = getattr(F, fn)(operand.make())
                     if cast_double:
@@ -308,7 +319,12 @@ class FuzzQuery:
         if self.aggs:
             sel = [f"{k.sql} AS {k.name}" for k in self.group_keys]
             for fn, operand, name, cast_double in self.aggs:
-                expr = "count(*)" if fn == "count" else f"{fn}({operand.sql})"
+                if fn == "count":
+                    expr = "count(*)"
+                elif fn == "count_col":
+                    expr = f"count({operand.sql})"
+                else:
+                    expr = f"{fn}({operand.sql})"
                 if cast_double:
                     expr = f"CAST({expr} AS DOUBLE)"
                 sel.append(f"{expr} AS {name}")
@@ -327,6 +343,134 @@ class FuzzQuery:
                               for p in self.projs)
             sql += f" ORDER BY {order} LIMIT {self.limit}"
         return sql
+
+
+# --------------------------------------------------------------------------
+# Grammar v2 — null-semantics territory (LEFT OUTER joins). v1's digest
+# stays frozen; v2 seeds carry their own corpus digest in the test.
+#
+# Null portability rules (why the pools below are narrower than v1's):
+#   * nullable columns are DOUBLE-only in projections and aggregates —
+#     both engines surface SQL NULL as pandas NaN there and the
+#     comparator's both_nan path is exact. A nullable DATE would render
+#     NaT-vs-None and a nullable INT widens to float on one engine but
+#     object on the other: representation noise, not semantics.
+#   * count(col) vs count(*) is THE left-join discriminator (NULL rows
+#     counted by * only) — both return integers, portable.
+#   * group keys come from the preserved (left) side only, so keys are
+#     never null-extended.
+#   * right-side WHERE predicates are allowed: both engines apply WHERE
+#     after the join, identically collapsing it to inner semantics.
+# --------------------------------------------------------------------------
+
+LEFT_SOURCES: list[tuple[str, tuple[str, str], str]] = [
+    # (key, (left, right), SQL FROM) — left rows always preserved.
+    ("c_lo", ("customer", "orders"),
+     "customer LEFT JOIN orders ON c_custkey = o_custkey"),
+    ("o_lli", ("orders", "lineitem"),
+     "orders LEFT JOIN lineitem ON o_orderkey = l_orderkey"),
+]
+
+# Right-side nullable DOUBLE columns usable in v2 projections/aggs.
+NULLABLE_DOUBLES = {
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice", "l_discount", "l_quantity", "l_tax"],
+}
+# Right-side key whose IS NULL encodes the anti-join shape.
+RIGHT_KEY = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
+def _left_source_df(spark: SparkSession, sf_dir: str,
+                    pair: tuple[str, str]) -> DataFrame:
+    left, right = pair
+    lf, rf = load(spark, sf_dir, left), load(spark, sf_dir, right)
+    if pair == ("customer", "orders"):
+        cond = F.col("c_custkey") == F.col("o_custkey")
+    else:
+        cond = F.col("o_orderkey") == F.col("l_orderkey")
+    return lf.join(rf, cond, "left")
+
+
+def _case_bucket(rng: random.Random, tables: tuple[str, ...]) -> Expr | None:
+    """CASE WHEN x < a THEN 'lo' WHEN x < b THEN 'mid' ELSE 'hi' END over
+    a NON-NULL numeric column (F16's portable shape)."""
+    pools = [(t, c) for t in tables for c, (lo, hi, dec, _)
+             in NUMERIC.get(t, {}).items() if dec == 2]
+    if not pools:
+        return None
+    t, c = rng.choice(pools)
+    lo, hi, dec, _ = NUMERIC[t][c]
+    a = round(rng.uniform(lo, (lo + hi) / 2), 2)
+    b = round(rng.uniform(a, hi), 2)
+    sql = (f"CASE WHEN {c} < {a!r} THEN 'lo' "
+           f"WHEN {c} < {b!r} THEN 'mid' ELSE 'hi' END")
+    return Expr(
+        lambda c=c, a=a, b=b: F.when(F.col(c) < a, "lo")
+        .when(F.col(c) < b, "mid").otherwise("hi"),
+        sql, f"{c}_bucket", True)
+
+
+def generate_v2(seed: int) -> FuzzQuery:
+    """Left-join / null-semantics corpus. Deterministic per seed; the
+    seed spaces of v1 and v2 are independent (different grammar code)."""
+    rng = random.Random(("v2", seed).__repr__())
+    key, pair, from_sql = rng.choice(LEFT_SOURCES)
+    left, right = pair
+    q = FuzzQuery(seed=seed, tables=pair, from_sql=from_sql, preds=[],
+                  left_join=True)
+
+    # Predicates: left-side always safe; right-side collapses to inner
+    # (identically on both engines); IS NULL keeps only unmatched rows.
+    n_preds = rng.randint(0, 2)
+    for _ in range(n_preds):
+        roll = rng.random()
+        if roll < 0.25:
+            rk = RIGHT_KEY[right]
+            q.preds.append(Pred(lambda rk=rk: F.col(rk).isNull(),
+                                f"{rk} IS NULL"))
+        elif roll < 0.55:
+            q.preds.append(_gen_pred(rng, (right,)))
+        else:
+            q.preds.append(_gen_pred(rng, (left,)))
+
+    nullable = [
+        Expr((lambda c: (lambda: F.col(c)))(c), c, c, False)
+        for c in NULLABLE_DOUBLES[right]
+    ]
+    coalesced = [
+        Expr((lambda c: (lambda: F.coalesce(F.col(c), F.lit(0.0))))(c),
+             f"COALESCE({c}, 0.0)", f"{c}_filled", False)
+        for c in NULLABLE_DOUBLES[right]
+    ]
+    left_keys = [_raw(c, True) for c in CATEGORICAL.get(left, {})] + [
+        _raw(c, True) for c, (_, _, _, is_int)
+        in NUMERIC.get(left, {}).items() if is_int
+    ]
+
+    if rng.random() < 0.65:
+        # Aggregate: the count(col)-vs-count(*) discriminator plus
+        # null-skipping aggregates over the nullable side.
+        q.group_keys = rng.sample(left_keys,
+                                  k=rng.randint(0, min(2, len(left_keys))))
+        q.aggs.append(("count", None, "cnt", False))
+        operand = rng.choice(nullable)
+        # count(col): nulls excluded — rendered via Spark F.count(col).
+        q.aggs.append(("count_col", operand, f"cnt_{operand.name}", False))
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        q.aggs.append((fn, operand, f"{fn}_{operand.name}", False))
+        if q.group_keys and rng.random() < 0.3:
+            q.having_min = rng.randint(2, 8)
+    else:
+        # Projection: left keys + nullable/coalesced doubles (+ CASE).
+        picks: list[Expr] = [rng.choice(left_keys)]
+        picks.append(rng.choice(nullable + coalesced))
+        case = _case_bucket(rng, (left,))
+        if case is not None and rng.random() < 0.5:
+            picks.append(case)
+        q.projs = picks
+        if rng.random() < 0.3:
+            q.distinct = True
+    return q
 
 
 def generate(seed: int) -> FuzzQuery:

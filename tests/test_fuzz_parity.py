@@ -24,30 +24,43 @@ import hashlib
 
 import pytest
 
-from data_pipelines_course_spark.fuzz import generate
+from data_pipelines_course_spark.fuzz import generate, generate_v2
 
 from .conftest import SF_DIR, assert_frames_match
 
 SEEDS = range(200)
+SEEDS_V2 = range(100)  # grammar v2: LEFT JOIN / null semantics
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
     "9f67aa26286481164eec7e8110b66fb856dcc8c0ad08d202139adc43f836b281")
+CORPUS_DIGEST_V2 = (
+    "a13d2e34510e81bd1dde770b26e4667751597c11b1320a7e6687f64566e90b6c")
 
 
 def test_generator_is_deterministic():
     for seed in (0, 7, 42, 199):
         assert generate(seed).sql() == generate(seed).sql()
+        assert generate_v2(seed).sql() == generate_v2(seed).sql()
+
+
+def _digest(gen, seeds) -> str:
+    h = hashlib.sha256()
+    for seed in seeds:
+        h.update(gen(seed).sql().encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
 def test_corpus_digest():
-    h = hashlib.sha256()
-    for seed in SEEDS:
-        h.update(generate(seed).sql().encode())
-        h.update(b"\n")
-    assert h.hexdigest() == CORPUS_DIGEST, (
-        f"fuzz corpus changed: digest {h.hexdigest()} — if the grammar "
+    got = _digest(generate, SEEDS)
+    assert got == CORPUS_DIGEST, (
+        f"fuzz corpus changed: digest {got} — if the grammar "
         "change is intentional, re-pin CORPUS_DIGEST in this commit")
+    got2 = _digest(generate_v2, SEEDS_V2)
+    assert got2 == CORPUS_DIGEST_V2, (
+        f"fuzz v2 corpus changed: digest {got2} — re-pin "
+        "CORPUS_DIGEST_V2 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -55,3 +68,12 @@ def test_fuzz_parity(spark, duck, seed):
     q = generate(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V2)
+def test_fuzz_parity_v2(spark, duck, seed):
+    """Null-semantics corpus: LEFT OUTER joins, count(col) vs count(*),
+    COALESCE, CASE WHEN, IS NULL anti-join shapes."""
+    q = generate_v2(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v2[{seed}]: {q.sql()}")
