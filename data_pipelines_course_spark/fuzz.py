@@ -42,6 +42,44 @@ Grammar v2 (generate_v2, separate frozen digest) adds the null-semantics
 territory v1 deliberately avoided: LEFT OUTER joins with count(col) vs
 count(*), COALESCE, CASE WHEN buckets, and IS NULL anti-join shapes —
 see the v2 section below for the null-portability rules.
+
+Grammar v3 (generate_v3, third frozen digest) covers the three shapes
+v1/v2 leave untested: window functions (rank/dense_rank/row_number/
+lag/lead/partition-sum/partition-avg/running-sum, incl. the
+top-n-per-group subselect wrap), set operations (UNION [ALL]/
+INTERSECT [ALL]/EXCEPT [ALL]), and IN/NOT IN key subqueries (rendered
+as left-semi/left-anti joins on the DataFrame side — Spark has no
+Column-level IN-subquery, the join IS the idiomatic translation).
+v3 portability rules, each a determinism argument:
+  * sequence-dependent window functions (row_number/lag/lead/
+    running-sum) appear ONLY on tables with a verified primary key
+    (orders.o_orderkey, customer.c_custkey), so the window order is
+    total. This rule was LEARNED from this grammar's own first run:
+    4/100 seeds diverged because the synthetic lineitem has no short
+    unique key — (l_orderkey, l_linenumber) collides on 14,168 of
+    60,000 sf0.01 rows, so the assumed l_orderkey*8 + l_linenumber
+    packing was data-false and running sums disagreed within tied
+    groups. lineitem windows are restricted to the order-insensitive
+    family (rank/dense_rank over a raw value, whole-partition
+    sum/avg), where ties are assigned identically by both engines.
+  * rank/dense_rank may order over raw doubles: parquet bits are
+    identical on both engines and ties rank identically.
+  * window SUM/AVG operands are integer-VALUED columns only
+    (dec==0 or integer-typed) — the sum is exact in fp regardless of
+    accumulation order, so no last-bit noise; integer-typed sums are
+    cast to double on both sides (v1's HUGEINT rule).
+  * lag/lead operands are double-typed columns only: the NULL fill at
+    partition edges surfaces as NaN in a float column on BOTH engines
+    (an int column would widen to float on one side and nullable-int
+    on the other — v2's rule).
+  * the running sum states its frame explicitly (ROWS UNBOUNDED
+    PRECEDING .. CURRENT ROW) on both sides rather than relying on
+    the engines' default-frame fine print.
+  * set operations project DISCRETE columns only (bag/set equality on
+    floats would hinge on bit equality — true for raw columns but a
+    trap the grammar stays out of).
+  * NOT IN subqueries select only non-nullable join keys (TPC-H
+    PK/FK), so three-valued-logic NULL poisoning cannot occur.
 """
 
 from __future__ import annotations
@@ -52,6 +90,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .datasets import load
 from .functions.scalar import weekday_py
@@ -536,3 +575,328 @@ def generate(seed: int) -> FuzzQuery:
         if all(p.discrete for p in q.projs) and rng.random() < 0.5:
             q.limit = rng.choice([5, 20, 100])
     return q
+
+
+# --------------------------------------------------------------------------
+# Grammar v3 — window functions, set operations, IN/NOT IN subqueries.
+# Determinism rules in the module docstring; each pool below is shaped by
+# one of them.
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FuzzV3:
+    """A v3 query: the generator binds everything at generation time, so
+    df() and sql() are pure renders of the same AST (like FuzzQuery)."""
+    seed: int
+    kind: str  # "window" | "setop" | "subq"
+    run: Callable[[SparkSession, str], DataFrame]
+    text: str
+
+    def df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self.run(spark, sf_dir)
+
+    def sql(self) -> str:
+        return self.text
+
+
+# table -> (partition-key cols, row-id Expr fields (a PK only where
+#           has_pk below says so), double-typed rank/lag operands,
+#           integer-VALUED sum operands [(col, needs_double_cast)])
+_V3_WIN = {
+    "lineitem": (
+        ["l_returnflag", "l_linestatus", "l_suppkey"],
+        ("l_orderkey * 8 + l_linenumber",
+         lambda: F.col("l_orderkey") * 8 + F.col("l_linenumber"), "li_uid"),
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        [("l_quantity", False), ("l_linenumber", True), ("l_suppkey", True)],
+    ),
+    "orders": (
+        ["o_orderstatus", "o_orderpriority"],
+        ("o_orderkey", lambda: F.col("o_orderkey"), "o_orderkey"),
+        ["o_totalprice"],
+        [("o_custkey", True)],
+    ),
+    "customer": (
+        ["c_mktsegment", "c_nationkey"],
+        ("c_custkey", lambda: F.col("c_custkey"), "c_custkey"),
+        ["c_acctbal"],
+        [("c_nationkey", True)],
+    ),
+}
+
+# Sequence-dependent window fns need a total order, i.e. a real PK
+# (module docstring: the lineitem row-id is NOT unique in the data).
+_V3_HAS_PK = {"lineitem": False, "orders": True, "customer": True}
+_V3_WIN_FNS_ORDERLESS = ["rank", "dense_rank", "psum", "pavg"]
+_V3_WIN_FNS_SEQ = ["row_number", "lag", "lead", "rsum"]
+
+
+def _gen_v3_window(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(list(_V3_WIN))
+    pks, (uk_sql, uk_make, uk_name), rank_ops, sum_ops = _V3_WIN[table]
+    pk = rng.choice(pks)
+    preds = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 2))]
+
+    # (name, spark-col builder, sql text, is_rank_like)
+    wcols: list[tuple[str, Callable[[], "F.Column"], str, bool]] = []
+    used: set[str] = set()
+    pool = _V3_WIN_FNS_ORDERLESS + (
+        _V3_WIN_FNS_SEQ if _V3_HAS_PK[table] else [])
+    for _ in range(rng.randint(1, 2)):
+        fn = rng.choice(pool)
+        if fn in ("rank", "dense_rank"):
+            rv = rng.choice(rank_ops)
+            name = "rnk" if fn == "rank" else "drnk"
+            if name in used:
+                continue
+            spec = (lambda pk=pk, rv=rv:
+                    Window.partitionBy(pk).orderBy(F.desc(rv)))
+            make = (lambda fn=fn, spec=spec:
+                    getattr(F, fn)().over(spec()))
+            sql = f"{fn}() OVER (PARTITION BY {pk} ORDER BY {rv} DESC)"
+            wcols.append((name, make, sql, True))
+        elif fn == "row_number":
+            name = "rowno"
+            if name in used:
+                continue
+            make = (lambda pk=pk, uk_make=uk_make:
+                    F.row_number().over(
+                        Window.partitionBy(pk).orderBy(uk_make())))
+            sql = (f"row_number() OVER (PARTITION BY {pk} "
+                   f"ORDER BY {uk_sql})")
+            wcols.append((name, make, sql, True))
+        elif fn in ("lag", "lead"):
+            rv = rng.choice(rank_ops)
+            name = f"{fn}_{rv}"
+            if name in used:
+                continue
+            make = (lambda fn=fn, rv=rv, pk=pk, uk_make=uk_make:
+                    getattr(F, fn)(rv, 1).over(
+                        Window.partitionBy(pk).orderBy(uk_make())))
+            sql = (f"{fn}({rv}, 1) OVER (PARTITION BY {pk} "
+                   f"ORDER BY {uk_sql})")
+            wcols.append((name, make, sql, False))
+        elif fn in ("psum", "pavg"):
+            sv, cast = rng.choice(sum_ops)
+            agg = "sum" if fn == "psum" else "avg"
+            name = f"{fn}_{sv}"
+            if name in used:
+                continue
+            cast = cast and agg == "sum"
+            make = (lambda agg=agg, sv=sv, pk=pk, cast=cast:
+                    (getattr(F, agg)(sv).over(Window.partitionBy(pk))
+                     .cast("double")) if cast else
+                    getattr(F, agg)(sv).over(Window.partitionBy(pk)))
+            sql = f"{agg}({sv}) OVER (PARTITION BY {pk})"
+            if cast:
+                sql = f"CAST({sql} AS DOUBLE)"
+            wcols.append((name, make, sql, False))
+        else:  # rsum — explicit ROWS frame on both sides
+            sv, cast = rng.choice(sum_ops)
+            name = f"rsum_{sv}"
+            if name in used:
+                continue
+            make = (lambda sv=sv, pk=pk, uk_make=uk_make, cast=cast:
+                    (lambda c: c.cast("double") if cast else c)(
+                        F.sum(sv).over(
+                            Window.partitionBy(pk).orderBy(uk_make())
+                            .rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow))))
+            sql = (f"sum({sv}) OVER (PARTITION BY {pk} ORDER BY {uk_sql} "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+            if cast:
+                sql = f"CAST({sql} AS DOUBLE)"
+            wcols.append((name, make, sql, False))
+        used.add(wcols[-1][0])
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    sel = [f"{pk} AS {pk}", f"{uk_sql} AS {uk_name}"] + [
+        f"{sql} AS {name}" for name, _, sql, _ in wcols]
+    inner_sql = f"SELECT {', '.join(sel)} FROM {table}{where}"
+
+    # Top-n-per-group wrap over a rank-like column (the QUALIFY shape).
+    rank_names = [name for name, _, _, is_rank in wcols if is_rank]
+    wrap: tuple[str, int] | None = None
+    if rank_names and rng.random() < 0.45:
+        wrap = (rng.choice(rank_names), rng.randint(2, 5))
+
+    if wrap is not None:
+        text = f"SELECT * FROM ({inner_sql}) AS sub WHERE {wrap[0]} <= {wrap[1]}"
+    else:
+        text = inner_sql
+
+    def run(spark: SparkSession, sf_dir: str, table=table, preds=preds,
+            pk=pk, uk_make=uk_make, uk_name=uk_name, wcols=wcols,
+            wrap=wrap) -> DataFrame:
+        out = load(spark, sf_dir, table)
+        for p in preds:
+            out = out.filter(p.make())
+        out = out.select(
+            F.col(pk), uk_make().alias(uk_name),
+            *[make().alias(name) for name, make, _, _ in wcols])
+        if wrap is not None:
+            out = out.filter(F.col(wrap[0]) <= wrap[1])
+        return out
+
+    return FuzzV3(seed, "window", run, text)
+
+
+_V3_SETOPS: list[tuple[str, Callable[[DataFrame, DataFrame], DataFrame]]] = [
+    ("UNION ALL", lambda a, b: a.unionByName(b)),
+    ("UNION", lambda a, b: a.unionByName(b).distinct()),
+    ("INTERSECT", lambda a, b: a.intersect(b)),
+    ("INTERSECT ALL", lambda a, b: a.intersectAll(b)),
+    ("EXCEPT", lambda a, b: a.subtract(b)),
+    ("EXCEPT ALL", lambda a, b: a.exceptAll(b)),
+]
+
+
+def _v3_discrete_pool(table: str) -> list[Expr]:
+    return ([_raw(c, True) for c in CATEGORICAL.get(table, {})]
+            + [_raw(c, True) for c, (_, _, dec, is_int)
+               in NUMERIC.get(table, {}).items() if is_int]
+            + [e for e in _derived_pool((table,)) if e.discrete]
+            + [_raw(c, True) for c in DATES.get(table, [])])
+
+
+def _gen_v3_setop(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(["lineitem", "orders", "customer"])
+    pool = _v3_discrete_pool(table)
+    n = rng.randint(1, min(3, len(pool)))
+    cols: list[Expr] = []
+    for e in rng.sample(pool, k=len(pool)):
+        if all(e.name != c.name for c in cols):
+            cols.append(e)
+        if len(cols) == n:
+            break
+    preds_a = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 2))]
+    preds_b = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 2))]
+    op_sql, op_fn = rng.choice(_V3_SETOPS)
+
+    sel = ", ".join(f"{c.sql} AS {c.name}" for c in cols)
+
+    def branch_sql(preds: list[Pred]) -> str:
+        where = (" WHERE " + " AND ".join(p.sql for p in preds)
+                 if preds else "")
+        return f"SELECT {sel} FROM {table}{where}"
+
+    text = f"{branch_sql(preds_a)} {op_sql} {branch_sql(preds_b)}"
+
+    def run(spark: SparkSession, sf_dir: str, table=table, cols=cols,
+            preds_a=preds_a, preds_b=preds_b, op_fn=op_fn) -> DataFrame:
+        base = load(spark, sf_dir, table)
+
+        def branch(preds: list[Pred]) -> DataFrame:
+            out = base
+            for p in preds:
+                out = out.filter(p.make())
+            return out.select(*[c.col() for c in cols])
+
+        return op_fn(branch(preds_a), branch(preds_b))
+
+    return FuzzV3(seed, "setop", run, text)
+
+
+# (outer table, inner table, outer key, inner key) — keys are TPC-H
+# PK/FK columns, non-nullable on both sides, so NOT IN is NULL-safe.
+_V3_SUBQ = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+]
+
+
+def _gen_v3_subq(rng: random.Random, seed: int) -> FuzzV3:
+    otable, itable, okey, ikey = rng.choice(_V3_SUBQ)
+    negated = rng.random() < 0.35
+    ipreds = [_gen_pred(rng, (itable,)) for _ in range(rng.randint(1, 2))]
+    opreds = [_gen_pred(rng, (otable,)) for _ in range(rng.randint(0, 1))]
+
+    in_sql = (f"{okey} {'NOT IN' if negated else 'IN'} "
+              f"(SELECT {ikey} FROM {itable} WHERE "
+              + " AND ".join(p.sql for p in ipreds) + ")")
+    where = " WHERE " + " AND ".join([p.sql for p in opreds] + [in_sql])
+
+    pool = _v3_discrete_pool(otable)
+    aggshape = rng.random() < 0.6
+    if aggshape:
+        keys: list[Expr] = rng.sample(pool, k=rng.randint(0, 1))
+        aggs: list[tuple[str, Expr | None, str, bool]] = [
+            ("count", None, "cnt", False)]
+        num_pool = [
+            (_raw(c, dec == 0 or is_int), is_int)
+            for c, (_, _, dec, is_int) in NUMERIC.get(otable, {}).items()]
+        used = {"cnt"}
+        for _ in range(rng.randint(0, 2)):
+            fn = rng.choice(["sum", "avg", "min", "max"])
+            operand, is_int = rng.choice(num_pool)
+            name = f"{fn}_{operand.name}"
+            if name in used:
+                continue
+            used.add(name)
+            aggs.append((fn, operand, name, fn == "sum" and is_int))
+        sel = [f"{k.sql} AS {k.name}" for k in keys]
+        for fn, operand, name, cast in aggs:
+            expr = "count(*)" if fn == "count" else f"{fn}({operand.sql})"
+            if cast:
+                expr = f"CAST({expr} AS DOUBLE)"
+            sel.append(f"{expr} AS {name}")
+        text = f"SELECT {', '.join(sel)} FROM {otable}{where}"
+        if keys:
+            text += " GROUP BY " + ", ".join(k.sql for k in keys)
+        projs: list[Expr] = []
+        distinct = False
+    else:
+        keys, aggs = [], []
+        n = rng.randint(1, min(3, len(pool)))
+        projs = []
+        for e in rng.sample(pool, k=len(pool)):
+            if all(e.name != c.name for c in projs):
+                projs.append(e)
+            if len(projs) == n:
+                break
+        distinct = rng.random() < 0.5
+        head = "SELECT DISTINCT" if distinct else "SELECT"
+        sel = ", ".join(f"{p.sql} AS {p.name}" for p in projs)
+        text = f"{head} {sel} FROM {otable}{where}"
+
+    def run(spark: SparkSession, sf_dir: str, otable=otable, itable=itable,
+            okey=okey, ikey=ikey, negated=negated, ipreds=ipreds,
+            opreds=opreds, keys=keys, aggs=aggs, projs=projs,
+            distinct=distinct) -> DataFrame:
+        inner = load(spark, sf_dir, itable)
+        for p in ipreds:
+            inner = inner.filter(p.make())
+        out = load(spark, sf_dir, otable)
+        for p in opreds:
+            out = out.filter(p.make())
+        out = out.join(inner.select(ikey), F.col(okey) == F.col(ikey),
+                       "left_anti" if negated else "left_semi")
+        if aggs:
+            aggcols = []
+            for fn, operand, name, cast in aggs:
+                c = (F.count(F.lit(1)) if fn == "count"
+                     else getattr(F, fn)(operand.make()))
+                if cast:
+                    c = c.cast("double")
+                aggcols.append(c.alias(name))
+            grouped = (out.groupBy(*[k.col() for k in keys])
+                       if keys else out.groupBy())
+            return grouped.agg(*aggcols)
+        out = out.select(*[p.col() for p in projs])
+        return out.distinct() if distinct else out
+
+    return FuzzV3(seed, "subq", run, text)
+
+
+def generate_v3(seed: int) -> FuzzV3:
+    """Window / set-op / subquery corpus. Deterministic per seed; the
+    v1/v2/v3 seed spaces are independent (different grammar code)."""
+    rng = random.Random(("v3", seed).__repr__())
+    roll = rng.random()
+    if roll < 0.45:
+        return _gen_v3_window(rng, seed)
+    if roll < 0.75:
+        return _gen_v3_setop(rng, seed)
+    return _gen_v3_subq(rng, seed)

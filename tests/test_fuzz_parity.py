@@ -24,24 +24,28 @@ import hashlib
 
 import pytest
 
-from data_pipelines_course_spark.fuzz import generate, generate_v2
+from data_pipelines_course_spark.fuzz import generate, generate_v2, generate_v3
 
 from .conftest import SF_DIR, assert_frames_match
 
 SEEDS = range(200)
 SEEDS_V2 = range(100)  # grammar v2: LEFT JOIN / null semantics
+SEEDS_V3 = range(100)  # grammar v3: windows / set ops / IN-subqueries
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
     "9f67aa26286481164eec7e8110b66fb856dcc8c0ad08d202139adc43f836b281")
 CORPUS_DIGEST_V2 = (
     "a13d2e34510e81bd1dde770b26e4667751597c11b1320a7e6687f64566e90b6c")
+CORPUS_DIGEST_V3 = (
+    "7291a278bc0d01a9ba3f616aa32d680c98813c25d72e1d967880bb519a452b0e")
 
 
 def test_generator_is_deterministic():
     for seed in (0, 7, 42, 199):
         assert generate(seed).sql() == generate(seed).sql()
         assert generate_v2(seed).sql() == generate_v2(seed).sql()
+        assert generate_v3(seed).sql() == generate_v3(seed).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -61,6 +65,10 @@ def test_corpus_digest():
     assert got2 == CORPUS_DIGEST_V2, (
         f"fuzz v2 corpus changed: digest {got2} — re-pin "
         "CORPUS_DIGEST_V2 if intentional")
+    got3 = _digest(generate_v3, SEEDS_V3)
+    assert got3 == CORPUS_DIGEST_V3, (
+        f"fuzz v3 corpus changed: digest {got3} — re-pin "
+        "CORPUS_DIGEST_V3 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -77,3 +85,14 @@ def test_fuzz_parity_v2(spark, duck, seed):
     q = generate_v2(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v2[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V3)
+def test_fuzz_parity_v3(spark, duck, seed):
+    """Window / set-op / subquery corpus: rank family + lag/lead +
+    partition and running sums (with the top-n-per-group wrap),
+    UNION/INTERSECT/EXCEPT in both bag and set forms, and IN/NOT IN
+    key subqueries vs their left-semi/left-anti DataFrame rendering."""
+    q = generate_v3(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v3[{seed}]: {q.sql()}")
