@@ -1,0 +1,382 @@
+"""Multi-probe ANN recall referee (round 8, beyond the r8 punch list).
+
+The ANN family's recall is measured in tests/test_similarity.py — but
+only at sf0.01 (500 vectors) and only for the ONE registered probe
+(QUERY_VEC_ID=0). That is a sample of size 10 on the smallest tier: the
+index structures the 100 TB story rests on (16x4 LSH tables, IVF_K=16
+cells, 8x16 PQ codebooks) are never recall-measured where they are
+dense. This referee closes that gap the same way recall_referee.py
+closed the LSH-dedup gap: a deterministic probe panel, an exact batch
+ground truth, and the REGISTERED index parameters.
+
+Method, per tier:
+
+1. Probe panel: vec_id % mod == 0, usable as a direction (positive
+   finite norm — the registered `_usable_probe` rule), ~100 probes.
+   Deterministic: no sampling randomness, pinned by construction.
+2. Exact GT: batch brute force — corpus x broadcast(probes), the same
+   scoring expression as the registered `knn_brute_force` (sequential
+   double dot, fround 1e-6, ties by vec_id), row_number <= TOP_K per
+   probe. Probe 0's GT slice is pinned EQUAL to the registered
+   single-probe query by tests/test_ann_recall_referee.py.
+3. Each ANN path re-expressed in BATCH form over the identical index:
+   - LSH: the same `lsh_bucket_cols()` signatures; candidates by
+     (table, bucket) equi-join instead of a per-probe OR filter.
+   - IVF: the same first-IVF_K-vectors coarse quantizer and
+     `_py_cos` routing; candidates by cell equi-join.
+   - PQ / IVF-PQ: the same `_pq_codebooks` training and
+     `_pq_encode_sql` codes; per-probe LUTs ride the broadcast probe
+     frame as a flat array column, ADC = PQ_M element_at adds.
+   Probe 0's batch top-k is pinned EQUAL to each registered
+   single-probe query, so the batch referee provably measures the
+   registered index, not a lookalike.
+
+Recall@K = |batch_topk(path) ∩ batch_topk(GT)| / K per probe, reported
+as mean/min/share>=0.8 plus candidate selectivity (fraction of the
+corpus each path touches — the routing-efficiency half of the story).
+
+The batch form is itself the 100 TB serving shape: probes are a
+KB-sized broadcast, candidates come from equi-joins on precomputed
+index columns (bucket/cell/codes are write-time columns at scale), and
+ranking is one window per probe — no driver loop over probes.
+
+Usage:
+    python ann_recall_referee.py                          # sf0.1
+    python ann_recall_referee.py --sf-dir=/tmp/spark_graft_sf1 --mod=200
+Prints one JSON line; round artifact = ANN_RECALL_r08.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.functions.scalar import fround
+from data_pipelines_course_spark.operators.similarity import (
+    IVF_K, IVF_NPROBE, PQ_KSUB, PQ_M, PQ_REFINE, TOP_K,
+    _arr_sql, _normalized, _pq_codebooks, _pq_encode_sql, _py_cos,
+    cosine, dot, finite_norm, lsh_bucket_cols, norm,
+)
+
+
+def probe_panel(emb: DataFrame, mod: int) -> DataFrame:
+    """Deterministic probe set: vec_id % mod == 0 AND usable as a
+    direction (the registered probe rule). Columns: probe_id, pv."""
+    return (emb.filter((F.col("vec_id") % mod == 0)
+                       & finite_norm("embedding"))
+            .select(F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pv")))
+
+
+def _ranked_topk(scored: DataFrame, k: int,
+                 score: str = "cos_sim") -> DataFrame:
+    """Top-k per probe under the registered tie rule (score desc, then
+    vec_id asc) — the batch equivalent of orderBy(...).limit(k)."""
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(score), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def _score(df: DataFrame) -> DataFrame:
+    """The registered scoring expression: fround(cosine, 6) + 0.0."""
+    return df.select(
+        "probe_id", "vec_id",
+        (fround(cosine("embedding", "pv"), 6) + F.lit(0.0))
+        .alias("cos_sim"))
+
+
+def batch_ground_truth(emb: DataFrame, probes: DataFrame) -> DataFrame:
+    """Exact top-K per probe — knn_brute_force semantics in batch form
+    (self excluded, zero-norm candidates excluded)."""
+    pairs = (emb.filter(norm("embedding") > 0)
+             .crossJoin(F.broadcast(probes))
+             .filter(F.col("vec_id") != F.col("probe_id")))
+    return _ranked_topk(_score(pairs), TOP_K)
+
+
+def batch_lsh(emb: DataFrame, probes: DataFrame) -> DataFrame:
+    """ann_lsh_topk in batch form: identical `lsh_bucket_cols()`
+    signatures; the per-probe OR-over-tables filter becomes a
+    (table, bucket) equi-join + distinct."""
+    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols()))
+    probe_b = (emb_b.join(F.broadcast(probes),
+                          emb_b.vec_id == probes.probe_id)
+               .select("probe_id", "pv",
+                       F.posexplode("buckets").alias("t", "qb")))
+    corp_b = emb_b.select(
+        "vec_id", F.posexplode("buckets").alias("t", "b"))
+    cand_ids = (corp_b.join(F.broadcast(probe_b.select("probe_id", "t", "qb")),
+                            (corp_b.t == probe_b.t)
+                            & (corp_b.b == F.col("qb")))
+                .select("probe_id", "vec_id").distinct())
+    cands = (cand_ids
+             .join(emb.filter(norm("embedding") > 0), "vec_id")
+             .join(F.broadcast(probes), "probe_id")
+             .filter(F.col("vec_id") != F.col("probe_id")))
+    return _ranked_topk(_score(cands), TOP_K)
+
+
+def _ivf_cents(emb: DataFrame) -> dict[int, list[float]]:
+    """The registered coarse quantizer: first IVF_K usable vectors."""
+    rows = (emb.filter((F.col("vec_id") < IVF_K) & finite_norm("embedding"))
+            .select("vec_id", "embedding").collect())
+    return {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in rows}
+
+
+def _ivf_best_cell(cents: dict[int, list[float]]):
+    """ivf_topk's cell-assignment expression, verbatim semantics."""
+    scores = F.array(*[
+        F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
+                 F.lit(c).alias("c")) for c in sorted(cents)])
+    return F.element_at(F.sort_array(scores, asc=False), 1)["c"]
+
+
+def batch_ivf(spark: SparkSession, emb: DataFrame,
+              probes: DataFrame, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """ivf_topk in batch form: same quantizer, same `_py_cos` routing;
+    per-probe cell lists become a broadcast (probe_id, cell) frame.
+    `nprobe` defaults to the registered IVF_NPROBE; the sweep mode
+    varies it to map the recall-vs-touched-fraction curve (nprobe=K
+    must reproduce brute force exactly — a built-in sanity check)."""
+    cents = _ivf_cents(emb)
+    routes = []
+    for r in probes.collect():
+        qv = [float(x) for x in r["pv"]]
+        cells = sorted(sorted(cents),
+                       key=lambda c: -_py_cos(qv, cents[c]))[:nprobe]
+        routes += [(int(r["probe_id"]), int(c)) for c in cells]
+    routes_df = spark.createDataFrame(routes, "probe_id bigint, _cell int")
+    cands = (emb.withColumn("_cell", _ivf_best_cell(cents).cast("int"))
+             .join(F.broadcast(routes_df), "_cell")
+             .join(F.broadcast(probes), "probe_id")
+             .filter((F.col("vec_id") != F.col("probe_id"))
+                     & (norm("embedding") > 0)))
+    return _ranked_topk(_score(cands), TOP_K)
+
+
+def batch_ivf_kmeans(spark: SparkSession, emb: DataFrame,
+                     probes: DataFrame, sf_dir: str) -> DataFrame:
+    """The trained-router IVF twin: identical plan shape to batch_ivf,
+    but the coarse quantizer is the registered `kmeans_train` output
+    (the production router ivf_topk's docstring promises) instead of
+    the first-IVF_K-vectors stand-in. Not a registered query — a
+    referee twin that measures how much routing recall the trained
+    centroids buy at the same nprobe/K."""
+    from data_pipelines_course_spark.operators.similarity import (
+        _best_cell, kmeans_train,
+    )
+
+    cents, _ = kmeans_train(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame([], "probe_id bigint, vec_id bigint,"
+                                         " cos_sim double")
+    routes = []
+    for r in probes.collect():
+        qv = [float(x) for x in r["pv"]]
+        cells = sorted(range(len(cents)),
+                       key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
+        routes += [(int(r["probe_id"]), int(c)) for c in cells]
+    routes_df = spark.createDataFrame(routes, "probe_id bigint, _cell int")
+    cands = (_normalized(emb)
+             .withColumn("_cell", _best_cell(cents)["c"].cast("int"))
+             .join(F.broadcast(routes_df), "_cell")
+             .join(F.broadcast(probes), "probe_id")
+             .filter(F.col("vec_id") != F.col("probe_id")))
+    return _ranked_topk(_score(cands), TOP_K)
+
+
+def _probe_luts(spark: SparkSession, emb: DataFrame, probes: DataFrame,
+                books: list[list[list[float]]]) -> DataFrame:
+    """(probe_id, nvp, lut): unit probe vector + flat ADC lookup table
+    lut[m*PQ_KSUB + j] = q_m . c_mj — the registered per-probe LUT,
+    one row per probe instead of one literal per query."""
+    dsub = len(books[0][0])
+    rows = []
+    for r in (_normalized(emb.join(F.broadcast(probes),
+                                   emb.vec_id == probes.probe_id))
+              .select("probe_id", "nv").collect()):
+        nvp = [float(x) for x in r["nv"]]
+        lut = []
+        for m, book in enumerate(books):
+            qm = nvp[m * dsub:(m + 1) * dsub]
+            lut += [sum(a * b for a, b in zip(qm, c)) for c in book]
+        rows.append((int(r["probe_id"]), nvp, lut))
+    return spark.createDataFrame(
+        rows, "probe_id bigint, nvp array<double>, lut array<double>")
+
+
+_ADC_SQL = " + ".join(
+    f"element_at(lut, {m * PQ_KSUB} + element_at(codes, {m + 1}) + 1)"
+    for m in range(PQ_M))
+
+
+def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
+             sf_dir: str, ivf_route: bool = False) -> DataFrame:
+    """pq_topk (ivf_route=False) / ivf_pq_topk (True) in batch form:
+    same `_pq_codebooks` training, same `_pq_encode_sql` codes; the ADC
+    LUT is a column on the broadcast probe frame."""
+    books, _ = _pq_codebooks(spark, sf_dir)
+    if books is None:
+        return spark.createDataFrame([], "probe_id bigint, vec_id bigint,"
+                                         " cos_sim double")
+    dsub = len(books[0][0])
+    coded = (_normalized(emb)
+             .withColumn("codes", F.expr(_pq_encode_sql(books, dsub))))
+    if ivf_route:
+        cents = _ivf_cents(emb)
+        routes = []
+        for r in probes.collect():
+            qv = [float(x) for x in r["pv"]]
+            cells = sorted(sorted(cents),
+                           key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
+            routes += [(int(r["probe_id"]), int(c)) for c in cells]
+        routes_df = spark.createDataFrame(routes,
+                                          "probe_id bigint, _cell int")
+        coded = (coded.withColumn(
+            "_cell",
+            _ivf_best_cell(cents).cast("int"))
+            .join(F.broadcast(routes_df), "_cell"))
+        pairs = coded.join(F.broadcast(_probe_luts(spark, emb, probes,
+                                                   books)), "probe_id")
+    else:
+        pairs = coded.crossJoin(
+            F.broadcast(_probe_luts(spark, emb, probes, books)))
+    pairs = pairs.filter(F.col("vec_id") != F.col("probe_id"))
+    adc_ranked = _ranked_topk(
+        pairs.select("probe_id", "vec_id", "nv", "nvp",
+                     F.expr(_ADC_SQL).alias("adc_score")),
+        PQ_REFINE * TOP_K, score="adc_score")
+    rescored = adc_ranked.select(
+        "probe_id", "vec_id",
+        (fround(dot("nv", "nvp"), 6) + F.lit(0.0)).alias("cos_sim"))
+    return _ranked_topk(rescored, TOP_K)
+
+
+# -------------------------------------------------------------------------
+# Scoring.
+# -------------------------------------------------------------------------
+
+def _collect_sets(df: DataFrame) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.select("probe_id", "vec_id").collect():
+        out.setdefault(int(r["probe_id"]), set()).add(int(r["vec_id"]))
+    return out
+
+
+def recall_report(gt: dict[int, set[int]],
+                  found: dict[int, set[int]]) -> dict:
+    per = []
+    for pid, truth in gt.items():
+        if not truth:
+            continue
+        hit = len(found.get(pid, set()) & truth)
+        per.append(hit / len(truth))
+    per.sort()
+    n = len(per)
+    return {
+        "n_probes": n,
+        "mean": round(sum(per) / n, 4) if n else None,
+        "min": round(per[0], 4) if n else None,
+        "p10": round(per[max(0, n // 10 - 1)], 4) if n else None,
+        "share_ge_0.8": round(sum(1 for r in per if r >= 0.8) / n, 4)
+        if n else None,
+    }
+
+
+def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
+    emb = load(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    probes = probe_panel(emb, mod).cache()
+    n_probes = probes.count()
+
+    t0 = time.time()
+    gt = _collect_sets(batch_ground_truth(emb, probes))
+    gt_sec = round(time.time() - t0, 1)
+
+    out = {"sf_dir": sf_dir, "n_corpus": n_corpus, "mod": mod,
+           "n_probes": n_probes, "top_k": TOP_K, "gt_sec": gt_sec,
+           "paths": {}}
+    runners = {
+        "ann_lsh_topk": lambda: batch_lsh(emb, probes),
+        "ivf_topk": lambda: batch_ivf(spark, emb, probes),
+        "pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir),
+        "ivf_pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir,
+                                        ivf_route=True),
+        "ivf_topk[kmeans-router]": lambda: batch_ivf_kmeans(
+            spark, emb, probes, sf_dir),
+    }
+    for name, fn in runners.items():
+        t0 = time.time()
+        found = _collect_sets(fn())
+        rep = recall_report(gt, found)
+        rep["sec"] = round(time.time() - t0, 1)
+        out["paths"][name] = rep
+    # Selectivity: candidates each routing path touches, per probe,
+    # as a fraction of the corpus (the efficiency half of recall).
+    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols()))
+    probe_b = (emb_b.join(F.broadcast(probes),
+                          emb_b.vec_id == probes.probe_id)
+               .select("probe_id",
+                       F.posexplode("buckets").alias("t", "qb")))
+    corp_b = emb_b.select("vec_id", F.posexplode("buckets").alias("t", "b"))
+    lsh_cands = (corp_b.join(F.broadcast(probe_b),
+                             (corp_b.t == probe_b.t) & (corp_b.b == F.col("qb")))
+                 .select("probe_id", "vec_id").distinct().count())
+    out["paths"]["ann_lsh_topk"]["cand_frac"] = round(
+        lsh_cands / (n_probes * n_corpus), 4)
+    out["paths"]["ivf_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
+    out["paths"]["pq_topk"]["cand_frac"] = 1.0  # ADC scans all codes
+    out["paths"]["ivf_pq_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
+    out["paths"]["ivf_topk[kmeans-router]"]["cand_frac"] = round(
+        IVF_NPROBE / IVF_K, 4)
+    return out
+
+
+def run_nprobe_sweep(spark: SparkSession, sf_dir: str, mod: int) -> dict:
+    """Recall-vs-nprobe curve for the registered IVF router: how much
+    recall each additional touched cell buys. nprobe=IVF_K routes to
+    every cell, so its recall MUST be 1.0 (brute force through the IVF
+    plan) — the sweep's self-check."""
+    emb = load(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    probes = probe_panel(emb, mod).cache()
+    gt = _collect_sets(batch_ground_truth(emb, probes))
+    out = {"sweep": "ivf_nprobe", "sf_dir": sf_dir, "n_corpus": n_corpus,
+           "mod": mod, "n_probes": probes.count(), "top_k": TOP_K,
+           "ivf_k": IVF_K, "points": {}}
+    for nprobe in (2, 4, 8, IVF_K):
+        t0 = time.time()
+        found = _collect_sets(batch_ivf(spark, emb, probes, nprobe=nprobe))
+        rep = recall_report(gt, found)
+        rep["sec"] = round(time.time() - t0, 1)
+        rep["cand_frac"] = round(nprobe / IVF_K, 4)
+        out["points"][str(nprobe)] = rep
+    return out
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    mod = 20
+    sweep = "--nprobe-sweep" in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--mod="):
+            mod = int(a.split("=", 1)[1])
+    from data_pipelines_course_spark.session import get_spark
+
+    spark = get_spark()
+    fn = run_nprobe_sweep if sweep else run
+    print(json.dumps(fn(spark, sf_dir, mod)))
+
+
+if __name__ == "__main__":
+    main()

@@ -207,9 +207,19 @@ def lsh_bucket_cols() -> list[Column]:
     (s≈0.6), where one 12-plane table recalls ~0.05 of true neighbors;
     16 tables × 4 planes lift that to ~0.91 theoretical / ≥0.6 asserted
     (tests/test_similarity.py). In a strong-similarity regime (near-dup
-    mining, cos≥0.9) raise PLANES_PER_TABLE to sharpen buckets. For
-    weakly-clustered corpora like this one, IVF (ivf_topk below) is the
-    better scale path — recall 1.0 touching 24% of the corpus."""
+    mining, cos≥0.9) raise PLANES_PER_TABLE to sharpen buckets.
+
+    100-probe panel measurement (r8, ann_recall_referee.py /
+    ANN_RECALL_r08.json — supersedes this docstring's earlier
+    single-probe claim that IVF routes better here): LSH is the ROBUST
+    path across regimes — mean recall@10 0.881 / 0.921 / 0.998 at
+    sf0.01/sf0.1/sf1 — while cell routing collapses to ~0.48 in the
+    weak-similarity regime (see ivf_topk). The honest physics: at
+    cos≈0.3 every sublinear method pays near-linear recall-vs-touch
+    (LSH touches ~63% here for its 0.92), and ANN's sublinearity is
+    earned only where the corpus has real similarity structure (the
+    near-dup-rich sf1 tier: 0.998 recall at the same 63% touch, IVF
+    0.962 at 25%)."""
     planes = _hyperplanes()
     cols = []
     for t in range(N_TABLES):
@@ -372,8 +382,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production build would k-means them — the plan shape is identical).
     Centroids are driver-collected once (IVF_K·64 floats) and inlined as
     literals, so cell assignment is a pure JVM projection over the scan —
-    no join, no shuffle. Measured on the sf0.01 clustered corpus:
-    recall@10 = 1.0 touching 122/499 vectors (see tests/test_similarity.py).
+    no join, no shuffle. Recall@10 = 1.0 for the registered probe at
+    sf0.01 (tests/test_similarity.py) — but the r8 100-probe panel
+    (ann_recall_referee.py / ANN_RECALL_r08.json) shows that number is
+    probe-specific, not the router's: panel mean 0.488/0.482 at
+    sf0.01/sf0.1 (weak-similarity regime, true neighbors at cos≈0.3),
+    0.962 at the near-dup-rich sf1 tier. The nprobe sweep (same
+    artifact) maps the knob at sf0.1 — nprobe 2/4/8/16 → recall
+    0.30/0.48/0.76/1.00, i.e. near-linear recall-vs-touch: routing
+    carries little signal at cos≈0.3 (a kmeans-trained router lifts
+    the panel to 0.558-0.592 at the same 25% touch, see
+    ann_recall_referee.batch_ivf_kmeans). Regime rule: prefer LSH on
+    weak-similarity corpora; IVF's 4×-fewer-touched-rows wins where
+    similarity structure is real (sf1-like near-dup corpora).
 
     At 100 TB: the cell id is a write-time partition column; a probe
     reads IVF_NPROBE partitions (partition pruning) instead of the
@@ -743,7 +764,13 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, codes) only — 32× less I/O — and composes with IVF cell
     partitioning (route, then ADC-scan the routed partitions).
     Recall@10 vs knn_brute_force is measured in
-    tests/test_similarity.py, honest-number style, not asserted blindly."""
+    tests/test_similarity.py (registered probe) and across 100-probe
+    panels in ANN_RECALL_r08.json: mean 0.785/0.500/0.912 at
+    sf0.01/sf0.1/sf1 — the sf0.1 dip is the ADC-error regime (when
+    true neighbors sit barely above the background cos, impostors
+    within quantization error crowd the PQ_REFINE window; the sf1
+    near-dup corpus restores 0.91 because the neighbor gap dwarfs the
+    quantization noise)."""
     books, qv = _pq_codebooks(spark, sf_dir)
     if books is None:  # untrainable corpus / absent probe
         return _empty_topk(spark)

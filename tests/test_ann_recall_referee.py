@@ -1,0 +1,95 @@
+"""Pins for the multi-probe ANN recall referee (ann_recall_referee.py).
+
+The referee's claim to measure the REGISTERED indexes rests on one
+property: restricted to the registered probe (QUERY_VEC_ID=0), every
+batch path must return exactly what its registered single-probe query
+returns — same vec_ids, same rounded scores. These tests pin that
+equality for the ground truth and all four serving paths, plus a
+multi-probe recall floor on the cheap path so a recall regression in
+the index parameters fails the suite, not just the round artifact.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ann_recall_referee import (
+    batch_ground_truth, batch_ivf, batch_lsh, batch_pq, probe_panel,
+    recall_report, _collect_sets,
+)
+from data_pipelines_course_spark.datasets import load
+from data_pipelines_course_spark.operators.similarity import QUERY_VEC_ID
+from data_pipelines_course_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = load(spark, SF_DIR, "embeddings").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def probe0(spark, emb):
+    return probe_panel(emb, 10 ** 9).cache()  # only vec_id 0 survives
+
+
+def _rows(df):
+    return sorted((int(r["vec_id"]), float(r["cos_sim"]))
+                  for r in df.collect())
+
+
+def _batch_rows(df):
+    return sorted((int(r["vec_id"]), float(r["cos_sim"]))
+                  for r in df.filter(F.col("probe_id") == QUERY_VEC_ID)
+                  .collect())
+
+
+def test_probe_panel_is_deterministic_and_contains_probe0(probe0):
+    ids = [int(r["probe_id"]) for r in probe0.collect()]
+    assert ids == [QUERY_VEC_ID]
+
+
+def test_batch_gt_probe0_equals_registered_knn(spark, emb, probe0):
+    got = _batch_rows(batch_ground_truth(emb, probe0))
+    want = _rows(all_queries()["knn_brute_force"](spark, SF_DIR))
+    assert got == want
+
+
+def test_batch_lsh_probe0_equals_registered(spark, emb, probe0):
+    got = _batch_rows(batch_lsh(emb, probe0))
+    want = _rows(all_queries()["ann_lsh_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_batch_ivf_probe0_equals_registered(spark, emb, probe0):
+    got = _batch_rows(batch_ivf(spark, emb, probe0))
+    want = _rows(all_queries()["ivf_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_batch_pq_probe0_equals_registered(spark, emb, probe0):
+    got = _batch_rows(batch_pq(spark, emb, probe0, SF_DIR))
+    want = _rows(all_queries()["pq_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_batch_ivf_pq_probe0_equals_registered(spark, emb, probe0):
+    got = _batch_rows(batch_pq(spark, emb, probe0, SF_DIR, ivf_route=True))
+    want = _rows(all_queries()["ivf_pq_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_lsh_panel_recall_floor(spark, emb):
+    """Multi-probe floor on the cheap path: 100-probe mean recall@10
+    measured 0.881 at sf0.01 (ANN_RECALL_r08.json); floor with margin.
+    Deterministic end to end (fixed hyperplanes, fixed panel)."""
+    probes = probe_panel(emb, 5).cache()
+    gt = _collect_sets(batch_ground_truth(emb, probes))
+    found = _collect_sets(batch_lsh(emb, probes))
+    rep = recall_report(gt, found)
+    assert rep["n_probes"] == 100
+    assert rep["mean"] >= 0.85
