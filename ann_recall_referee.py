@@ -43,7 +43,9 @@ ranking is one window per probe — no driver loop over probes.
 Usage:
     python ann_recall_referee.py                          # sf0.1
     python ann_recall_referee.py --sf-dir=/tmp/spark_graft_sf1 --mod=200
-Prints one JSON line; round artifact = ANN_RECALL_r08.json.
+    python ann_recall_referee.py --nprobe-sweep           # IVF knob map
+    python ann_recall_referee.py --lsh-sweep              # (L, p) map
+Prints one JSON line per invocation; round artifact = ANN_RECALL_r08.json.
 """
 
 from __future__ import annotations
@@ -101,11 +103,17 @@ def batch_ground_truth(emb: DataFrame, probes: DataFrame) -> DataFrame:
     return _ranked_topk(_score(pairs), TOP_K)
 
 
-def batch_lsh(emb: DataFrame, probes: DataFrame) -> DataFrame:
+def batch_lsh(emb: DataFrame, probes: DataFrame,
+              n_tables: int | None = None,
+              planes: int | None = None) -> DataFrame:
     """ann_lsh_topk in batch form: identical `lsh_bucket_cols()`
     signatures; the per-probe OR-over-tables filter becomes a
-    (table, bucket) equi-join + distinct."""
-    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols()))
+    (table, bucket) equi-join + distinct. n_tables/planes default to
+    the registered parameters; the sweep mode varies them."""
+    kw = {}
+    if n_tables is not None:
+        kw = {"n_tables": n_tables, "planes_per_table": planes}
+    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols(**kw)))
     probe_b = (emb_b.join(F.broadcast(probes),
                           emb_b.vec_id == probes.probe_id)
                .select("probe_id", "pv",
@@ -362,10 +370,53 @@ def run_nprobe_sweep(spark: SparkSession, sf_dir: str, mod: int) -> dict:
     return out
 
 
+def run_lsh_param_sweep(spark: SparkSession, sf_dir: str,
+                        mod: int) -> dict:
+    """Recall-vs-touch curve for the LSH family across (L tables,
+    p planes) — the retuning map for when the corpus regime changes
+    (more planes sharpen buckets for strong-similarity corpora; more
+    tables buy back recall). (16, 4) is the registered configuration
+    and must reproduce the main run's numbers exactly."""
+    from data_pipelines_course_spark.operators.similarity import (
+        N_TABLES, PLANES_PER_TABLE,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    probes = probe_panel(emb, mod).cache()
+    n_probes = probes.count()
+    gt = _collect_sets(batch_ground_truth(emb, probes))
+    out = {"sweep": "lsh_params", "sf_dir": sf_dir, "n_corpus": n_corpus,
+           "mod": mod, "n_probes": n_probes, "top_k": TOP_K,
+           "registered": [N_TABLES, PLANES_PER_TABLE], "points": {}}
+    emb_nz = emb.filter(norm("embedding") > 0)
+    for L, p in ((16, 2), (16, 4), (8, 6), (16, 6), (32, 6), (16, 8)):
+        t0 = time.time()
+        found = _collect_sets(batch_lsh(emb, probes, n_tables=L, planes=p))
+        rep = recall_report(gt, found)
+        rep["sec"] = round(time.time() - t0, 1)
+        emb_b = emb_nz.withColumn(
+            "buckets", F.array(*lsh_bucket_cols(L, p)))
+        probe_b = (emb_b.join(F.broadcast(probes),
+                              emb_b.vec_id == probes.probe_id)
+                   .select("probe_id",
+                           F.posexplode("buckets").alias("t", "qb")))
+        corp_b = emb_b.select("vec_id",
+                              F.posexplode("buckets").alias("t", "b"))
+        n_cand = (corp_b.join(F.broadcast(probe_b),
+                              (corp_b.t == probe_b.t)
+                              & (corp_b.b == F.col("qb")))
+                  .select("probe_id", "vec_id").distinct().count())
+        rep["cand_frac"] = round(n_cand / (n_probes * n_corpus), 4)
+        out["points"][f"{L}x{p}"] = rep
+    return out
+
+
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     mod = 20
     sweep = "--nprobe-sweep" in sys.argv
+    lsh_sweep = "--lsh-sweep" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
@@ -374,7 +425,8 @@ def main() -> None:
     from data_pipelines_course_spark.session import get_spark
 
     spark = get_spark()
-    fn = run_nprobe_sweep if sweep else run
+    fn = (run_nprobe_sweep if sweep
+          else run_lsh_param_sweep if lsh_sweep else run)
     print(json.dumps(fn(spark, sf_dir, mod)))
 
 

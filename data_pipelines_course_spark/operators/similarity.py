@@ -180,11 +180,16 @@ PLANES_PER_TABLE = 4  # sign bits per table (AND-amplification)
 EMB_DIM = 64
 
 
-def _hyperplanes() -> list[list[float]]:
+def _hyperplanes(n_tables: int = N_TABLES,
+                 planes_per_table: int = PLANES_PER_TABLE
+                 ) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed xorshift stream →
-    uniform in [-1, 1)); stable across runs, no runtime randomness."""
+    uniform in [-1, 1)); stable across runs, no runtime randomness.
+    Defaults are the registered parameters; the args exist for the
+    referee's parameter sweep (ann_recall_referee.py) — a different
+    (L, p) draws a different prefix of the same fixed stream."""
     planes, state = [], 2463534242
-    for _ in range(N_TABLES * PLANES_PER_TABLE):
+    for _ in range(n_tables * planes_per_table):
         row = []
         for _ in range(EMB_DIM):
             state ^= (state << 13) & 0xFFFFFFFF
@@ -195,7 +200,9 @@ def _hyperplanes() -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_cols() -> list[Column]:
+def lsh_bucket_cols(n_tables: int = N_TABLES,
+                    planes_per_table: int = PLANES_PER_TABLE
+                    ) -> list[Column]:
     """One bucket id per hash table: the sign-bit signature of the
     embedding against that table's PLANES_PER_TABLE fixed hyperplanes;
     pure JVM expressions over the array column.
@@ -207,7 +214,13 @@ def lsh_bucket_cols() -> list[Column]:
     (s≈0.6), where one 12-plane table recalls ~0.05 of true neighbors;
     16 tables × 4 planes lift that to ~0.91 theoretical / ≥0.6 asserted
     (tests/test_similarity.py). In a strong-similarity regime (near-dup
-    mining, cos≥0.9) raise PLANES_PER_TABLE to sharpen buckets.
+    mining, cos≥0.9) raise PLANES_PER_TABLE to sharpen buckets —
+    measured (r8 (L, p) sweep, ANN_RECALL_r08.json): on the
+    near-dup-rich sf1 corpus 16×8 holds recall 0.909 touching only
+    7.4% of the corpus (12× better than random) and 8×6 gets 0.937 at
+    12.6%, while on the weak-similarity sf0.1 corpus every
+    configuration pays near-linear recall-vs-touch (16×8: 0.287 at
+    7.4%) — the registered 16×4 is the right point for THAT regime.
 
     100-probe panel measurement (r8, ann_recall_referee.py /
     ANN_RECALL_r08.json — supersedes this docstring's earlier
@@ -220,12 +233,12 @@ def lsh_bucket_cols() -> list[Column]:
     earned only where the corpus has real similarity structure (the
     near-dup-rich sf1 tier: 0.998 recall at the same 63% touch, IVF
     0.962 at 25%)."""
-    planes = _hyperplanes()
+    planes = _hyperplanes(n_tables, planes_per_table)
     cols = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         bucket = None
-        for j in range(PLANES_PER_TABLE):
-            plane = planes[t * PLANES_PER_TABLE + j]
+        for j in range(planes_per_table):
+            plane = planes[t * planes_per_table + j]
             arr = "array(" + ", ".join(f"cast({v!r} as double)" for v in plane) + ")"
             d = F.expr(
                 f"aggregate(zip_with(embedding, {arr},"
