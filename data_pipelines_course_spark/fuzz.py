@@ -900,3 +900,209 @@ def generate_v3(seed: int) -> FuzzV3:
     if roll < 0.75:
         return _gen_v3_setop(rng, seed)
     return _gen_v3_subq(rng, seed)
+
+
+# --------------------------------------------------------------------------
+# Grammar v4 — nested aggregation and scalar subqueries (fourth frozen
+# digest). Two shapes v1-v3 never emit:
+#   agg-of-agg: SELECT <outer aggs> FROM (SELECT k..., count(*), <aggs>
+#               FROM t [WHERE] GROUP BY k...) sub [WHERE cnt >= n]
+#               [GROUP BY k-subset]
+#   scalar-subquery predicate: ... WHERE x > (SELECT avg(x) FROM t
+#               [WHERE]) — rendered as a 1-row aggregate broadcast
+#               cross-join on the DataFrame side (Spark has no scalar
+#               subquery in the Column API; the broadcast IS the plan a
+#               scalar subquery compiles to).
+# Determinism rules: every non-count aggregate operand is an
+# integer-VALUED column (dec==0 or integer-typed), so inner sums and
+# averages are exact in fp (sum < 2^53, division identical) — outer
+# aggregates over them and scalar-average comparisons are therefore
+# bit-deterministic on both engines; integer-typed sums cast to double
+# on both sides (v1's HUGEINT rule).
+# --------------------------------------------------------------------------
+
+def _v4_int_ops(table: str) -> list[tuple[str, bool]]:
+    """(col, needs_double_cast_on_sum): integer-valued numeric cols."""
+    return [(c, is_int) for c, (_, _, dec, is_int)
+            in NUMERIC.get(table, {}).items() if dec == 0 or is_int]
+
+
+def _gen_v4_agg_of_agg(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(["lineitem", "orders", "customer"])
+    pool = _v3_discrete_pool(table)
+    n_keys = rng.randint(1, 2)
+    keys: list[Expr] = []
+    for e in rng.sample(pool, k=len(pool)):
+        if all(e.name != k.name for k in keys):
+            keys.append(e)
+        if len(keys) == n_keys:
+            break
+    preds = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 2))]
+
+    # inner aggregates: cnt always, plus 0-2 over integer-valued cols
+    inner: list[tuple[str, str | None, str, bool]] = [
+        ("count", None, "cnt", False)]  # (fn, col, name, cast)
+    used = {"cnt"}
+    for _ in range(rng.randint(0, 2)):
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        col, is_int = rng.choice(_v4_int_ops(table))
+        name = f"{fn}_{col}"
+        if name in used:
+            continue
+        used.add(name)
+        inner.append((fn, col, name, fn == "sum" and is_int))
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    isel = [f"{k.sql} AS {k.name}" for k in keys]
+    for fn, col, name, cast in inner:
+        expr = "count(*)" if fn == "count" else f"{fn}({col})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        isel.append(f"{expr} AS {name}")
+    inner_sql = (f"SELECT {', '.join(isel)} FROM {table}{where} "
+                 f"GROUP BY {', '.join(k.sql for k in keys)}")
+
+    # outer: optional filter on cnt, optional regroup on a key subset
+    cnt_min = rng.randint(2, 10) if rng.random() < 0.35 else None
+    outer_key = (keys[0] if len(keys) == 2 and rng.random() < 0.45
+                 else None)
+
+    # outer aggregates over the inner's columns (all exact-valued).
+    # Track which inner results are INTEGER-typed: cnt, and min/max
+    # over integer-typed source columns (sum was already cast, avg is
+    # double) — an outer sum over those hits DuckDB's HUGEINT and
+    # needs the double cast on both sides (v1 rule, one level up).
+    int_cols = {c for c, is_int in _v4_int_ops(table) if is_int}
+    int_results = {"cnt"} | {
+        name for fn, col, name, cast in inner[1:]
+        if fn in ("min", "max") and col in int_cols}
+    inner_cols = ["cnt"] + [name for _, _, name, _ in inner[1:]]
+    outer: list[tuple[str, str | None, str, bool]] = [
+        ("count", None, "n_groups", False)]
+    oused = {"n_groups"}
+    for _ in range(rng.randint(1, 2)):
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        col = rng.choice(inner_cols)
+        name = f"{fn}_{col}"
+        if name in oused:
+            continue
+        oused.add(name)
+        outer.append((fn, col, name,
+                      fn == "sum" and col in int_results))
+    # outer references see the SUBQUERY's output columns — the alias,
+    # never the raw expression (which only exists inside sub)
+    osel = ([f"{outer_key.name} AS {outer_key.name}"] if outer_key else [])
+    for fn, col, name, cast in outer:
+        expr = "count(*)" if fn == "count" else f"{fn}({col})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        osel.append(f"{expr} AS {name}")
+    ow = f" WHERE cnt >= {cnt_min}" if cnt_min is not None else ""
+    text = f"SELECT {', '.join(osel)} FROM ({inner_sql}) AS sub{ow}"
+    if outer_key is not None:
+        # the subquery already aliased the key — group by the alias
+        text += f" GROUP BY {outer_key.name}"
+
+    def run(spark: SparkSession, sf_dir: str, table=table, keys=keys,
+            preds=preds, inner=inner, outer=outer, cnt_min=cnt_min,
+            outer_key=outer_key) -> DataFrame:
+        df = load(spark, sf_dir, table)
+        for p in preds:
+            df = df.filter(p.make())
+        iaggs = []
+        for fn, col, name, cast in inner:
+            c = (F.count(F.lit(1)) if fn == "count"
+                 else getattr(F, fn)(col))
+            if cast:
+                c = c.cast("double")
+            iaggs.append(c.alias(name))
+        sub = df.groupBy(*[k.col() for k in keys]).agg(*iaggs)
+        if cnt_min is not None:
+            sub = sub.filter(F.col("cnt") >= cnt_min)
+        oaggs = []
+        for fn, col, name, cast in outer:
+            c = (F.count(F.lit(1)) if fn == "count"
+                 else getattr(F, fn)(col))
+            if cast:
+                c = c.cast("double")
+            oaggs.append(c.alias(name))
+        grouped = (sub.groupBy(F.col(outer_key.name))
+                   if outer_key is not None else sub.groupBy())
+        return grouped.agg(*oaggs)
+
+    return FuzzV3(seed, "agg_of_agg", run, text)
+
+
+def _gen_v4_scalar(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(["lineitem", "orders", "customer"])
+    x, _ = rng.choice(_v4_int_ops(table))
+    ipreds = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 1))]
+    opreds = [_gen_pred(rng, (table,)) for _ in range(rng.randint(0, 1))]
+    op = rng.choice([">", "<="])
+    iw = (" WHERE " + " AND ".join(p.sql for p in ipreds)
+          if ipreds else "")
+    scalar_sql = f"(SELECT avg({x}) FROM {table}{iw})"
+    where = " WHERE " + " AND ".join(
+        [p.sql for p in opreds] + [f"{x} {op} {scalar_sql}"])
+
+    pool = _v3_discrete_pool(table)
+    aggshape = rng.random() < 0.55
+    if aggshape:
+        keys = rng.sample(pool, k=rng.randint(0, 1))
+        sel = [f"{k.sql} AS {k.name}" for k in keys] + ["count(*) AS cnt"]
+        fn = rng.choice(["min", "max", "avg"])
+        sel.append(f"{fn}({x}) AS {fn}_{x}")
+        text = f"SELECT {', '.join(sel)} FROM {table}{where}"
+        if keys:
+            text += " GROUP BY " + ", ".join(k.sql for k in keys)
+        projs, distinct = [], False
+        extra = (fn, x, f"{fn}_{x}")
+    else:
+        keys, extra = [], None
+        n = rng.randint(1, min(3, len(pool)))
+        projs = []
+        for e in rng.sample(pool, k=len(pool)):
+            if all(e.name != c.name for c in projs):
+                projs.append(e)
+            if len(projs) == n:
+                break
+        distinct = rng.random() < 0.5
+        head = "SELECT DISTINCT" if distinct else "SELECT"
+        sel = ", ".join(f"{p.sql} AS {p.name}" for p in projs)
+        text = f"{head} {sel} FROM {table}{where}"
+
+    def run(spark: SparkSession, sf_dir: str, table=table, x=x, op=op,
+            ipreds=ipreds, opreds=opreds, keys=keys, projs=projs,
+            distinct=distinct, extra=extra) -> DataFrame:
+        base = load(spark, sf_dir, table)
+        inner = base
+        for p in ipreds:
+            inner = inner.filter(p.make())
+        scalar = inner.agg(F.avg(x).alias("_sc"))
+        out = base
+        for p in opreds:
+            out = out.filter(p.make())
+        out = out.crossJoin(F.broadcast(scalar))
+        out = out.filter(F.col(x) > F.col("_sc") if op == ">"
+                         else F.col(x) <= F.col("_sc")).drop("_sc")
+        if extra is not None:
+            fn, xc, name = extra
+            aggs = [F.count(F.lit(1)).alias("cnt"),
+                    getattr(F, fn)(xc).alias(name)]
+            grouped = (out.groupBy(*[k.col() for k in keys])
+                       if keys else out.groupBy())
+            return grouped.agg(*aggs)
+        out = out.select(*[p.col() for p in projs])
+        return out.distinct() if distinct else out
+
+    return FuzzV3(seed, "scalar_subq", run, text)
+
+
+def generate_v4(seed: int) -> FuzzV3:
+    """Nested-aggregation / scalar-subquery corpus. Deterministic per
+    seed; independent of the v1/v2/v3 seed spaces."""
+    rng = random.Random(("v4", seed).__repr__())
+    if rng.random() < 0.6:
+        return _gen_v4_agg_of_agg(rng, seed)
+    return _gen_v4_scalar(rng, seed)

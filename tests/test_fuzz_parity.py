@@ -24,13 +24,16 @@ import hashlib
 
 import pytest
 
-from data_pipelines_course_spark.fuzz import generate, generate_v2, generate_v3
+from data_pipelines_course_spark.fuzz import (
+    generate, generate_v2, generate_v3, generate_v4,
+)
 
 from .conftest import SF_DIR, assert_frames_match
 
 SEEDS = range(200)
 SEEDS_V2 = range(100)  # grammar v2: LEFT JOIN / null semantics
 SEEDS_V3 = range(100)  # grammar v3: windows / set ops / IN-subqueries
+SEEDS_V4 = range(80)  # grammar v4: nested aggregation / scalar subqueries
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -39,6 +42,8 @@ CORPUS_DIGEST_V2 = (
     "a13d2e34510e81bd1dde770b26e4667751597c11b1320a7e6687f64566e90b6c")
 CORPUS_DIGEST_V3 = (
     "7291a278bc0d01a9ba3f616aa32d680c98813c25d72e1d967880bb519a452b0e")
+CORPUS_DIGEST_V4 = (
+    "5f8f0ed213955848a402cfe9c8f8db3b0068c580a9d4b78d68771263b876b032")
 
 
 def test_generator_is_deterministic():
@@ -46,6 +51,7 @@ def test_generator_is_deterministic():
         assert generate(seed).sql() == generate(seed).sql()
         assert generate_v2(seed).sql() == generate_v2(seed).sql()
         assert generate_v3(seed).sql() == generate_v3(seed).sql()
+        assert generate_v4(seed).sql() == generate_v4(seed).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -69,6 +75,10 @@ def test_corpus_digest():
     assert got3 == CORPUS_DIGEST_V3, (
         f"fuzz v3 corpus changed: digest {got3} — re-pin "
         "CORPUS_DIGEST_V3 if intentional")
+    got4 = _digest(generate_v4, SEEDS_V4)
+    assert got4 == CORPUS_DIGEST_V4, (
+        f"fuzz v4 corpus changed: digest {got4} — re-pin "
+        "CORPUS_DIGEST_V4 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -96,3 +106,14 @@ def test_fuzz_parity_v3(spark, duck, seed):
     q = generate_v3(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v3[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V4)
+def test_fuzz_parity_v4(spark, duck, seed):
+    """Nested-aggregation / scalar-subquery corpus: agg-of-agg over a
+    FROM-subquery (with cnt filters and key-subset regrouping) and
+    x > (SELECT avg(x) ...) predicates rendered as 1-row broadcast
+    cross-joins on the DataFrame side."""
+    q = generate_v4(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v4[{seed}]: {q.sql()}")
