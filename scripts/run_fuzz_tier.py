@@ -1,0 +1,70 @@
+"""Run the full fuzz corpus (all four grammars, 480 seeds) against
+DuckDB at an arbitrary tier — the in-suite corpus runs at sf0.01; this
+driver re-checks the identical seeds at 10x/100x data, where a
+divergence would indicate a scale-dependent semantics bug (spill paths,
+overflow, partial-aggregation merge) rather than a grammar bug.
+
+Usage:
+    python scripts/run_fuzz_tier.py [--sf-dir=/root/testdata/sf0.1]
+Prints one JSON line: {"sf_dir", "checked", "failed": [...], "sec"}.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from data_pipelines_course_spark.fuzz import (  # noqa: E402
+    generate, generate_v2, generate_v3, generate_v4,
+)
+from data_pipelines_course_spark.session import get_spark  # noqa: E402
+
+_spec = importlib.util.spec_from_file_location(
+    "eng_conftest", f"{REPO}/tests/conftest.py")
+_conftest = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_conftest)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    for a in sys.argv[1:]:
+        if a.startswith("--sf-dir="):
+            sf_dir = a.split("=", 1)[1]
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{sf_dir}/{t}.parquet'")
+    corpora = [("v1", generate, 200), ("v2", generate_v2, 100),
+               ("v3", generate_v3, 100), ("v4", generate_v4, 80)]
+    t0 = time.time()
+    checked, failed = 0, []
+    for tag, gen, n in corpora:
+        for s in range(n):
+            q = gen(s)
+            checked += 1
+            try:
+                _conftest.assert_frames_match(
+                    q.df(spark, sf_dir), con.sql(q.sql()),
+                    name=f"{tag}[{s}]")
+            except AssertionError as e:
+                failed.append(str(e)[:400])
+        print(f"  {tag}: done ({checked} cumulative, "
+              f"{len(failed)} failed)", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "checked": checked,
+                      "failed": failed,
+                      "sec": round(time.time() - t0, 1)}))
+
+
+if __name__ == "__main__":
+    main()

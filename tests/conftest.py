@@ -55,9 +55,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         out[c] = s
     df = pd.DataFrame(out)
     # Sort rows canonically; numeric columns sort numerically, the rest as
-    # strings (mixed/None-bearing object columns included).
+    # strings (mixed/None-bearing object columns included). FLOAT columns
+    # sort LAST: a float whose 6-dp rounding flips between engines (a
+    # 1-ulp difference straddling a .5 boundary — found by the r8 fuzz
+    # tier run, v2[15] at sf0.1: 8/14999 group averages flipped) would
+    # misalign the whole row order if it were the primary key; with
+    # discrete columns leading, rows align whenever they are unique on
+    # the non-float columns, and the float compare below already
+    # tolerates the ulp.
+    cols = list(df.columns)
+    sort_cols = ([c for c in cols if df[c].dtype.kind != "f"]
+                 + [c for c in cols if df[c].dtype.kind == "f"])
     df = df.sort_values(
-        by=list(df.columns), ignore_index=True,
+        by=sort_cols, ignore_index=True,
         key=lambda s: s if s.dtype.kind in "ifuM" else s.map(repr))
     return df
 
