@@ -80,6 +80,23 @@ v3 portability rules, each a determinism argument:
     trap the grammar stays out of).
   * NOT IN subqueries select only non-nullable join keys (TPC-H
     PK/FK), so three-valued-logic NULL poisoning cannot occur.
+
+Grammar v4 (generate_v4, fourth frozen digest) adds the two nesting
+shapes v1-v3 never emit: agg-of-agg over a FROM-subquery (inner
+GROUP BY + aggregates, optional cnt filter, optional key-subset
+regrouping) and scalar-subquery predicates (x > (SELECT avg(x) ...)),
+rendered on the DataFrame side as a 1-row aggregate broadcast
+cross-join — the plan a scalar subquery compiles to. v4 determinism:
+every non-count operand is an integer-VALUED column, so inner
+aggregates are exact in fp and outer aggregates / scalar comparisons
+are bit-deterministic; integer-typed RESULTS (cnt, int min/max) get
+the double cast when summed one level up (the HUGEINT rule recurses).
+
+The corpus also runs at sf0.1 and sf1 via scripts/run_fuzz_tier.py
+(480/480 at both, r8) — the one divergence that sweep ever found was
+in the TEST COMPARATOR (float column as primary sort key + a 6-dp
+rounding boundary), not in either engine; tests/conftest._normalize
+now sorts discrete columns first.
 """
 
 from __future__ import annotations
