@@ -6,7 +6,11 @@ overflow, partial-aggregation merge) rather than a grammar bug.
 
 Usage:
     python scripts/run_fuzz_tier.py [--sf-dir=/root/testdata/sf0.1]
-Prints one JSON line: {"sf_dir", "checked", "failed": [...], "sec"}.
+        [--set spark.sql.autoBroadcastJoinThreshold=-1] ...
+--set applies runtime-settable session confs before the run — the
+join-strategy invariance axes the registry sweeps (no-auto-broadcast,
+SHJ preference) applied to the random corpus.
+Prints one JSON line: {"sf_dir", "confs", "checked", "failed", "sec"}.
 """
 
 from __future__ import annotations
@@ -37,10 +41,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
-    for a in sys.argv[1:]:
+    confs = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--set":
+            i += 1
+            confs.append(argv[i].split("=", 1))
+        i += 1
     spark = get_spark()
+    for k, v in confs:
+        spark.conf.set(k, v)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * "
@@ -61,8 +75,9 @@ def main() -> None:
                 failed.append(str(e)[:400])
         print(f"  {tag}: done ({checked} cumulative, "
               f"{len(failed)} failed)", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "checked": checked,
-                      "failed": failed,
+    print(json.dumps({"sf_dir": sf_dir,
+                      "confs": [f"{k}={v}" for k, v in confs],
+                      "checked": checked, "failed": failed,
                       "sec": round(time.time() - t0, 1)}))
 
 
