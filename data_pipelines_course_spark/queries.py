@@ -115,64 +115,65 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 8 rotation: staleness-ratchet front (VERDICT r7 #2) — the 50
+    # Round 9 rotation: staleness-ratchet front (VERDICT r8 #4) — the 50
     # names whose most recent driver CORRECTNESS row is oldest, ranked
-    # (latest round, name). Freshness at r8 start: r3=27, r4=17, r5=18,
-    # r6=50, r7=50; this front = all 27 r3 names + all 17 r4 names + the
-    # 6 alphabetically-first r5 names (mixes in rows-only names as they
-    # age — expected per VERDICT r7 obs. #2). tests/test_registry.py
+    # (latest round, name). Freshness at r9 start: r5=12, r6=38 in this
+    # front (r7=50, r8=50 behind it); this front = all 12 remaining r5
+    # names + the 38 alphabetically-first r6 names, exactly the tuple
+    # the guard test emits. Includes rows-only names as they age —
+    # expected per VERDICT r7 obs. #2. tests/test_registry.py
     # recomputes the ranking from the committed CORRECTNESS files and
     # fails with a paste-ready tuple when the rotation goes stale.
-    "event_funnel",
-    "knn_brute_force",
-    "label_centroid_norms",
-    "lang_token_stats",
-    "media_feature_extract",
-    "media_frame_sample",
-    "media_kind_stats",
-    "minmax_scale_by_group",
-    "mixture_sample_events",
-    "pivot_status_counts",
-    "repetition_ratio",
-    "retention_cohorts",
-    "rolling_7day_customer_spend",
-    "stratified_sample_per_source",
-    "token_length_histogram",
-    "topk_orders_per_segment",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_unshipped_revenue",
-    "tpch_q4_late_shipment_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "train_eval_split_docs",
-    "type_token_ratio_by_source",
-    "lateral_topk_per_nation",
-    "media_feature_extract_arrow",
-    "props_map_stats",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_top_acctbal_per_nation",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "unpivot_part_attrs",
-    "boilerplate_ngrams",
-    "context_windows_report",
-    "daily_event_gapfill",
-    "encode_docs_to_ids",
-    "gopher_quality_flags",
-    "lang_confusion_report",
+    "media_dedup_hash",
+    "ngram_novelty_report",
+    "pack_sequences",
+    "pii_redaction",
+    "quality_mixture_sample",
+    "range_position",
+    "table_profile_orders",
+    "temperature_resample_docs",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "vocabulary_build",
+    "weighted_sample_docs",
+    "ann_lsh_topk",
+    "approx_distinct_count",
+    "asof_join_latest_click",
+    "bpe_merge_table",
+    "bpe_token_stats",
+    "cogroup_conversion_lag",
+    "conversion_lag_native",
+    "corpus_curation_full",
+    "curation_attrition_report",
+    "customer_value_deciles",
+    "decontaminate_exact",
+    "decontaminate_lsh",
+    "decontaminate_ngram_hit",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "dedup_clusters_twostar",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dup_span_report",
+    "dup_span_trim",
+    "embedding_kmeans",
+    "embedding_neardup_topk",
+    "flagship_grouped_agg",
+    "ivf_pq_topk",
+    "ivf_topk",
+    "key_uniqueness_report",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_threshold",
+    "ngram_jaccard_threshold_prefix",
+    "ngram_jaccard_topk",
+    "pq_topk",
+    "price_quantiles",
+    "price_quantiles_approx",
+    "quantity_quantiles_by_flag",
+    "quantity_quantiles_by_flag_approx",
+    "range_join_click_count",
+    "rollup_stream_convergence",
+    "salted_grouped_stats",
 )
 
 
