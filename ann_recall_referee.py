@@ -56,42 +56,32 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_pipelines_course_spark.datasets import load
 from data_pipelines_course_spark.functions.scalar import fround
 from data_pipelines_course_spark.operators.similarity import (
     IVF_K, IVF_NPROBE, PQ_KSUB, PQ_M, PQ_REFINE, TOP_K,
     _arr_sql, _normalized, _pq_codebooks, _pq_encode_sql, _py_cos,
-    cosine, dot, finite_norm, lsh_bucket_cols, norm,
+    ann_probe_panel, batch_ranked_topk, batch_score, cosine, dot,
+    finite_norm, lsh_batch_topk, lsh_bucket_cols, norm,
 )
 
-
-def probe_panel(emb: DataFrame, mod: int) -> DataFrame:
-    """Deterministic probe set: vec_id % mod == 0 AND usable as a
-    direction (the registered probe rule). Columns: probe_id, pv."""
-    return (emb.filter((F.col("vec_id") % mod == 0)
-                       & finite_norm("embedding"))
-            .select(F.col("vec_id").alias("probe_id"),
-                    F.col("embedding").alias("pv")))
-
-
-def _ranked_topk(scored: DataFrame, k: int,
-                 score: str = "cos_sim") -> DataFrame:
-    """Top-k per probe under the registered tie rule (score desc, then
-    vec_id asc) — the batch equivalent of orderBy(...).limit(k)."""
-    w = Window.partitionBy("probe_id").orderBy(
-        F.desc(score), F.asc("vec_id"))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k).drop("_rn"))
+# The LSH batch path and its panel/score/rank building blocks were
+# promoted INTO the engine in round 9 (registered query
+# `ann_batch_topk`, VERDICT r8 #1 sanction) — the referee now measures
+# the registered implementation directly instead of a mirror of it.
+probe_panel = ann_probe_panel
+_ranked_topk = batch_ranked_topk
+_score = batch_score
 
 
-def _score(df: DataFrame) -> DataFrame:
-    """The registered scoring expression: fround(cosine, 6) + 0.0."""
-    return df.select(
-        "probe_id", "vec_id",
-        (fround(cosine("embedding", "pv"), 6) + F.lit(0.0))
-        .alias("cos_sim"))
+def batch_lsh(emb: DataFrame, probes: DataFrame,
+              n_tables: int | None = None,
+              planes: int | None = None) -> DataFrame:
+    """The registered `ann_batch_topk` body (`lsh_batch_topk`), with the
+    referee's historical (n_tables, planes) arg names for the sweep."""
+    return lsh_batch_topk(emb, probes, n_tables=n_tables,
+                          planes_per_table=planes)
 
 
 def batch_ground_truth(emb: DataFrame, probes: DataFrame) -> DataFrame:
@@ -329,7 +319,12 @@ def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
         out["paths"][name] = rep
     # Selectivity: candidates each routing path touches, per probe,
     # as a fraction of the corpus (the efficiency half of recall).
-    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols()))
+    # Zero-norm vectors are excluded BEFORE the bucket explode so this
+    # reports the same quantity as run_lsh_param_sweep (ADVICE r8 #2:
+    # the two artifacts previously agreed only because no zero-norm
+    # vector happened to co-bucket at the measured tiers).
+    emb_b = (emb.filter(norm("embedding") > 0)
+             .withColumn("buckets", F.array(*lsh_bucket_cols())))
     probe_b = (emb_b.join(F.broadcast(probes),
                           emb_b.vec_id == probes.probe_id)
                .select("probe_id",

@@ -281,6 +281,99 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Batch ANN serving — the 100 TB query shape (registered r9, VERDICT r8
+# #1 sanction). A probe PANEL replaces the single fixed probe: the
+# per-probe OR-over-tables bucket filter becomes one (table, bucket)
+# equi-join against the bucket index, and ranking is ONE window over
+# (probe_id), not a driver loop over probes. Measured by
+# ann_recall_referee.py at three tiers (panel recall@10 0.881 / 0.921 /
+# 0.998 at sf0.01/0.1/1, ANN_RECALL_r08.json) and pinned equal to the
+# registered single-probe `ann_lsh_topk` when the panel is restricted
+# to QUERY_VEC_ID (tests/test_ann_recall_referee.py).
+# --------------------------------------------------------------------------
+
+PROBE_MOD = 50  # registered panel rule: vec_id % PROBE_MOD == 0
+
+
+def ann_probe_panel(emb: DataFrame, mod: int = PROBE_MOD) -> DataFrame:
+    """Deterministic probe panel: every vec_id divisible by ``mod`` that
+    is usable as a direction (positive finite norm — the registered
+    single-probe rule). Columns: (probe_id, pv)."""
+    return (emb.filter((F.col("vec_id") % mod == 0)
+                       & finite_norm("embedding"))
+            .select(F.col("vec_id").alias("probe_id"),
+                    F.col("embedding").alias("pv")))
+
+
+def batch_score(df: DataFrame) -> DataFrame:
+    """The registered scoring expression, batch form: fround(cos, 6)+0.0
+    over (embedding, pv) — bit-identical to the single-probe queries."""
+    return df.select(
+        "probe_id", "vec_id",
+        (fround(cosine("embedding", "pv"), 6) + F.lit(0.0))
+        .alias("cos_sim"))
+
+
+def batch_ranked_topk(scored: DataFrame, k: int = TOP_K,
+                      score: str = "cos_sim") -> DataFrame:
+    """Top-k per probe under the registered tie rule (score desc, then
+    vec_id asc) — one window partitioned by probe_id; the batch
+    equivalent of orderBy(...).limit(k)."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(score), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn"))
+
+
+def lsh_batch_topk(emb: DataFrame, probes: DataFrame,
+                   n_tables: int | None = None,
+                   planes_per_table: int | None = None) -> DataFrame:
+    """`ann_lsh_topk` semantics over a probe panel: bucket both sides
+    with identical `lsh_bucket_cols()` signatures, equi-join on
+    (table, bucket), dedup candidates, exact-cosine re-rank per probe.
+    Either LSH parameter may be overridden alone — the other defaults
+    to the registered value (ADVICE r8 #3: the old referee signature
+    raised TypeError on n_tables-without-planes).
+
+    At 100 TB: `buckets` is a write-time index column, the panel is
+    broadcast (panels are small by construction), and the only wide
+    exchange is the per-probe window — partitioned by probe_id, so it
+    scales with panel size, not corpus size."""
+    L = N_TABLES if n_tables is None else n_tables
+    p = PLANES_PER_TABLE if planes_per_table is None else planes_per_table
+    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols(L, p)))
+    probe_b = (emb_b.join(F.broadcast(probes),
+                          emb_b.vec_id == probes.probe_id)
+               .select("probe_id",
+                       F.posexplode("buckets").alias("t", "qb")))
+    corp_b = emb_b.select(
+        "vec_id", F.posexplode("buckets").alias("t", "b"))
+    cand_ids = (corp_b.join(F.broadcast(probe_b),
+                            (corp_b.t == probe_b.t)
+                            & (corp_b.b == F.col("qb")))
+                .select("probe_id", "vec_id").distinct())
+    cands = (cand_ids
+             .join(emb.filter(norm("embedding") > 0), "vec_id")
+             .join(F.broadcast(probes), "probe_id")
+             .filter(F.col("vec_id") != F.col("probe_id")))
+    return batch_ranked_topk(batch_score(cands))
+
+
+@query("ann_batch_topk")  # rows-only: hyperplane hashing not SQL-oracle-able
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN top-k: LSH-bucketed approximate top-10 for EVERY panel
+    probe (vec_id % PROBE_MOD == 0) in one plan. This is the serving
+    shape a 100 TB similarity deployment actually runs — N probes
+    amortize one pass over the bucket index — whereas `ann_lsh_topk`
+    is its single-probe restriction (pinned equal on probe 0).
+    Columns: (probe_id, vec_id, cos_sim), top-10 per probe.
+    Recall measured per round by ann_recall_referee.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_batch_topk(emb, ann_probe_panel(emb))
+
+
+# --------------------------------------------------------------------------
 # Centroid per label — grouped vector aggregation (the "IVF coarse
 # quantizer" building block: at scale, probes search nearest centroids'
 # inverted lists first). Element-wise mean via posexplode + regroup.

@@ -117,13 +117,15 @@ def load_registry() -> None:
 DRIVER_FIRST: tuple[str, ...] = (
     # Round 9 rotation: staleness-ratchet front (VERDICT r8 #4) — the 50
     # names whose most recent driver CORRECTNESS row is oldest, ranked
-    # (latest round, name). Freshness at r9 start: r5=12, r6=38 in this
-    # front (r7=50, r8=50 behind it); this front = all 12 remaining r5
-    # names + the 38 alphabetically-first r6 names, exactly the tuple
-    # the guard test emits. Includes rows-only names as they age —
+    # (latest round, name). Freshness at r9 start: r5=12, r6=38 behind
+    # the never-covered head; this front = the r9-registered
+    # `ann_batch_topk` (no driver row ever -> absolute priority) + all
+    # 12 remaining r5 names + the 37 alphabetically-first r6 names,
+    # exactly the tuple the guard test emits. Includes rows-only names —
     # expected per VERDICT r7 obs. #2. tests/test_registry.py
     # recomputes the ranking from the committed CORRECTNESS files and
     # fails with a paste-ready tuple when the rotation goes stale.
+    "ann_batch_topk",
     "media_dedup_hash",
     "ngram_novelty_report",
     "pack_sequences",
@@ -173,7 +175,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "quantity_quantiles_by_flag_approx",
     "range_join_click_count",
     "rollup_stream_convergence",
-    "salted_grouped_stats",
 )
 
 

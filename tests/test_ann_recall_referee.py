@@ -1,4 +1,5 @@
-"""Pins for the multi-probe ANN recall referee (ann_recall_referee.py).
+"""Pins for the multi-probe ANN recall referee (ann_recall_referee.py)
+and parity tests for the registered `ann_batch_topk` query (r9).
 
 The referee's claim to measure the REGISTERED indexes rests on one
 property: restricted to the registered probe (QUERY_VEC_ID=0), every
@@ -7,6 +8,13 @@ returns — same vec_ids, same rounded scores. These tests pin that
 equality for the ground truth and all four serving paths, plus a
 multi-probe recall floor on the cheap path so a recall regression in
 the index parameters fails the suite, not just the round artifact.
+
+Since round 9 the LSH batch path IS a registered query
+(`ann_batch_topk`, VERDICT r8 #1 sanction): the referee's `batch_lsh`
+delegates to the engine's `lsh_batch_topk`, so the probe-0 equality pin
+and the panel recall floor below are that query's parity tests, not
+just referee self-checks. `test_ann_batch_topk_registered_*` pin the
+registered entry itself (panel rule, probe-0 restriction, schema).
 """
 
 from __future__ import annotations
@@ -80,6 +88,45 @@ def test_batch_pq_probe0_equals_registered(spark, emb, probe0):
 def test_batch_ivf_pq_probe0_equals_registered(spark, emb, probe0):
     got = _batch_rows(batch_pq(spark, emb, probe0, SF_DIR, ivf_route=True))
     want = _rows(all_queries()["ivf_pq_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_ann_batch_topk_registered_probe0_equals_single(spark, emb):
+    """The registered batch query's probe-0 slice IS the registered
+    single-probe query (same vec_ids, same rounded scores): the panel
+    rule vec_id % 50 == 0 always includes QUERY_VEC_ID = 0."""
+    got = _batch_rows(all_queries()["ann_batch_topk"](spark, SF_DIR))
+    want = _rows(all_queries()["ann_lsh_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_ann_batch_topk_registered_panel_and_schema(spark):
+    """Registered panel rule: one top-k group per usable vec_id % 50 == 0
+    probe (sf0.01: probes 0,50,...,450), ≤ TOP_K rows each, exact
+    (probe_id, vec_id, cos_sim) schema, fully deterministic re-run."""
+    df = all_queries()["ann_batch_topk"](spark, SF_DIR)
+    assert df.columns == ["probe_id", "vec_id", "cos_sim"]
+    rows = df.collect()
+    by_probe: dict[int, int] = {}
+    for r in rows:
+        by_probe[int(r["probe_id"])] = by_probe.get(int(r["probe_id"]), 0) + 1
+    assert set(by_probe) == {i * 50 for i in range(10)}
+    assert all(c <= 10 for c in by_probe.values())
+    again = all_queries()["ann_batch_topk"](spark, SF_DIR).collect()
+    key = lambda r: (int(r["probe_id"]), int(r["vec_id"]), float(r["cos_sim"]))
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_lsh_batch_topk_single_param_override_defaults_other(spark, emb, probe0):
+    """ADVICE r8 #3: overriding n_tables alone must default
+    planes_per_table to the registered value, not TypeError. With the
+    registered (16, 4) reproduced via n_tables-only override, results
+    equal the default call."""
+    from data_pipelines_course_spark.operators.similarity import (
+        lsh_batch_topk,
+    )
+    got = _batch_rows(lsh_batch_topk(emb, probe0, n_tables=16))
+    want = _batch_rows(lsh_batch_topk(emb, probe0))
     assert got == want
 
 
