@@ -106,30 +106,57 @@ def _banding_p(j: float) -> float:
     return 1.0 - (1.0 - j ** ROWS_PER_BAND) ** BANDS
 
 
+def wilson_ci(hit: int, n: int, z: float = 1.96) -> tuple[float, float]:
+    """95% Wilson score interval for a binomial proportion — the
+    small-n-safe interval (Wilson 1927; Brown/Cai/DasGupta 2001 rate it
+    over Wald for n < 40, exactly the referee's band sizes)."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = hit / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    return (round(max(0.0, center - half), 4),
+            round(min(1.0, center + half), 4))
+
+
 def _recall(found: set, truth: dict, theory: bool = True) -> dict:
     hit = [p for p in truth if p in found]
     missed = sorted((p for p in truth if p not in found),
                     key=lambda p: truth[p])
     # Stratify by TRUE Jaccard: aggregate recall is a property of the
     # corpus's J-distribution; the implementation contract is per-band
-    # recall tracking the banding s-curve (theory_mean below). Measured
-    # >= theory per band = banding + skew guard + est-cutoff healthy;
-    # measured << theory = implementation bug.
+    # recall vs the banding s-curve (theory_mean), judged through a
+    # Wilson 95% CI (ADVICE r8 #1: band n is 2-300, so point estimates
+    # over- and under-shoot theory by binomial noise alone — r8's
+    # sf10 [0.7,0.8) read 0.75 on n=16 against theory 0.933). The
+    # s-curve also OVERSTATES expected recall below J~0.8: the
+    # registered est-Jaccard >= 0.5 cutoff drops co-bucketed pairs
+    # whose 32-sample signature estimate lands under 0.5 — a loss the
+    # banding model does not include (missed_diagnosis attributes these
+    # as 'est_cutoff'). So the healthy reading is: theory_in_ci or
+    # measured above theory; measured BELOW the CI of theory in a
+    # J >= 0.8 band = implementation bug.
     by_band = {}
     for lo, hi in ((0.6, 0.7), (0.7, 0.8), (0.8, 0.9), (0.9, 1.01)):
         band = [p for p, j in truth.items() if lo <= j < hi]
         if not band:
             continue
         n_hit = sum(p in found for p in band)
+        ci_lo, ci_hi = wilson_ci(n_hit, len(band))
         cell = {
             "n": len(band), "hit": n_hit,
             "recall": round(n_hit / len(band), 4),
+            "ci95": [ci_lo, ci_hi],
         }
         if theory:
             # Minhash only: the s-curve is the minhash banding's, not a
             # prediction for the Hamming-threshold simhash detector.
-            cell["theory_mean"] = round(
+            tm = round(
                 sum(_banding_p(truth[p]) for p in band) / len(band), 4)
+            cell["theory_mean"] = tm
+            cell["theory_in_ci"] = bool(ci_lo <= tm <= ci_hi)
+            cell["at_or_above_theory"] = bool(cell["recall"] >= tm)
         by_band[f"[{lo},{hi if hi <= 1 else 1.0})"] = cell
     return {
         "truth_pairs": len(truth),

@@ -111,3 +111,43 @@ def test_referee_equals_direct_when_sample_is_all(spark):
     direct = round(len(truth & found) / len(truth), 4)
     assert out["lsh"]["minhash_lsh_pairs"]["recall"] == direct
     assert out["lsh"]["minhash_lsh_pairs"]["truth_pairs"] == len(truth)
+
+
+def test_wilson_ci_known_values():
+    """Wilson 95% intervals against hand-computed references, including
+    the ADVICE r8 #1 case: sf10 [0.7,0.8) measured 12/16 = 0.75 vs
+    banding theory 0.9334 — the CI [0.5050, 0.8982] does NOT cover
+    theory, and the honest reading is est-cutoff loss (unmodeled below
+    J~0.8) plus noise, not a banding bug. The referee must report that
+    via theory_in_ci rather than a prose 'at-or-above' claim."""
+    from recall_referee import wilson_ci
+    lo, hi = wilson_ci(12, 16)
+    assert (lo, hi) == (0.505, 0.8982)
+    assert not (lo <= 0.9334 <= hi)
+    # degenerate and boundary cases
+    assert wilson_ci(0, 0) == (0.0, 1.0)
+    lo0, hi0 = wilson_ci(0, 10)
+    assert lo0 == 0.0 and 0.25 < hi0 < 0.35      # 0/10 -> [0, 0.2775]
+    lo1, hi1 = wilson_ci(10, 10)
+    assert hi1 == 1.0 and 0.65 < lo1 < 0.75      # 10/10 -> [0.7225, 1]
+    # CI always brackets the point estimate
+    for h, n in ((1, 3), (5, 7), (88, 88), (224, 294)):
+        lo, hi = wilson_ci(h, n)
+        assert lo <= h / n <= hi
+
+
+def test_recall_cells_carry_ci_and_theory_flags(spark):
+    """Every per-band cell in the referee output carries the Wilson CI,
+    and minhash cells carry theory_in_ci / at_or_above_theory — the
+    machine-checkable form of the (restated) recall contract."""
+    out = measure(spark, SF_DIR, mod=1)
+    bands = out["lsh"]["minhash_lsh_pairs"]["by_band"]
+    assert bands, "no J-bands at sf0.01?"
+    for cell in bands.values():
+        lo, hi = cell["ci95"]
+        assert 0.0 <= lo <= cell["recall"] <= hi <= 1.0
+        assert isinstance(cell["theory_in_ci"], bool)
+        assert cell["at_or_above_theory"] == (
+            cell["recall"] >= cell["theory_mean"])
+    for cell in out["lsh"]["simhash_pairs"]["by_band"].values():
+        assert "ci95" in cell and "theory_mean" not in cell
