@@ -93,34 +93,6 @@ def batch_ground_truth(emb: DataFrame, probes: DataFrame) -> DataFrame:
     return _ranked_topk(_score(pairs), TOP_K)
 
 
-def batch_lsh(emb: DataFrame, probes: DataFrame,
-              n_tables: int | None = None,
-              planes: int | None = None) -> DataFrame:
-    """ann_lsh_topk in batch form: identical `lsh_bucket_cols()`
-    signatures; the per-probe OR-over-tables filter becomes a
-    (table, bucket) equi-join + distinct. n_tables/planes default to
-    the registered parameters; the sweep mode varies them."""
-    kw = {}
-    if n_tables is not None:
-        kw = {"n_tables": n_tables, "planes_per_table": planes}
-    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols(**kw)))
-    probe_b = (emb_b.join(F.broadcast(probes),
-                          emb_b.vec_id == probes.probe_id)
-               .select("probe_id", "pv",
-                       F.posexplode("buckets").alias("t", "qb")))
-    corp_b = emb_b.select(
-        "vec_id", F.posexplode("buckets").alias("t", "b"))
-    cand_ids = (corp_b.join(F.broadcast(probe_b.select("probe_id", "t", "qb")),
-                            (corp_b.t == probe_b.t)
-                            & (corp_b.b == F.col("qb")))
-                .select("probe_id", "vec_id").distinct())
-    cands = (cand_ids
-             .join(emb.filter(norm("embedding") > 0), "vec_id")
-             .join(F.broadcast(probes), "probe_id")
-             .filter(F.col("vec_id") != F.col("probe_id")))
-    return _ranked_topk(_score(cands), TOP_K)
-
-
 def _ivf_cents(emb: DataFrame) -> dict[int, list[float]]:
     """The registered coarse quantizer: first IVF_K usable vectors."""
     rows = (emb.filter((F.col("vec_id") < IVF_K) & finite_norm("embedding"))
@@ -164,10 +136,11 @@ def batch_ivf_kmeans(spark: SparkSession, emb: DataFrame,
                      probes: DataFrame, sf_dir: str) -> DataFrame:
     """The trained-router IVF twin: identical plan shape to batch_ivf,
     but the coarse quantizer is the registered `kmeans_train` output
-    (the production router ivf_topk's docstring promises) instead of
-    the first-IVF_K-vectors stand-in. Not a registered query — a
-    referee twin that measures how much routing recall the trained
-    centroids buy at the same nprobe/K."""
+    instead of the first-IVF_K-vectors stand-in. Since r9 this IS the
+    batch twin of a registered query (`ivf_kmeans_topk`, VERDICT r8 #6
+    sanction — its probe-0 slice is pinned equal in
+    tests/test_ann_recall_referee.py); it measures how much routing
+    recall the trained centroids buy at the same nprobe/K."""
     from data_pipelines_course_spark.operators.similarity import (
         _best_cell, kmeans_train,
     )
@@ -308,7 +281,7 @@ def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
         "pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir),
         "ivf_pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir,
                                         ivf_route=True),
-        "ivf_topk[kmeans-router]": lambda: batch_ivf_kmeans(
+        "ivf_kmeans_topk": lambda: batch_ivf_kmeans(
             spark, emb, probes, sf_dir),
     }
     for name, fn in runners.items():
@@ -338,7 +311,7 @@ def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
     out["paths"]["ivf_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
     out["paths"]["pq_topk"]["cand_frac"] = 1.0  # ADC scans all codes
     out["paths"]["ivf_pq_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
-    out["paths"]["ivf_topk[kmeans-router]"]["cand_frac"] = round(
+    out["paths"]["ivf_kmeans_topk"]["cand_frac"] = round(
         IVF_NPROBE / IVF_K, 4)
     return out
 

@@ -667,6 +667,51 @@ def kmeans_train(
         base.unpersist()
 
 
+@query("ivf_kmeans_topk")  # rows-only: trained routing is not oracle SQL
+def ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the TRAINED coarse quantizer (registered r9,
+    VERDICT r8 #6 sanction): identical serving plan to `ivf_topk` —
+    assign cells as a pure JVM projection over broadcast centroid
+    literals, search the probe's IVF_NPROBE nearest cells, exact-cosine
+    re-rank — but the centroids are `kmeans_train`'s spherical-k-means
+    output instead of the first-IVF_K-vectors stand-in.
+
+    Why it exists: the r8 100-probe referee panel measured the trained
+    router at 0.558-0.592 recall@10 vs 0.482 for the untrained one at
+    IDENTICAL 25% corpus touch (ANN_RECALL_r08.json) — training the
+    router is free recall at serving time. Training cost is paid once
+    per session (kmeans_train memo; same policy as embedding_kmeans /
+    semdedup_candidates — and like those, this query is excluded from
+    bench EXTRA because construction-time training would be
+    mis-attributed to the serving plan).
+
+    At 100 TB: the trained cell id is a write-time partition column
+    exactly as in ivf_topk; a probe reads IVF_NPROBE partitions.
+    Probe-0 parity with the referee's batch twin is pinned in
+    tests/test_ann_recall_referee.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_train(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
+    if qrow is None or not cents:
+        return _empty_topk(spark)
+    qv = [float(x) for x in qrow["embedding"]]
+    if not _usable_probe(qv):
+        return _empty_topk(spark)
+    # Route to the IVF_NPROBE nearest trained cells (stable sort: ties
+    # to the lower cell index — the referee twin's exact rule).
+    probe_cells = sorted(range(len(cents)),
+                         key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
+    return (_normalized(emb)  # drops zero-norm rows: no direction
+            .withColumn("_cell", _best_cell(cents)["c"].cast("int"))
+            .filter(F.col("_cell").isin(probe_cells)
+                    & (F.col("vec_id") != QUERY_VEC_ID))
+            .select("vec_id", "label",
+                    (fround(cosine("embedding", _arr_sql(qv)), 6)
+                     + F.lit(0.0)).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(TOP_K))
+
+
 @query("embedding_kmeans")  # rows-only: iterative training is not oracle SQL
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell summary of the trained spherical-k-means quantizer: size,

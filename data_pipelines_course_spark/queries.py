@@ -117,15 +117,16 @@ def load_registry() -> None:
 DRIVER_FIRST: tuple[str, ...] = (
     # Round 9 rotation: staleness-ratchet front (VERDICT r8 #4) — the 50
     # names whose most recent driver CORRECTNESS row is oldest, ranked
-    # (latest round, name). Freshness at r9 start: r5=12, r6=38 behind
-    # the never-covered head; this front = the r9-registered
-    # `ann_batch_topk` (no driver row ever -> absolute priority) + all
-    # 12 remaining r5 names + the 37 alphabetically-first r6 names,
-    # exactly the tuple the guard test emits. Includes rows-only names —
+    # (latest round, name). Freshness at r9 start: this front = the two
+    # r9 registrations (`ann_batch_topk`, `ivf_kmeans_topk` — no driver
+    # row ever -> absolute priority) + all 12 remaining r5 names + the
+    # 36 alphabetically-first r6 names, exactly the tuple the guard
+    # test emits. Includes rows-only names —
     # expected per VERDICT r7 obs. #2. tests/test_registry.py
     # recomputes the ranking from the committed CORRECTNESS files and
     # fails with a paste-ready tuple when the rotation goes stale.
     "ann_batch_topk",
+    "ivf_kmeans_topk",
     "media_dedup_hash",
     "ngram_novelty_report",
     "pack_sequences",
@@ -174,7 +175,6 @@ DRIVER_FIRST: tuple[str, ...] = (
     "quantity_quantiles_by_flag",
     "quantity_quantiles_by_flag_approx",
     "range_join_click_count",
-    "rollup_stream_convergence",
 )
 
 

@@ -91,6 +91,38 @@ def test_batch_ivf_pq_probe0_equals_registered(spark, emb, probe0):
     assert got == want
 
 
+def test_batch_ivf_kmeans_probe0_equals_registered(spark, emb, probe0):
+    """The trained-router IVF is registered since r9 (`ivf_kmeans_topk`,
+    VERDICT r8 #6 sanction); the referee's batch twin restricted to
+    probe 0 must equal it — same vec_ids, same rounded scores."""
+    from ann_recall_referee import batch_ivf_kmeans
+    got = _batch_rows(batch_ivf_kmeans(spark, emb, probe0, SF_DIR))
+    want = _rows(all_queries()["ivf_kmeans_topk"](spark, SF_DIR))
+    assert got == want
+
+
+def test_ivf_kmeans_routes_differ_from_untrained(spark, emb):
+    """The trained router must actually be a different quantizer, not a
+    re-label: trained centroids differ from the first-K stand-ins (the
+    Lloyd loop moved them), while both queries stay top-10-shaped."""
+    from data_pipelines_course_spark.operators.similarity import (
+        IVF_K, kmeans_train,
+    )
+    cents, history = kmeans_train(spark, SF_DIR)
+    assert len(cents) == IVF_K and len(history) >= 1
+    first_k = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+               for r in emb.filter(F.col("vec_id") < IVF_K).collect()}
+    import math
+    moved = sum(
+        1 for i in range(IVF_K)
+        if 1.0 - sum(a * b for a, b in zip(cents[i], first_k[i]))
+        / math.sqrt(sum(x * x for x in first_k[i])) > 1e-3)
+    assert moved >= IVF_K // 2, "training barely moved the centroids?"
+    rows = all_queries()["ivf_kmeans_topk"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    assert [c for c in ("vec_id", "label", "cos_sim")] == list(rows[0].asDict())
+
+
 def test_ann_batch_topk_registered_probe0_equals_single(spark, emb):
     """The registered batch query's probe-0 slice IS the registered
     single-probe query (same vec_ids, same rounded scores): the panel
