@@ -92,11 +92,15 @@ aggregates are exact in fp and outer aggregates / scalar comparisons
 are bit-deterministic; integer-typed RESULTS (cnt, int min/max) get
 the double cast when summed one level up (the HUGEINT rule recurses).
 
+Grammar v5 (generate_v5, fifth frozen digest) attacks the §2.8
+scalar-function surface — composed regex/string/date/JSON/list
+pipelines over documents/events; rules in its own section docstring.
+
 The corpus also runs at sf0.1 and sf1 via scripts/run_fuzz_tier.py
-(480/480 at both, r8) — the one divergence that sweep ever found was
-in the TEST COMPARATOR (float column as primary sort key + a 6-dp
-rounding boundary), not in either engine; tests/conftest._normalize
-now sorts discrete columns first.
+(480/480 at both, r8; 580 seeds from r9) — the one divergence that
+sweep ever found was in the TEST COMPARATOR (float column as primary
+sort key + a 6-dp rounding boundary), not in either engine;
+tests/conftest._normalize now sorts discrete columns first.
 """
 
 from __future__ import annotations
@@ -1123,3 +1127,408 @@ def generate_v4(seed: int) -> FuzzV3:
     if rng.random() < 0.6:
         return _gen_v4_agg_of_agg(rng, seed)
     return _gen_v4_scalar(rng, seed)
+
+
+# --------------------------------------------------------------------------
+# Grammar v5 — the scalar-function surface (VERDICT r8 #5). §2.8 is the
+# widest §2 table (23 functions) and until now had only hand-paired
+# oracles; v5 composes 2-4 F-family functions into randomized pipelines
+# over documents/events and renders both engines from one AST.
+#
+# Coverage: F3/F4 (regexp extract/replace), F5 (lower/upper), F6
+# (concat_ws), F7 (trim/pad family), F8 (contains/instr), F9/F11 (date
+# formatting via the date_format<->strftime pair table), F12 (datediff),
+# F10 (weekday shim), F15-ish numeric derivations (length/instr ints),
+# F17 (get_json_object<->json_extract_string), F19-F21 (split + the
+# higher-order list family: filter/transform/aggregate/sort/slice/
+# distinct/contains/index).
+#
+# Portability rules (each probed at round start before the digest froze;
+# the probe facts are re-pinned by tests/test_fuzz_parity.py passing):
+#   * every base string is NON-NULL (text/lang/source/event_type, and
+#     props always carries key "k"), and regexp_extract returns '' — not
+#     NULL — on no-match on BOTH engines, so string compositions never
+#     manufacture SQL NULLs. The one nullable construct is sorted-token
+#     indexing, which uses the null-safe pair Spark F.get (0-based, NULL
+#     out-of-bounds; ANSI element_at would THROW) vs DuckDB 1-based []
+#     (NULL out-of-bounds).
+#   * regexp_replace: Spark replaces ALL matches by default (Java
+#     replaceAll); DuckDB replaces the FIRST unless the 'g' flag is
+#     given — the SQL rendering always states 'g'.
+#   * regex patterns come from a curated Java∩RE2 pool: spelled-out
+#     character classes, +/bounded repeats, grouping — no shorthands
+#     (\d), no backrefs, no lookaround (RE2 lacks them; Java differs on
+#     shorthand Unicode semantics).
+#   * split runs ONLY on the raw `text` column: the corpus is
+#     single-space normalized at every tier (probed: zero docs match
+#     '%  %'), so Spark split and DuckDB string_split produce identical
+#     token arrays with no empty-token edge cases.
+#   * arrays never reach the comparator — every list pipeline ends in a
+#     scalar (size / sum / join / index / contains).
+#   * DuckDB list_sum(empty)=NULL but Spark aggregate(empty,0,..)=0, so
+#     token-length sums run only over the never-empty RAW token array;
+#     a FILTERED array may only terminate in size() (0 == 0 portably).
+#   * list_sum over ints returns HUGEINT (pandas would widen to float):
+#     cast to BIGINT in the SQL rendering. Grouped SUMs of int-derived
+#     exprs get the v1 double cast on both sides; AVG over int-derived
+#     exprs is exact (integer sums << 2^53, one identical division).
+#   * min/max over composed strings is portable: the corpus is ASCII
+#     and both engines compare by codepoint (binary collation).
+#   * date formatting goes through a fixed pattern-pair table
+#     (date_format's Java patterns vs strftime's C patterns); weekday
+#     uses the F10 Monday=0 shim; Spark datediff(end,start) renders as
+#     DuckDB datediff('day',start,end).
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SExpr:
+    """Dual-rendered scalar expression (v5): late-bound Spark Column +
+    DuckDB SQL text + output kind ("str" | "int")."""
+    make: Callable[[], "F.Column"]
+    sql: str
+    kind: str
+
+
+_V5_WORDS = ["the", "spark", "table", "hash", "row", "scan", "value",
+             "batch"]
+_V5_NEEDLES = ["a", "e", "r", "ta", "er", "an"]
+_V5_RE_REPLACE = [  # (pattern, replacement) — Java∩RE2 subset
+    ("[aeiou]", ""), ("[a-e]", "_"), ("a+", "A"), ("[a-z]{6,}", "L"),
+    (" ", "_"), ("[rst]", "x"),
+]
+_V5_RE_EXTRACT = [  # (pattern, group)
+    ("([a-z]{4,})", 1), ("[a-z]+", 0), ("(s[a-z]+)", 1),
+    ("[ghkw][a-z]*", 0),
+]
+_V5_FMT = [  # (Spark date_format pattern, DuckDB strftime pattern)
+    ("yyyy-MM-dd", "%Y-%m-%d"), ("yyyy-MM", "%Y-%m"), ("HH", "%H"),
+    ("yyyy-MM-dd HH", "%Y-%m-%d %H"), ("dd/MM", "%d/%m"),
+]
+_V5_DATE_INTS = [  # (pyspark fn name, duckdb fn name)
+    ("year", "year"), ("month", "month"), ("dayofmonth", "day"),
+    ("hour", "hour"), ("minute", "minute"),
+]
+_V5_STR_BASES = {
+    "documents": ["text", "lang", "source"],
+    "events": ["event_type"],
+}
+
+
+def _v5_base_str(rng: random.Random, table: str) -> SExpr:
+    if table == "events" and rng.random() < 0.35:
+        # F17: JSON scalar extraction (props always carries "k").
+        return SExpr(lambda: F.get_json_object("props", "$.k"),
+                     "json_extract_string(props, '$.k')", "str")
+    c = rng.choice(_V5_STR_BASES[table])
+    return SExpr(lambda c=c: F.col(c), c, "str")
+
+
+def _v5_wrap_str(rng: random.Random, e: SExpr) -> SExpr:
+    """One str->str F-function applied over a composed expression."""
+    m, s = e.make, e.sql
+    kind = rng.choice(["upper", "lower", "reverse", "trim", "left",
+                       "right", "substr", "lpad", "rpad", "repeat",
+                       "re_replace", "re_extract"])
+    if kind in ("upper", "lower", "reverse", "trim"):
+        fn = {"upper": F.upper, "lower": F.lower,
+              "reverse": F.reverse, "trim": F.trim}[kind]
+        return SExpr(lambda m=m, fn=fn: fn(m()), f"{kind}({s})", "str")
+    if kind in ("left", "right"):
+        k = rng.randint(1, 8)
+        fn = F.left if kind == "left" else F.right
+        return SExpr(lambda m=m, fn=fn, k=k: fn(m(), F.lit(k)),
+                     f"{kind}({s}, {k})", "str")
+    if kind == "substr":
+        pos, ln = rng.randint(1, 5), rng.randint(2, 8)
+        return SExpr(lambda m=m, pos=pos, ln=ln: F.substring(m(), pos, ln),
+                     f"substring({s}, {pos}, {ln})", "str")
+    if kind in ("lpad", "rpad"):
+        k = rng.randint(4, 12)
+        fn = F.lpad if kind == "lpad" else F.rpad
+        return SExpr(lambda m=m, fn=fn, k=k: fn(m(), k, "."),
+                     f"{kind}({s}, {k}, '.')", "str")
+    if kind == "repeat":
+        return SExpr(lambda m=m: F.repeat(m(), 2), f"repeat({s}, 2)",
+                     "str")
+    if kind == "re_replace":
+        pat, repl = rng.choice(_V5_RE_REPLACE)
+        return SExpr(
+            lambda m=m, pat=pat, repl=repl: F.regexp_replace(m(), pat, repl),
+            f"regexp_replace({s}, '{pat}', '{repl}', 'g')", "str")
+    pat, g = rng.choice(_V5_RE_EXTRACT)
+    return SExpr(lambda m=m, pat=pat, g=g: F.regexp_extract(m(), pat, g),
+                 f"regexp_extract({s}, '{pat}', {g})", "str")
+
+
+def _v5_str_to_int(rng: random.Random, e: SExpr) -> SExpr:
+    m, s = e.make, e.sql
+    if rng.random() < 0.6:
+        return SExpr(lambda m=m: F.length(m()), f"length({s})", "int")
+    n = rng.choice(_V5_NEEDLES)
+    return SExpr(lambda m=m, n=n: F.instr(m(), n),
+                 f"instr({s}, '{n}')", "int")
+
+
+def _v5_array_expr(rng: random.Random) -> SExpr:
+    """documents-only: split + higher-order list family, terminating in
+    a scalar (rules in the section docstring)."""
+    toks = lambda: F.split("text", " ")  # noqa: E731 — raw text only
+    tsql = "string_split(text, ' ')"
+    kind = rng.choice(["n_toks", "n_long", "n_uniq", "len_sum", "tok_at",
+                       "join_sorted", "has_word"])
+    if kind == "n_toks":
+        return SExpr(lambda: F.size(toks()), f"len({tsql})", "int")
+    if kind == "n_long":
+        k = rng.randint(1, 5)
+        return SExpr(
+            lambda k=k: F.size(F.filter(toks(),
+                                        lambda x: F.length(x) > k)),
+            f"len(list_filter({tsql}, x -> length(x) > {k}))", "int")
+    if kind == "n_uniq":
+        return SExpr(lambda: F.size(F.array_distinct(toks())),
+                     f"len(list_distinct({tsql}))", "int")
+    if kind == "len_sum":
+        return SExpr(
+            lambda: F.aggregate(toks(), F.lit(0),
+                                lambda acc, x: acc + F.length(x)),
+            f"CAST(list_sum(list_transform({tsql}, x -> length(x))) "
+            "AS BIGINT)", "int")
+    if kind == "tok_at":
+        j = rng.randint(0, 2)  # F.get is 0-based+NULL-safe; [] is 1-based
+        return SExpr(lambda j=j: F.get(F.sort_array(toks()), j),
+                     f"list_sort({tsql})[{j + 1}]", "str")
+    if kind == "join_sorted":
+        k = rng.randint(2, 4)
+        return SExpr(
+            lambda k=k: F.array_join(F.slice(F.sort_array(toks()), 1, k),
+                                     "-"),
+            f"array_to_string(list_sort({tsql})[1:{k}], '-')", "str")
+    w = rng.choice(_V5_WORDS)
+    return SExpr(
+        lambda w=w: F.array_contains(toks(), w).cast("int"),
+        f"CAST(list_contains({tsql}, '{w}') AS INT)", "int")
+
+
+def _v5_date_expr(rng: random.Random) -> SExpr:
+    """events-only: F9/F10/F11/F12 derivations over ts."""
+    roll = rng.random()
+    if roll < 0.4:
+        sp, du = rng.choice(_V5_FMT)
+        return SExpr(lambda sp=sp: F.date_format("ts", sp),
+                     f"strftime(ts, '{du}')", "str")
+    if roll < 0.7:
+        pyfn, dufn = rng.choice(_V5_DATE_INTS)
+        return SExpr(lambda pyfn=pyfn: getattr(F, pyfn)("ts"),
+                     f"{dufn}(ts)", "int")
+    if roll < 0.85:
+        return SExpr(lambda: weekday_py("ts"), "isodow(ts) - 1", "int")
+    d = f"2024-01-{rng.randint(1, 28):02d}"
+    return SExpr(
+        lambda d=d: F.datediff(F.col("ts").cast("date"),
+                               F.lit(d).cast("date")),
+        f"datediff('day', DATE '{d}', CAST(ts AS DATE))", "int")
+
+
+def _v5_scalar(rng: random.Random, table: str) -> SExpr:
+    """One composed scalar: base -> 0-3 str wraps -> optional int
+    terminal. 2-4 F-functions per pipeline on average."""
+    roll = rng.random()
+    if table == "documents" and roll < 0.3:
+        e = _v5_array_expr(rng)
+        # tok_at may be NULL-bearing; keep it terminal (no wraps).
+        return e
+    if table == "events" and roll < 0.4:
+        e = _v5_date_expr(rng)
+        if e.kind == "str" and rng.random() < 0.4:
+            e = _v5_wrap_str(rng, e)
+        return e
+    e = _v5_base_str(rng, table)
+    for _ in range(rng.randint(1, 3)):
+        e = _v5_wrap_str(rng, e)
+    if rng.random() < 0.4:
+        e = _v5_str_to_int(rng, e)
+    return e
+
+
+def _v5_concat(rng: random.Random, table: str) -> SExpr:
+    """F6: concat_ws over two shallow string compositions."""
+    a = _v5_base_str(rng, table)
+    b = _v5_base_str(rng, table)
+    if rng.random() < 0.5:
+        a = _v5_wrap_str(rng, a)
+    if rng.random() < 0.5:
+        b = _v5_wrap_str(rng, b)
+    return SExpr(
+        lambda a=a, b=b: F.concat_ws("|", a.make(), b.make()),
+        f"concat_ws('|', {a.sql}, {b.sql})", "str")
+
+
+_V5_LANGS = ["en", "de", "fr", "es", "zh"]
+_V5_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def _v5_pred(rng: random.Random, table: str) -> Pred:
+    if table == "documents":
+        roll = rng.random()
+        if roll < 0.25:
+            v = rng.choice(_V5_LANGS)
+            return Pred(lambda v=v: F.col("lang") == v, f"lang = '{v}'")
+        if roll < 0.45:
+            vs = sorted(rng.sample([f"src{i}" for i in range(20)],
+                                   k=rng.randint(2, 4)))
+            inlist = ", ".join(f"'{v}'" for v in vs)
+            return Pred(lambda vs=vs: F.col("source").isin(vs),
+                        f"source IN ({inlist})")
+        if roll < 0.7:
+            k = rng.randint(60, 280)
+            op = rng.choice(["<", ">="])
+            return Pred(lambda k=k, op=op: (F.col("n_chars") < k) if op == "<"
+                        else (F.col("n_chars") >= k),
+                        f"n_chars {op} {k}")
+        w = rng.choice(_V5_WORDS)
+        return Pred(lambda w=w: F.col("text").contains(w),
+                    f"text LIKE '%{w}%'")
+    roll = rng.random()
+    if roll < 0.3:
+        v = rng.choice(_V5_EVENT_TYPES)
+        return Pred(lambda v=v: F.col("event_type") == v,
+                    f"event_type = '{v}'")
+    if roll < 0.55:
+        k = round(rng.uniform(1, 99), 2)
+        op = rng.choice(["<", ">="])
+        return Pred(lambda k=k, op=op: (F.col("value") < k) if op == "<"
+                    else (F.col("value") >= k),
+                    f"value {op} {k!r}")
+    if roll < 0.8:
+        k = rng.randint(0, 99)
+        return Pred(
+            lambda k=k: F.get_json_object("props", "$.k").cast("int") >= k,
+            f"CAST(json_extract_string(props, '$.k') AS INT) >= {k}")
+    d = f"2024-01-{rng.randint(2, 28):02d}"
+    op = rng.choice([">=", "<"])
+    return Pred(
+        lambda d=d, op=op: (F.col("ts") >= F.lit(d).cast("timestamp"))
+        if op == ">=" else (F.col("ts") < F.lit(d).cast("timestamp")),
+        f"ts {op} TIMESTAMP '{d}'")
+
+
+def _v5_key_pool(rng: random.Random, table: str) -> list[SExpr]:
+    """Low-cardinality discrete keys for the agg shape."""
+    if table == "documents":
+        pool = [SExpr(lambda: F.col("lang"), "lang", "str"),
+                SExpr(lambda: F.col("source"), "source", "str"),
+                SExpr(lambda: F.upper("lang"), "upper(lang)", "str"),
+                SExpr(lambda: F.left(F.col("source"), F.lit(4)),
+                      "left(source, 4)", "str")]
+        w = rng.choice(_V5_WORDS)
+        pool.append(SExpr(
+            lambda w=w: F.array_contains(F.split("text", " "), w)
+            .cast("int"),
+            f"CAST(list_contains(string_split(text, ' '), '{w}') AS INT)",
+            "int"))
+        return pool
+    sp, du = rng.choice(_V5_FMT)
+    pyfn, dufn = rng.choice(_V5_DATE_INTS)
+    return [SExpr(lambda: F.col("event_type"), "event_type", "str"),
+            SExpr(lambda: F.upper("event_type"), "upper(event_type)",
+                  "str"),
+            SExpr(lambda sp=sp: F.date_format("ts", sp),
+                  f"strftime(ts, '{du}')", "str"),
+            SExpr(lambda: weekday_py("ts"), "isodow(ts) - 1", "int"),
+            SExpr(lambda pyfn=pyfn: getattr(F, pyfn)("ts"),
+                  f"{dufn}(ts)", "int")]
+
+
+def _gen_v5_proj(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(["documents", "events"])
+    id_col = "doc_id" if table == "documents" else "event_id"
+    exprs: list[SExpr] = []
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.15:
+            exprs.append(_v5_concat(rng, table))
+        else:
+            exprs.append(_v5_scalar(rng, table))
+    preds = [_v5_pred(rng, table) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    distinct = rng.random() < 0.3
+    names = [f"c{i}" for i in range(len(exprs))]
+    if distinct:
+        sel = ", ".join(f"{e.sql} AS {n}" for e, n in zip(exprs, names))
+        text = f"SELECT DISTINCT {sel} FROM {table}{where}"
+    else:
+        sel = ", ".join([id_col] + [f"{e.sql} AS {n}"
+                                    for e, n in zip(exprs, names)])
+        text = f"SELECT {sel} FROM {table}{where}"
+
+    def run(spark: SparkSession, sf_dir: str, table=table, preds=preds,
+            exprs=exprs, names=names, distinct=distinct,
+            id_col=id_col) -> DataFrame:
+        out = load(spark, sf_dir, table)
+        for p in preds:
+            out = out.filter(p.make())
+        cols = [e.make().alias(n) for e, n in zip(exprs, names)]
+        if distinct:
+            return out.select(*cols).distinct()
+        return out.select(F.col(id_col), *cols)
+
+    return FuzzV3(seed, "scalar_proj", run, text)
+
+
+def _gen_v5_agg(rng: random.Random, seed: int) -> FuzzV3:
+    table = rng.choice(["documents", "events"])
+    pool = _v5_key_pool(rng, table)
+    keys = rng.sample(pool, k=rng.randint(0, 2))
+    key_names = [f"k{i}" for i in range(len(keys))]
+    preds = [_v5_pred(rng, table) for _ in range(rng.randint(0, 2))]
+
+    # count(*) always, plus 1-2 aggregates over composed scalars:
+    # sum/avg/min/max over int-derived, min/max over string-derived.
+    aggs: list[tuple[str, SExpr, str, bool]] = []
+    for i in range(rng.randint(1, 2)):
+        e = _v5_scalar(rng, table)
+        if e.kind == "int":
+            fn = rng.choice(["sum", "avg", "min", "max"])
+        else:
+            fn = rng.choice(["min", "max"])
+        aggs.append((fn, e, f"a{i}", fn == "sum"))
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    sel = [f"{k.sql} AS {n}" for k, n in zip(keys, key_names)]
+    sel.append("count(*) AS cnt")
+    for fn, e, n, cast in aggs:
+        expr = f"{fn}({e.sql})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        sel.append(f"{expr} AS {n}")
+    text = f"SELECT {', '.join(sel)} FROM {table}{where}"
+    if keys:
+        text += " GROUP BY " + ", ".join(k.sql for k in keys)
+
+    def run(spark: SparkSession, sf_dir: str, table=table, preds=preds,
+            keys=keys, key_names=key_names, aggs=aggs) -> DataFrame:
+        out = load(spark, sf_dir, table)
+        for p in preds:
+            out = out.filter(p.make())
+        aggcols = [F.count(F.lit(1)).alias("cnt")]
+        for fn, e, n, cast in aggs:
+            c = getattr(F, fn)(e.make())
+            if cast:
+                c = c.cast("double")
+            aggcols.append(c.alias(n))
+        grouped = (out.groupBy(*[k.make().alias(n) for k, n
+                                 in zip(keys, key_names)])
+                   if keys else out.groupBy())
+        return grouped.agg(*aggcols)
+
+    return FuzzV3(seed, "scalar_agg", run, text)
+
+
+def generate_v5(seed: int) -> FuzzV3:
+    """Scalar-function pipeline corpus (fifth frozen digest).
+    Deterministic per seed; independent of the v1-v4 seed spaces."""
+    rng = random.Random(("v5", seed).__repr__())
+    if rng.random() < 0.55:
+        return _gen_v5_proj(rng, seed)
+    return _gen_v5_agg(rng, seed)

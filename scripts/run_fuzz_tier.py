@@ -1,4 +1,4 @@
-"""Run the full fuzz corpus (all four grammars, 480 seeds) against
+"""Run the full fuzz corpus (all five grammars, 580 seeds) against
 DuckDB at an arbitrary tier — the in-suite corpus runs at sf0.01; this
 driver re-checks the identical seeds at 10x/100x data, where a
 divergence would indicate a scale-dependent semantics bug (spill paths,
@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
-    generate, generate_v2, generate_v3, generate_v4,
+    generate, generate_v2, generate_v3, generate_v4, generate_v5,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -60,7 +60,8 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * "
                 f"FROM '{sf_dir}/{t}.parquet'")
     corpora = [("v1", generate, 200), ("v2", generate_v2, 100),
-               ("v3", generate_v3, 100), ("v4", generate_v4, 80)]
+               ("v3", generate_v3, 100), ("v4", generate_v4, 80),
+               ("v5", generate_v5, 100)]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:

@@ -25,7 +25,7 @@ import hashlib
 import pytest
 
 from data_pipelines_course_spark.fuzz import (
-    generate, generate_v2, generate_v3, generate_v4,
+    generate, generate_v2, generate_v3, generate_v4, generate_v5,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -34,6 +34,7 @@ SEEDS = range(200)
 SEEDS_V2 = range(100)  # grammar v2: LEFT JOIN / null semantics
 SEEDS_V3 = range(100)  # grammar v3: windows / set ops / IN-subqueries
 SEEDS_V4 = range(80)  # grammar v4: nested aggregation / scalar subqueries
+SEEDS_V5 = range(100)  # grammar v5: scalar-function pipelines (§2.8)
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -44,6 +45,8 @@ CORPUS_DIGEST_V3 = (
     "7291a278bc0d01a9ba3f616aa32d680c98813c25d72e1d967880bb519a452b0e")
 CORPUS_DIGEST_V4 = (
     "5f8f0ed213955848a402cfe9c8f8db3b0068c580a9d4b78d68771263b876b032")
+CORPUS_DIGEST_V5 = (
+    "51631a7c2b3fa673838cc06b2f16f99ec2639677c42c9b627ca8466ce357a442")
 
 
 def test_generator_is_deterministic():
@@ -52,6 +55,7 @@ def test_generator_is_deterministic():
         assert generate_v2(seed).sql() == generate_v2(seed).sql()
         assert generate_v3(seed).sql() == generate_v3(seed).sql()
         assert generate_v4(seed).sql() == generate_v4(seed).sql()
+        assert generate_v5(seed).sql() == generate_v5(seed).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -79,6 +83,10 @@ def test_corpus_digest():
     assert got4 == CORPUS_DIGEST_V4, (
         f"fuzz v4 corpus changed: digest {got4} — re-pin "
         "CORPUS_DIGEST_V4 if intentional")
+    got5 = _digest(generate_v5, SEEDS_V5)
+    assert got5 == CORPUS_DIGEST_V5, (
+        f"fuzz v5 corpus changed: digest {got5} — re-pin "
+        "CORPUS_DIGEST_V5 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -117,3 +125,15 @@ def test_fuzz_parity_v4(spark, duck, seed):
     q = generate_v4(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v4[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V5)
+def test_fuzz_parity_v5(spark, duck, seed):
+    """Scalar-function pipeline corpus (§2.8 surface): composed regex
+    extract/replace, case/trim/pad/substring/repeat/reverse chains,
+    date_format<->strftime pairs, JSON scalar extraction, and the
+    split + higher-order list family reduced to scalars — randomized
+    over documents/events and compared against DuckDB."""
+    q = generate_v5(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v5[{seed}]: {q.sql()}")
