@@ -96,6 +96,11 @@ Grammar v5 (generate_v5, fifth frozen digest) attacks the §2.8
 scalar-function surface — composed regex/string/date/JSON/list
 pipelines over documents/events; rules in its own section docstring.
 
+Grammar v6 (generate_v6, sixth frozen digest) is the batch <-> stream
+differential axis: one aggregation AST rendered as a batch plan, as the
+same transform over a Structured Streaming file source (complete mode,
+AvailableNow), and as ANSI SQL — all three compared.
+
 The corpus also runs at sf0.1 and sf1 via scripts/run_fuzz_tier.py
 (480/480 at both, r8; 580 seeds from r9) — the one divergence that
 sweep ever found was in the TEST COMPARATOR (float column as primary
@@ -1532,3 +1537,133 @@ def generate_v5(seed: int) -> FuzzV3:
     if rng.random() < 0.55:
         return _gen_v5_proj(rng, seed)
     return _gen_v5_agg(rng, seed)
+
+
+# --------------------------------------------------------------------------
+# Grammar v6 — batch <-> stream differential parity (sixth frozen digest).
+#
+# The streaming surface (§2.9) is verified by hand-written scenario tests;
+# v6 adds the randomized axis: one seeded aggregation AST over events is
+# rendered THREE ways — a batch DataFrame plan, the SAME transform applied
+# to a Structured Streaming file source (complete output mode,
+# Trigger.AvailableNow, memory sink), and ANSI SQL for DuckDB — and all
+# three must agree. Complete-mode aggregation state over a finite source
+# IS the batch aggregate by the streaming model's own semantics, so any
+# divergence is a real defect (state-store merge, micro-batch partial-agg
+# replay, timestamp-conversion drift between the scan paths), not noise.
+#
+# Determinism rules: the transform is source-agnostic (filters + groupBy
+# aggregates only — no sort/limit/distinct, which complete-mode streaming
+# either forbids or makes trigger-dependent); aggregate operands reuse
+# v5's composed scalars (int-derived get the sum double-cast; float
+# `value` aggregates ride the comparator's fp tolerance exactly as v1's
+# double sums do). The file source needs a DIRECTORY, so the tier's
+# events.parquet is staged as a symlink under /tmp; the nanos->timestamp
+# normalization mirrors datasets.load on the streaming side.
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FuzzV6:
+    """One seeded batch/stream/SQL triple (v6)."""
+    seed: int
+    transform: Callable[[DataFrame], DataFrame]
+    text: str
+
+    def df(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        return self.transform(load(spark, sf_dir, "events"))
+
+    def sql(self) -> str:
+        return self.text
+
+    def stream_result(self, spark: SparkSession, sf_dir: str,
+                      timeout: int = 300) -> DataFrame:
+        """Run the transform over a file-stream of the same events data;
+        return the complete-mode final state (== the batch aggregate)."""
+        src = _v6_stream_source(spark, sf_dir)
+        name = f"fuzz_v6_s{self.seed}"
+        q = (self.transform(src).writeStream.format("memory")
+             .queryName(name).outputMode("complete")
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        return spark.table(name)
+
+
+def _v6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream the tier's events table. The file source requires a
+    directory, so stage a per-tier symlink dir under /tmp; normalize ts
+    exactly as datasets.load does for the batch scan."""
+    import hashlib
+    import os
+
+    d = ("/tmp/spark_graft_stream_src_"
+         + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.lexists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    s = spark.readStream.schema(schema).parquet(d)
+    ts_type = dict(s.dtypes)["ts"]
+    if ts_type == "bigint":
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
+
+
+def generate_v6(seed: int) -> FuzzV6:
+    """Batch<->stream parity corpus over events aggregations.
+    Deterministic per seed; independent of the v1-v5 seed spaces."""
+    rng = random.Random(("v6", seed).__repr__())
+    preds = [_v5_pred(rng, "events") for _ in range(rng.randint(0, 2))]
+    pool = _v5_key_pool(rng, "events")
+    keys = rng.sample(pool, k=rng.randint(0, 2))
+    key_names = [f"k{i}" for i in range(len(keys))]
+
+    aggs: list[tuple[str, SExpr, str, bool]] = []
+    for i in range(rng.randint(1, 2)):
+        if rng.random() < 0.35:
+            fn = rng.choice(["sum", "avg", "min", "max"])
+            e = SExpr(lambda: F.col("value"), "value", "float")
+            aggs.append((fn, e, f"a{i}", False))
+        else:
+            e = _v5_scalar(rng, "events")
+            fn = (rng.choice(["sum", "avg", "min", "max"])
+                  if e.kind == "int" else rng.choice(["min", "max"]))
+            aggs.append((fn, e, f"a{i}", fn == "sum" and e.kind == "int"))
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    sel = [f"{k.sql} AS {n}" for k, n in zip(keys, key_names)]
+    sel.append("count(*) AS cnt")
+    for fn, e, n, cast in aggs:
+        expr = f"{fn}({e.sql})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        sel.append(f"{expr} AS {n}")
+    text = f"SELECT {', '.join(sel)} FROM events{where}"
+    if keys:
+        text += " GROUP BY " + ", ".join(k.sql for k in keys)
+
+    def transform(df: DataFrame, preds=preds, keys=keys,
+                  key_names=key_names, aggs=aggs) -> DataFrame:
+        out = df
+        for p in preds:
+            out = out.filter(p.make())
+        aggcols = [F.count(F.lit(1)).alias("cnt")]
+        for fn, e, n, cast in aggs:
+            c = getattr(F, fn)(e.make())
+            if cast:
+                c = c.cast("double")
+            aggcols.append(c.alias(n))
+        grouped = (out.groupBy(*[k.make().alias(n) for k, n
+                                 in zip(keys, key_names)])
+                   if keys else out.groupBy())
+        return grouped.agg(*aggcols)
+
+    return FuzzV6(seed, transform, text)

@@ -1,4 +1,5 @@
-"""Run the full fuzz corpus (all five grammars, 580 seeds) against
+"""Run the full fuzz corpus (all six grammars, 620 seeds; v6 checks
+BOTH its batch and streaming renderings) against
 DuckDB at an arbitrary tier — the in-suite corpus runs at sf0.01; this
 driver re-checks the identical seeds at 10x/100x data, where a
 divergence would indicate a scale-dependent semantics bug (spill paths,
@@ -27,6 +28,7 @@ import duckdb  # noqa: E402
 
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
+    generate_v6,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -61,7 +63,7 @@ def main() -> None:
                 f"FROM '{sf_dir}/{t}.parquet'")
     corpora = [("v1", generate, 200), ("v2", generate_v2, 100),
                ("v3", generate_v3, 100), ("v4", generate_v4, 80),
-               ("v5", generate_v5, 100)]
+               ("v5", generate_v5, 100), ("v6", generate_v6, 40)]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:
@@ -72,6 +74,10 @@ def main() -> None:
                 _conftest.assert_frames_match(
                     q.df(spark, sf_dir), con.sql(q.sql()),
                     name=f"{tag}[{s}]")
+                if tag == "v6":  # also the streaming rendering
+                    _conftest.assert_frames_match(
+                        q.stream_result(spark, sf_dir),
+                        con.sql(q.sql()), name=f"{tag}s[{s}]")
             except AssertionError as e:
                 failed.append(str(e)[:400])
         print(f"  {tag}: done ({checked} cumulative, "

@@ -26,6 +26,7 @@ import pytest
 
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
+    generate_v6,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -35,6 +36,7 @@ SEEDS_V2 = range(100)  # grammar v2: LEFT JOIN / null semantics
 SEEDS_V3 = range(100)  # grammar v3: windows / set ops / IN-subqueries
 SEEDS_V4 = range(80)  # grammar v4: nested aggregation / scalar subqueries
 SEEDS_V5 = range(100)  # grammar v5: scalar-function pipelines (§2.8)
+SEEDS_V6 = range(40)  # grammar v6: batch <-> stream differential parity
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -47,6 +49,8 @@ CORPUS_DIGEST_V4 = (
     "5f8f0ed213955848a402cfe9c8f8db3b0068c580a9d4b78d68771263b876b032")
 CORPUS_DIGEST_V5 = (
     "51631a7c2b3fa673838cc06b2f16f99ec2639677c42c9b627ca8466ce357a442")
+CORPUS_DIGEST_V6 = (
+    "20f364201674f36744e056e9e71e0b14f207d82ee35f885b3d7b0fc5304ef069")
 
 
 def test_generator_is_deterministic():
@@ -56,6 +60,7 @@ def test_generator_is_deterministic():
         assert generate_v3(seed).sql() == generate_v3(seed).sql()
         assert generate_v4(seed).sql() == generate_v4(seed).sql()
         assert generate_v5(seed).sql() == generate_v5(seed).sql()
+        assert generate_v6(seed % 40).sql() == generate_v6(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -87,6 +92,10 @@ def test_corpus_digest():
     assert got5 == CORPUS_DIGEST_V5, (
         f"fuzz v5 corpus changed: digest {got5} — re-pin "
         "CORPUS_DIGEST_V5 if intentional")
+    got6 = _digest(generate_v6, SEEDS_V6)
+    assert got6 == CORPUS_DIGEST_V6, (
+        f"fuzz v6 corpus changed: digest {got6} — re-pin "
+        "CORPUS_DIGEST_V6 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -137,3 +146,17 @@ def test_fuzz_parity_v5(spark, duck, seed):
     q = generate_v5(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v5[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V6)
+def test_fuzz_parity_v6_stream(spark, duck, seed):
+    """Batch <-> stream differential parity: one seeded aggregation AST
+    over events rendered as a batch plan, as the same transform over a
+    Structured Streaming file source (complete mode, AvailableNow,
+    memory sink), and as ANSI SQL — all three must agree. Divergence
+    here is a state-store / micro-batch replay / scan-path defect."""
+    q = generate_v6(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v6_batch[{seed}]: {q.sql()}")
+    assert_frames_match(q.stream_result(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v6_stream[{seed}]: {q.sql()}")
