@@ -101,6 +101,11 @@ differential axis: one aggregation AST rendered as a batch plan, as the
 same transform over a Structured Streaming file source (complete mode,
 AvailableNow), and as ANSI SQL — all three compared.
 
+Grammar v7 (generate_v7, seventh frozen digest) randomizes the engine's
+CUSTOM temporal-join operators (as-of, banded range) against DuckDB's
+native ASOF JOIN and an inequality-join oracle; rules in its section
+docstring.
+
 The corpus also runs at sf0.1 and sf1 via scripts/run_fuzz_tier.py
 (480/480 at both, r8; 580 seeds from r9) — the one divergence that
 sweep ever found was in the TEST COMPARATOR (float column as primary
@@ -1614,6 +1619,133 @@ def _v6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
+
+
+# --------------------------------------------------------------------------
+# Grammar v7 — temporal-join corpus (seventh frozen digest): randomized
+# differential testing of the engine's CUSTOM operators. v1-v6 randomize
+# Spark built-ins; the as-of join (union + window carry-forward) and the
+# banded range join (time-banding + equi-join) are the engine's own
+# distributed algorithms (operators/temporal.py), previously verified by
+# exactly ONE hand-paired configuration each. v7 randomizes the
+# parameter space — filters on both sides, strict vs non-strict as-of,
+# payload subsets, window widths — against DuckDB's native ASOF JOIN and
+# a plain inequality-join oracle.
+#
+# Determinism rules:
+#   * (user_id, ts) is UNIQUE in events at every tier (probed sf0.001
+#     through sf1 before the digest froze), so as-of tie-breaking —
+#     where the engine is deterministic (greatest struct) but DuckDB's
+#     ASOF is unspecified — can never trigger.
+#   * strict (engine) renders as `a.ts > b.ts` in DuckDB ASOF;
+#     non-strict as `>=` (self-matching rows match on BOTH engines).
+#   * unmatched left rows: nullable payloads surface as NaN/NaT
+#     identically (both engines left-outer).
+#   * range windows are whole minutes; both engines shift timestamps by
+#     the identical INTERVAL literal, and the band predicate is applied
+#     exactly (banding only routes the equi-join, it never changes the
+#     match set — each right row lives in exactly one band).
+#   * range output is aggregated per left PK with null-skipping
+#     count/sum/min/max, which absorbs the raw banded shape's
+#     null-artifact rows exactly (the registered consumer pattern).
+# --------------------------------------------------------------------------
+
+def _gen_v7_asof(rng: random.Random, seed: int) -> FuzzV3:
+    from .operators.temporal import asof_join
+
+    lpreds = [_v5_pred(rng, "events") for _ in range(rng.randint(0, 2))]
+    rpreds = [_v5_pred(rng, "events") for _ in range(rng.randint(1, 2))]
+    strict = rng.random() < 0.5
+    payload = rng.sample(["value", "event_type", "event_id"],
+                         k=rng.randint(1, 2))
+
+    def sub(preds: list[Pred]) -> str:
+        if not preds:
+            return "events"
+        return ("(SELECT * FROM events WHERE "
+                + " AND ".join(p.sql for p in preds) + ")")
+
+    op = ">" if strict else ">="
+    sel = ["a.event_id", "a.user_id", "a.ts", "b.ts AS r_ts"] + [
+        f"b.{c} AS r_{c}" for c in payload]
+    text = (f"SELECT {', '.join(sel)} FROM {sub(lpreds)} a "
+            f"ASOF LEFT JOIN {sub(rpreds)} b "
+            f"ON a.user_id = b.user_id AND a.ts {op} b.ts")
+
+    def run(spark: SparkSession, sf_dir: str, lpreds=lpreds,
+            rpreds=rpreds, strict=strict, payload=payload) -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        lhs = ev
+        for p in lpreds:
+            lhs = lhs.filter(p.make())
+        lhs = lhs.select("event_id", "user_id", "ts")
+        rhs = ev
+        for p in rpreds:
+            rhs = rhs.filter(p.make())
+        rhs = rhs.select("user_id", "ts", *payload)
+        return asof_join(lhs, rhs, on="user_id", strict=strict)
+
+    return FuzzV3(seed, "asof", run, text)
+
+
+_V7_MINUTES = [5, 15, 30, 60, 120, 360, 720]
+
+
+def _gen_v7_range(rng: random.Random, seed: int) -> FuzzV3:
+    from .operators.temporal import banded_range_join
+
+    lpreds = [_v5_pred(rng, "events") for _ in range(rng.randint(0, 2))]
+    rpreds = [_v5_pred(rng, "events") for _ in range(rng.randint(1, 2))]
+    mins = rng.choice(_V7_MINUTES)
+    extra = rng.choice([None, "sum", "min", "max"])
+
+    def sub(preds: list[Pred]) -> str:
+        if not preds:
+            return "events"
+        return ("(SELECT * FROM events WHERE "
+                + " AND ".join(p.sql for p in preds) + ")")
+
+    sel = ["a.event_id", "a.user_id", "a.ts",
+           "count(b.ts) AS n_matches"]
+    if extra is not None:
+        sel.append(f"{extra}(b.value) AS {extra}_r_value")
+    text = (f"SELECT {', '.join(sel)} FROM {sub(lpreds)} a "
+            f"LEFT JOIN {sub(rpreds)} b ON a.user_id = b.user_id "
+            f"AND b.ts >= a.ts - INTERVAL {mins} MINUTES "
+            f"AND b.ts < a.ts "
+            f"GROUP BY a.event_id, a.user_id, a.ts")
+
+    def run(spark: SparkSession, sf_dir: str, lpreds=lpreds,
+            rpreds=rpreds, mins=mins, extra=extra) -> DataFrame:
+        ev = load(spark, sf_dir, "events")
+        lhs = ev
+        for p in lpreds:
+            lhs = lhs.filter(p.make())
+        lhs = lhs.select("event_id", "user_id", "ts")
+        rhs = ev
+        for p in rpreds:
+            rhs = rhs.filter(p.make())
+        rhs = rhs.select("user_id", "ts", "value")
+        joined = banded_range_join(
+            lhs, rhs, on="user_id", left_ts="ts", right_ts="ts",
+            window_expr=F.expr(f"INTERVAL {mins} MINUTES"),
+            band_micros=mins * 60_000_000)
+        aggs = [F.count("r_ts").alias("n_matches")]
+        if extra is not None:
+            aggs.append(getattr(F, extra)("r_value")
+                        .alias(f"{extra}_r_value"))
+        return joined.groupBy("event_id", "user_id", "ts").agg(*aggs)
+
+    return FuzzV3(seed, "range", run, text)
+
+
+def generate_v7(seed: int) -> FuzzV3:
+    """Temporal-join corpus (as-of + banded range). Deterministic per
+    seed; independent of the v1-v6 seed spaces."""
+    rng = random.Random(("v7", seed).__repr__())
+    if rng.random() < 0.6:
+        return _gen_v7_asof(rng, seed)
+    return _gen_v7_range(rng, seed)
 
 
 def generate_v6(seed: int) -> FuzzV6:

@@ -26,7 +26,7 @@ import pytest
 
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6,
+    generate_v6, generate_v7,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -37,6 +37,7 @@ SEEDS_V3 = range(100)  # grammar v3: windows / set ops / IN-subqueries
 SEEDS_V4 = range(80)  # grammar v4: nested aggregation / scalar subqueries
 SEEDS_V5 = range(100)  # grammar v5: scalar-function pipelines (§2.8)
 SEEDS_V6 = range(40)  # grammar v6: batch <-> stream differential parity
+SEEDS_V7 = range(60)  # grammar v7: temporal joins (as-of / banded range)
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -51,6 +52,8 @@ CORPUS_DIGEST_V5 = (
     "51631a7c2b3fa673838cc06b2f16f99ec2639677c42c9b627ca8466ce357a442")
 CORPUS_DIGEST_V6 = (
     "20f364201674f36744e056e9e71e0b14f207d82ee35f885b3d7b0fc5304ef069")
+CORPUS_DIGEST_V7 = (
+    "a505054de42efb06382e0bc3d47af75dcaff4e91ed64f2616bbb7cb53e5c4ec1")
 
 
 def test_generator_is_deterministic():
@@ -61,6 +64,7 @@ def test_generator_is_deterministic():
         assert generate_v4(seed).sql() == generate_v4(seed).sql()
         assert generate_v5(seed).sql() == generate_v5(seed).sql()
         assert generate_v6(seed % 40).sql() == generate_v6(seed % 40).sql()
+        assert generate_v7(seed).sql() == generate_v7(seed).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -96,6 +100,10 @@ def test_corpus_digest():
     assert got6 == CORPUS_DIGEST_V6, (
         f"fuzz v6 corpus changed: digest {got6} — re-pin "
         "CORPUS_DIGEST_V6 if intentional")
+    got7 = _digest(generate_v7, SEEDS_V7)
+    assert got7 == CORPUS_DIGEST_V7, (
+        f"fuzz v7 corpus changed: digest {got7} — re-pin "
+        "CORPUS_DIGEST_V7 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -160,3 +168,14 @@ def test_fuzz_parity_v6_stream(spark, duck, seed):
                         name=f"fuzz_v6_batch[{seed}]: {q.sql()}")
     assert_frames_match(q.stream_result(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v6_stream[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V7)
+def test_fuzz_parity_v7(spark, duck, seed):
+    """Temporal-join corpus: the engine's CUSTOM as-of join (union +
+    window carry-forward) vs DuckDB's native ASOF JOIN, and the banded
+    range join vs a plain inequality-join oracle — randomized over
+    filters, strictness, payload subsets, and window widths."""
+    q = generate_v7(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v7[{seed}]: {q.sql()}")
