@@ -106,6 +106,11 @@ CUSTOM temporal-join operators (as-of, banded range) against DuckDB's
 native ASOF JOIN and an inequality-join oracle; rules in its section
 docstring.
 
+Grammar v8 (generate_v8, eighth frozen digest) covers multi-level
+aggregation (ROLLUP/CUBE) — and found a real engine divergence on its
+first run (Spark emits no grand-total row over EMPTY input; DuckDB
+follows the standard); the encoded rule is in its section docstring.
+
 The corpus also runs at sf0.1 and sf1 via scripts/run_fuzz_tier.py
 (480/480 at both, r8; 580 seeds from r9) — the one divergence that
 sweep ever found was in the TEST COMPARATOR (float column as primary
@@ -1619,6 +1624,108 @@ def _v6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
+
+
+# --------------------------------------------------------------------------
+# Grammar v8 — multi-level aggregation (eighth frozen digest): ROLLUP and
+# CUBE over v1's source/key/aggregate pools. v1-v7 only ever emit
+# single-level GROUP BYs; the engine's rollup/cube/grouping-sets
+# operators (SURVEY §2.5 beyond-row) were verified by one hand-paired
+# oracle each. Determinism: every grouping key is NON-NULL in the data
+# (TPC-H categoricals / integer-typed columns / discrete derived exprs),
+# so a NULL in the output is unambiguously a rolled-up level — both
+# engines emit identical NULL-marked subtotal rows; integer-typed SUMs
+# get the double cast one more time (subtotal sums are the worst
+# HUGEINT case), and fp aggregates ride the comparator tolerance as in
+# v1 (the grand-total row sums the most values, still well inside it).
+#
+# FINDING (this grammar's first run, seeds 11/27/30): on an EMPTY input
+# relation (contradictory predicates), DuckDB follows the SQL standard
+# and emits the grand-total grouping-set row (cnt=0, all keys NULL) —
+# exactly like a global aggregate over empty input — while Spark's
+# rollup()/cube() emit ZERO rows (global df.groupBy().agg() does return
+# the 1 row; the GROUPING SETS path does not). A real engine semantics
+# divergence, not a generator bug. Encoded rule: the SQL rendering
+# appends HAVING count(*) > 0 — a provable no-op on non-empty input
+# (every genuine group and subtotal aggregates >= 1 row) that removes
+# only the standard's empty-input grand-total row, aligning the oracle
+# with Spark's behavior while keeping the corpus free to generate
+# empty-matching predicates.
+# --------------------------------------------------------------------------
+
+def _gen_v8(rng: random.Random, seed: int) -> FuzzV3:
+    key, tables, from_sql = rng.choices(SOURCES, SOURCE_WEIGHTS)[0]
+    preds = [_gen_pred(rng, tables) for _ in range(rng.randint(0, 2))]
+
+    key_pool = ([_raw(c, True) for t in tables
+                 for c in CATEGORICAL.get(t, {})]
+                + [_raw(c, True) for t in tables
+                   for c, (_, _, dec, is_int) in NUMERIC[t].items()
+                   if is_int]
+                + [e for e in _derived_pool(tables) if e.discrete])
+    n_keys = rng.randint(2, min(3, len(key_pool)))
+    keys: list[Expr] = []
+    for e in rng.sample(key_pool, k=len(key_pool)):
+        if all(e.name != k.name for k in keys):
+            keys.append(e)
+        if len(keys) == n_keys:
+            break
+
+    mode = "rollup" if rng.random() < 0.6 else "cube"
+
+    agg_pool = [
+        (_raw(c, dec == 0 or is_int), is_int)
+        for t in tables for c, (_, _, dec, is_int) in NUMERIC[t].items()
+    ] + [(e, False) for e in _derived_pool(tables) if not e.discrete]
+    aggs: list[tuple[str, Expr | None, str, bool]] = [
+        ("count", None, "cnt", False)]
+    used = {"cnt"}
+    for _ in range(rng.randint(1, 2)):
+        fn = rng.choice(["sum", "avg", "min", "max"])
+        operand, is_int = rng.choice(agg_pool)
+        name = f"{fn}_{operand.name}"
+        if name in used:
+            continue
+        used.add(name)
+        aggs.append((fn, operand, name, fn == "sum" and is_int))
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    sel = [f"{k.sql} AS {k.name}" for k in keys]
+    for fn, operand, name, cast in aggs:
+        expr = "count(*)" if fn == "count" else f"{fn}({operand.sql})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        sel.append(f"{expr} AS {name}")
+    text = (f"SELECT {', '.join(sel)} FROM {from_sql}{where} "
+            f"GROUP BY {mode.upper()} "
+            f"({', '.join(k.sql for k in keys)}) "
+            "HAVING count(*) > 0")
+
+    def run(spark: SparkSession, sf_dir: str, tables=tables, preds=preds,
+            keys=keys, aggs=aggs, mode=mode) -> DataFrame:
+        out = _source_df(spark, sf_dir, tables)
+        for p in preds:
+            out = out.filter(p.make())
+        aggcols = []
+        for fn, operand, name, cast in aggs:
+            c = (F.count(F.lit(1)) if fn == "count"
+                 else getattr(F, fn)(operand.make()))
+            if cast:
+                c = c.cast("double")
+            aggcols.append(c.alias(name))
+        grouped = (out.rollup(*[k.col() for k in keys]) if mode == "rollup"
+                   else out.cube(*[k.col() for k in keys]))
+        return grouped.agg(*aggcols)
+
+    return FuzzV3(seed, mode, run, text)
+
+
+def generate_v8(seed: int) -> FuzzV3:
+    """Multi-level aggregation corpus (ROLLUP/CUBE). Deterministic per
+    seed; independent of the v1-v7 seed spaces."""
+    rng = random.Random(("v8", seed).__repr__())
+    return _gen_v8(rng, seed)
 
 
 # --------------------------------------------------------------------------

@@ -1,4 +1,4 @@
-"""Run the full fuzz corpus (all seven grammars, 680 seeds; v6 checks
+"""Run the full fuzz corpus (all eight grammars, 740 seeds; v6 checks
 BOTH its batch and streaming renderings) against
 DuckDB at an arbitrary tier — the in-suite corpus runs at sf0.01; this
 driver re-checks the identical seeds at 10x/100x data, where a
@@ -28,7 +28,7 @@ import duckdb  # noqa: E402
 
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6, generate_v7,
+    generate_v6, generate_v7, generate_v8,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -64,7 +64,7 @@ def main() -> None:
     corpora = [("v1", generate, 200), ("v2", generate_v2, 100),
                ("v3", generate_v3, 100), ("v4", generate_v4, 80),
                ("v5", generate_v5, 100), ("v6", generate_v6, 40),
-               ("v7", generate_v7, 60)]
+               ("v7", generate_v7, 60), ("v8", generate_v8, 60)]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:

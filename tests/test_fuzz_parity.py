@@ -26,7 +26,7 @@ import pytest
 
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6, generate_v7,
+    generate_v6, generate_v7, generate_v8,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -38,6 +38,7 @@ SEEDS_V4 = range(80)  # grammar v4: nested aggregation / scalar subqueries
 SEEDS_V5 = range(100)  # grammar v5: scalar-function pipelines (§2.8)
 SEEDS_V6 = range(40)  # grammar v6: batch <-> stream differential parity
 SEEDS_V7 = range(60)  # grammar v7: temporal joins (as-of / banded range)
+SEEDS_V8 = range(60)  # grammar v8: multi-level aggregation (ROLLUP/CUBE)
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -54,6 +55,8 @@ CORPUS_DIGEST_V6 = (
     "20f364201674f36744e056e9e71e0b14f207d82ee35f885b3d7b0fc5304ef069")
 CORPUS_DIGEST_V7 = (
     "a505054de42efb06382e0bc3d47af75dcaff4e91ed64f2616bbb7cb53e5c4ec1")
+CORPUS_DIGEST_V8 = (
+    "7f34d087d743c2665258034a4c57211c6f845ab18fb382bbe884de2c408bffe1")
 
 
 def test_generator_is_deterministic():
@@ -65,6 +68,7 @@ def test_generator_is_deterministic():
         assert generate_v5(seed).sql() == generate_v5(seed).sql()
         assert generate_v6(seed % 40).sql() == generate_v6(seed % 40).sql()
         assert generate_v7(seed).sql() == generate_v7(seed).sql()
+        assert generate_v8(seed % 60).sql() == generate_v8(seed % 60).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -104,6 +108,10 @@ def test_corpus_digest():
     assert got7 == CORPUS_DIGEST_V7, (
         f"fuzz v7 corpus changed: digest {got7} — re-pin "
         "CORPUS_DIGEST_V7 if intentional")
+    got8 = _digest(generate_v8, SEEDS_V8)
+    assert got8 == CORPUS_DIGEST_V8, (
+        f"fuzz v8 corpus changed: digest {got8} — re-pin "
+        "CORPUS_DIGEST_V8 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -179,3 +187,15 @@ def test_fuzz_parity_v7(spark, duck, seed):
     q = generate_v7(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v7[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V8)
+def test_fuzz_parity_v8(spark, duck, seed):
+    """Multi-level aggregation corpus: ROLLUP/CUBE over 2-3 non-null
+    keys with subtotal-aware aggregate casts. The oracle carries
+    HAVING count(*) > 0 to encode the learned divergence: DuckDB emits
+    the SQL-standard grand-total row on EMPTY input, Spark's
+    rollup()/cube() do not (see fuzz.py v8 section docstring)."""
+    q = generate_v8(seed)
+    assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
+                        name=f"fuzz_v8[{seed}]: {q.sql()}")
