@@ -72,6 +72,43 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _float_cols_match_groupwise(nsp: pd.DataFrame, ndu: pd.DataFrame,
+                                col: str) -> bool:
+    """ADVICE r8 #4's escalation, triggered on a positional float
+    mismatch: rows tied on every DISCRETE column can legitimately swap
+    order between engines when an EARLIER float column's 6-dp rounding
+    flips on a 1-ulp difference (first observed: fuzz v8[3] at sf1 —
+    nullable rollup keys widen to float, so only `cnt` was discrete and
+    an avg straddling a rounding boundary misaligned the key columns;
+    key-aligned recompare showed ZERO engine differences). Within each
+    group of rows tied on all discrete columns, compare this float
+    column as SORTED value multisets with the same tolerance — row
+    coherence across float columns is only surrendered inside groups
+    the discrete columns cannot order, exactly as prescribed."""
+    import numpy as np
+
+    disc = [c for c in nsp.columns if nsp[c].dtype.kind != "f"]
+    if disc:
+        ksp = nsp[disc].astype(str).agg("\x1f".join, axis=1)
+        kdu = ndu[disc].astype(str).agg("\x1f".join, axis=1)
+        gsp, gdu = nsp[col].groupby(ksp), ndu[col].groupby(kdu)
+        if sorted(gsp.groups) != sorted(gdu.groups):
+            return False
+        pairs = [(gsp.get_group(k), gdu.get_group(k)) for k in gsp.groups]
+    else:
+        pairs = [(nsp[col], ndu[col])]
+    for a, b in pairs:
+        aa = np.sort(pd.to_numeric(a, errors="coerce").to_numpy())
+        bb = np.sort(pd.to_numeric(b, errors="coerce").to_numpy())
+        if len(aa) != len(bb):
+            return False
+        both_nan = pd.isna(aa) & pd.isna(bb)
+        close = (aa == bb) | (np.abs(aa - bb) <= 1e-6 + 1e-9 * np.abs(bb))
+        if not bool((both_nan | close).all()):
+            return False
+    return True
+
+
 def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
     """Driver-style comparison of a Spark DataFrame vs a DuckDB relation."""
     sp = spark_df.toPandas()
@@ -91,6 +128,8 @@ def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
             # NaN, which would fail the closeness test below).
             close = (aa == bb) | ((aa - bb).abs() <= 1e-6 + 1e-9 * bb.abs())
             bad = ~(both_nan | close)
+            if bad.any() and _float_cols_match_groupwise(nsp, ndu, c):
+                continue
         else:
             bad = a.astype(str) != b.astype(str)
         if bad.any():
