@@ -1595,27 +1595,45 @@ class FuzzV6:
              .queryName(name).outputMode("complete")
              .trigger(availableNow=True).start())
         try:
-            q.awaitTermination(timeout)
+            done = q.awaitTermination(timeout)
         finally:
             q.stop()
         if q.exception() is not None:
             raise q.exception()
+        if not done:
+            # ADVICE r9: a timed-out AvailableNow query that the finally
+            # stop() killed mid-flight leaves a PARTIAL complete-mode
+            # snapshot in the memory sink; reading it would surface as a
+            # baffling parity mismatch instead of the real problem.
+            raise TimeoutError(
+                f"fuzz v6 seed {self.seed}: streaming query did not "
+                f"finish within {timeout}s; memory sink is partial")
         return spark.table(name)
+
+
+_V6_STAGE_CACHE: dict = {}
 
 
 def _v6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-stream the tier's events table. The file source requires a
-    directory, so stage a per-tier symlink dir under /tmp; normalize ts
-    exactly as datasets.load does for the batch scan."""
-    import hashlib
+    directory, so stage a per-PROCESS symlink dir via tempfile.mkdtemp
+    (ADVICE r9: a predictable md5-keyed /tmp path could go stale if the
+    tier is regenerated, race a concurrent process on the symlink pair,
+    and is squat-prone on shared hosts); normalize ts exactly as
+    datasets.load does for the batch scan."""
     import os
+    import tempfile
 
-    d = ("/tmp/spark_graft_stream_src_"
-         + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
-    os.makedirs(d, exist_ok=True)
+    d = _V6_STAGE_CACHE.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+        _V6_STAGE_CACHE[sf_dir] = d
     link = os.path.join(d, "events.parquet")
     if not os.path.lexists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            pass
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = spark.readStream.schema(schema).parquet(d)
     ts_type = dict(s.dtypes)["ts"]

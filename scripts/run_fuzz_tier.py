@@ -76,6 +76,11 @@ def main() -> None:
                     q.df(spark, sf_dir), con.sql(q.sql()),
                     name=f"{tag}[{s}]")
                 if tag == "v6":  # also the streaming rendering
+                    # ADVICE r9: the stream re-check is its own
+                    # comparison — count it, so totals reflect every
+                    # assertion run and a streaming-only failure is
+                    # attributable.
+                    checked += 1
                     _conftest.assert_frames_match(
                         q.stream_result(spark, sf_dir),
                         con.sql(q.sql()), name=f"{tag}s[{s}]")

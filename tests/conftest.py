@@ -72,40 +72,88 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def _float_cols_match_groupwise(nsp: pd.DataFrame, ndu: pd.DataFrame,
-                                col: str) -> bool:
+def _float_rows_match_groupwise(nsp: pd.DataFrame,
+                                ndu: pd.DataFrame) -> bool:
     """ADVICE r8 #4's escalation, triggered on a positional float
     mismatch: rows tied on every DISCRETE column can legitimately swap
     order between engines when an EARLIER float column's 6-dp rounding
     flips on a 1-ulp difference (first observed: fuzz v8[3] at sf1 —
     nullable rollup keys widen to float, so only `cnt` was discrete and
     an avg straddling a rounding boundary misaligned the key columns;
-    key-aligned recompare showed ZERO engine differences). Within each
-    group of rows tied on all discrete columns, compare this float
-    column as SORTED value multisets with the same tolerance — row
-    coherence across float columns is only surrendered inside groups
-    the discrete columns cannot order, exactly as prescribed."""
+    key-aligned recompare showed ZERO engine differences).
+
+    Rows are compared JOINTLY across all float columns (ADVICE r9
+    medium: the earlier per-column sorted-multiset form surrendered
+    cross-column row coherence, so a bug permuting float values BETWEEN
+    tied rows could pass). Within each group of rows tied on all
+    discrete columns: first try a lexicographic row sort over all float
+    columns with elementwise tolerance (cheap, handles distinct rows);
+    if that misaligns — two rows within tolerance of each other can swap
+    under a raw-value sort — fall back to greedy tolerance matching of
+    whole row-tuples, O(n^2) but groups tied on every discrete column
+    are small. Row coherence is never surrendered: every Spark row must
+    find a full-tuple match among the oracle rows of its own group."""
     import numpy as np
 
-    disc = [c for c in nsp.columns if nsp[c].dtype.kind != "f"]
+    fcols = [c for c in nsp.columns
+             if nsp[c].dtype.kind == "f" or ndu[c].dtype.kind == "f"]
+    disc = [c for c in nsp.columns if c not in fcols]
+    asp = np.column_stack(
+        [pd.to_numeric(nsp[c], errors="coerce").to_numpy(dtype=float)
+         for c in fcols])
+    adu = np.column_stack(
+        [pd.to_numeric(ndu[c], errors="coerce").to_numpy(dtype=float)
+         for c in fcols])
+
+    from collections import defaultdict
+    gs: dict = defaultdict(list)
+    gd: dict = defaultdict(list)
     if disc:
         ksp = nsp[disc].astype(str).agg("\x1f".join, axis=1)
         kdu = ndu[disc].astype(str).agg("\x1f".join, axis=1)
-        gsp, gdu = nsp[col].groupby(ksp), ndu[col].groupby(kdu)
-        if sorted(gsp.groups) != sorted(gdu.groups):
-            return False
-        pairs = [(gsp.get_group(k), gdu.get_group(k)) for k in gsp.groups]
     else:
-        pairs = [(nsp[col], ndu[col])]
-    for a, b in pairs:
-        aa = np.sort(pd.to_numeric(a, errors="coerce").to_numpy())
-        bb = np.sort(pd.to_numeric(b, errors="coerce").to_numpy())
-        if len(aa) != len(bb):
+        ksp = pd.Series([""] * len(nsp))
+        kdu = pd.Series([""] * len(ndu))
+    for i, k in enumerate(ksp):
+        gs[k].append(i)
+    for i, k in enumerate(kdu):
+        gd[k].append(i)
+    if sorted(gs) != sorted(gd):
+        return False
+
+    def rows_close(ra, rb) -> bool:
+        both_nan = np.isnan(ra) & np.isnan(rb)
+        close = (ra == rb) | (np.abs(ra - rb) <= 1e-6 + 1e-9 * np.abs(rb))
+        return bool((both_nan | close).all())
+
+    for k, ia in gs.items():
+        ib = gd[k]
+        if len(ia) != len(ib):
             return False
-        both_nan = pd.isna(aa) & pd.isna(bb)
-        close = (aa == bb) | (np.abs(aa - bb) <= 1e-6 + 1e-9 * np.abs(bb))
-        if not bool((both_nan | close).all()):
+        A, B = asp[ia], adu[ib]
+        # Cheap pass: sort each side's rows lexicographically over the
+        # float tuple and compare positionally with tolerance.
+        order_a = np.lexsort(np.nan_to_num(A, nan=np.inf).T[::-1])
+        order_b = np.lexsort(np.nan_to_num(B, nan=np.inf).T[::-1])
+        A2, B2 = A[order_a], B[order_b]
+        if all(rows_close(A2[i], B2[i]) for i in range(len(A2))):
+            continue
+        # Exact pass failed: rows within tolerance of EACH OTHER may
+        # legitimately swap under a raw-value sort. Greedy whole-tuple
+        # matching; bounded so a pathological all-float giant group
+        # cannot go quadratic (such a group fails loudly instead).
+        if len(ia) > 2000:
             return False
+        used = [False] * len(ib)
+        for r in range(len(A)):
+            hit = False
+            for j in range(len(B)):
+                if not used[j] and rows_close(A[r], B[j]):
+                    used[j] = True
+                    hit = True
+                    break
+            if not hit:
+                return False
     return True
 
 
@@ -118,6 +166,7 @@ def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
     assert sorted(sp.columns) == sorted(du.columns), (
         f"{name}: columns spark={sorted(sp.columns)} duck={sorted(du.columns)}")
     nsp, ndu = _normalize(sp), _normalize(du)
+    floats_joint_ok = None  # lazily computed once, covers ALL float cols
     for c in nsp.columns:
         a, b = nsp[c], ndu[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
@@ -128,8 +177,11 @@ def assert_frames_match(spark_df, duck_rel, name: str = "query") -> None:
             # NaN, which would fail the closeness test below).
             close = (aa == bb) | ((aa - bb).abs() <= 1e-6 + 1e-9 * bb.abs())
             bad = ~(both_nan | close)
-            if bad.any() and _float_cols_match_groupwise(nsp, ndu, c):
-                continue
+            if bad.any():
+                if floats_joint_ok is None:
+                    floats_joint_ok = _float_rows_match_groupwise(nsp, ndu)
+                if floats_joint_ok:
+                    continue
         else:
             bad = a.astype(str) != b.astype(str)
         if bad.any():
