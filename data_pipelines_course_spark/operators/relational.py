@@ -587,6 +587,15 @@ def approx_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag, status), (flag), and grand total.
+
+    Known Spark-vs-standard divergence (fuzz v8, pinned in
+    tests/test_adversarial.py::test_known_grouping_sets_empty_input_divergence):
+    over an EMPTY input — e.g. an upstream filter that matches nothing —
+    Spark's rollup() emits ZERO rows, while the SQL standard (and
+    DuckDB) emit the grand-total row with cnt=0 and NULL keys. Callers
+    that rely on the grand-total row always existing must guard the
+    empty-input case themselves."""
     li = load(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
             .agg(fround(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -601,6 +610,11 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^k marginals of (flag, status) in one Expand pass.
+
+    Same empty-input caveat as rollup_agg: Spark's cube() emits zero
+    rows over empty input where the standard emits the cnt=0
+    grand-total row (pinned in tests/test_adversarial.py)."""
     li = load(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("cnt")))

@@ -370,6 +370,59 @@ def test_known_whitespace_class_divergence(spark):
         con.close()
 
 
+def test_known_grouping_sets_empty_input_divergence(spark):
+    """Documented engine-semantics divergence #3 (found by fuzz grammar
+    v8, seeds 11/27/30, round 9; promoted to a product-level pin per
+    the r9 verdict): over an EMPTY input relation, the SQL standard —
+    and DuckDB — emit the grand-total grouping-set row for ROLLUP/CUBE
+    (the () set aggregates the empty input like a global aggregate:
+    cnt=0, all keys NULL), while Spark's rollup()/cube()/GROUPING SETS
+    with () emit ZERO rows. Spark's plain global df.groupBy().agg()
+    DOES return the 1 row, so the asymmetry is specific to the Expand-
+    based grouping-sets path. Practical consequence a user of
+    `rollup_agg`/`cube_agg` can hit: a filter matching nothing silently
+    drops the grand-total row instead of reporting cnt=0. The fuzz v8
+    oracle aligns via a `HAVING count(*) > 0` guard (a no-op on
+    non-empty input); this pin notices if either engine changes."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([], "k string, v string, x long")
+    empty = df.where(F.lit(False))
+    # Spark: grouping-sets paths emit ZERO rows over empty input...
+    assert empty.rollup("k", "v").agg(F.count(F.lit(1)).alias("cnt")) \
+        .count() == 0
+    assert empty.cube("k", "v").agg(F.count(F.lit(1)).alias("cnt")) \
+        .count() == 0
+    # ...but the plain global aggregate DOES return its 1 row.
+    assert empty.groupBy().agg(F.count(F.lit(1)).alias("cnt")) \
+        .count() == 1
+    con = duckdb.connect()
+    try:
+        # DuckDB follows the standard: ROLLUP/CUBE over empty input emit
+        # the grand-total () row; sets WITHOUT () emit zero rows.
+        rows = con.sql(
+            "SELECT k, v, count(*) AS cnt FROM (SELECT 'a' AS k, 'b' AS v"
+            " WHERE false) GROUP BY ROLLUP (k, v)").fetchall()
+        assert rows == [(None, None, 0)]
+        rows = con.sql(
+            "SELECT k, v, count(*) AS cnt FROM (SELECT 'a' AS k, 'b' AS v"
+            " WHERE false) GROUP BY CUBE (k, v)").fetchall()
+        assert rows == [(None, None, 0)]
+        rows = con.sql(
+            "SELECT k, v, count(*) AS cnt FROM (SELECT 'a' AS k, 'b' AS v"
+            " WHERE false) GROUP BY GROUPING SETS ((k), (v))").fetchall()
+        assert rows == []
+        # The v8 oracle guard is a no-op on non-empty input and removes
+        # exactly the standard's empty-input grand-total row.
+        rows = con.sql(
+            "SELECT k, v, count(*) AS cnt FROM (SELECT 'a' AS k, 'b' AS v"
+            " WHERE false) GROUP BY ROLLUP (k, v)"
+            " HAVING count(*) > 0").fetchall()
+        assert rows == []
+    finally:
+        con.close()
+
+
 @pytest.fixture(scope="module")
 def skew_dir(tmp_path_factory):
     """Skew axis committed as a fixture (r5; the r4 sweep ran ad-hoc):
