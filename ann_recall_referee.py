@@ -202,18 +202,29 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
     coded = (_normalized(emb)
              .withColumn("codes", F.expr(_pq_encode_sql(books, dsub))))
     if ivf_route:
-        cents = _ivf_cents(emb)
+        # Trained router since r10 (VERDICT r9 #3): same kmeans_train
+        # centroids + _best_cell assignment as the registered
+        # ivf_pq_topk / ivf_kmeans_topk (probe-0 parity pinned in
+        # tests/test_ann_recall_referee.py).
+        from data_pipelines_course_spark.operators.similarity import (
+            _best_cell, kmeans_train,
+        )
+
+        cents, _ = kmeans_train(spark, sf_dir)
+        if not cents:
+            return spark.createDataFrame(
+                [], "probe_id bigint, vec_id bigint, cos_sim double")
         routes = []
         for r in probes.collect():
             qv = [float(x) for x in r["pv"]]
-            cells = sorted(sorted(cents),
+            cells = sorted(range(len(cents)),
                            key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
             routes += [(int(r["probe_id"]), int(c)) for c in cells]
         routes_df = spark.createDataFrame(routes,
                                           "probe_id bigint, _cell int")
         coded = (coded.withColumn(
             "_cell",
-            _ivf_best_cell(cents).cast("int"))
+            _best_cell(cents)["c"].cast("int"))
             .join(F.broadcast(routes_df), "_cell"))
         pairs = coded.join(F.broadcast(_probe_luts(spark, emb, probes,
                                                    books)), "probe_id")

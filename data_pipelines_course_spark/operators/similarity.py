@@ -971,7 +971,20 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the partition column, codes a stored column — the serving scan
     reads (vec_id, codes) from nprobe partitions only. Recall vs brute
     force measured in tests/test_similarity.py (routing recall bounds
-    it above by ivf_topk's)."""
+    it above by the routing path's).
+
+    The coarse quantizer is TRAINED since r10 (VERDICT r9 #3 sanction):
+    routing reuses `kmeans_train`'s spherical-k-means centroids exactly
+    as `ivf_kmeans_topk` does, because the untrained first-IVF_K-vectors
+    router was the weakest registered ANN path (panel recall 0.369 at
+    sf0.1 vs 0.558 for the trained router at identical nprobe/K touch,
+    ANN_RECALL_r09.json) and FAISS-style IVF-PQ is precisely where a
+    trained coarse quantizer pays most: the PQ_REFINE window can only
+    rescue candidates the router actually routed to. PQ codebooks stay
+    per-subspace-Lloyd-trained on the deterministic sample (unchanged).
+    Training is memoized per session (kmeans_train / _pq_codebooks
+    memos); the serving plan shape is unchanged — still literal
+    centroids, still zero exchanges."""
     books, qv = _pq_codebooks(spark, sf_dir)
     if books is None:  # untrainable corpus / absent probe
         return _empty_topk(spark)
@@ -979,23 +992,16 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(books[0][0]) * PQ_M
     dsub = dim // PQ_M
 
-    # coarse quantizer: same deterministic first-IVF_K-vectors cells as
-    # ivf_topk (swap in kmeans_train's centroids for a trained router);
-    # zero-norm vectors can't route (no direction — adversarial find r5)
-    cent_rows = (load(spark, sf_dir, "embeddings")
-                 .filter((F.col("vec_id") < IVF_K)
-                         & finite_norm("embedding"))
-                 .select("vec_id", "embedding").collect())
-    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
-             for r in cent_rows}
+    # trained coarse quantizer (unit-norm centroids; qv from
+    # _pq_codebooks is the unit-normalized probe, so routing cosine is
+    # a plain dot); zero-norm vectors were already dropped by
+    # _normalized — they can't route (no direction, adversarial find r5)
+    cents, _ = kmeans_train(spark, sf_dir)
     if not cents:
         return _empty_topk(spark)
-    scores = F.array(*[
-        F.struct(cosine("embedding", _arr_sql(cents[c])).alias("s"),
-                 F.lit(c).alias("c")) for c in sorted(cents)])
-    best_cell = F.element_at(F.sort_array(scores, asc=False), 1)["c"]
-    probe_cells = sorted(sorted(cents),
-                         key=lambda c: -_py_cos(qv, _unit(cents[c])))[:IVF_NPROBE]
+    best_cell = _best_cell(cents)["c"].cast("int")
+    probe_cells = sorted(range(len(cents)),
+                         key=lambda c: -_py_cos(qv, cents[c]))[:IVF_NPROBE]
 
     luts = []
     for m, book in enumerate(books):
