@@ -1924,3 +1924,342 @@ def generate_v6(seed: int) -> FuzzV6:
         return grouped.agg(*aggcols)
 
     return FuzzV6(seed, transform, text)
+
+
+# --------------------------------------------------------------------------
+# Grammar v9 — event-time watermark / append-mode streaming (ninth frozen
+# digest; VERDICT r9 #1). v6 covers COMPLETE-mode stateless/stateful
+# aggregates, where the final state trivially equals the batch aggregate;
+# v9 attacks the subtlest semantics in the engine: APPEND-mode windowed
+# aggregation with a watermark over a late/out-of-order multi-micro-batch
+# feed (the `windowed_wordcount`/`sliding_user_stats` surface,
+# streaming/jobs.py:77-107 — SURVEY §2.9's last hand-verified rows).
+#
+# Feed: the tier's events rows are split into B in-ts-order chunks, then
+# a seeded fraction of rows is promoted to a LATER chunk (genuinely late
+# data); each chunk becomes one parquet file staged with ascending
+# mtimes and fed one-file-per-micro-batch (maxFilesPerTrigger=1,
+# Trigger.AvailableNow, memory sink, append mode).
+#
+# Oracle: a pure-Python integer-microsecond simulator of Spark's
+# documented+probed watermark semantics decides exactly which
+# (row, window) pairs a correct engine retains; DuckDB then aggregates
+# the retained pairs with the seed's keys/aggregates. The model was
+# established by seven probes against Spark 4.1 BEFORE the digest froze
+# (all empirical facts below re-confirmed by the in-suite corpus):
+#
+#   * Files are consumed in ascending (mtime, path) order, one file per
+#     micro-batch; AvailableNow appends one final no-data batch whose
+#     eviction watermark reflects the last data batch.
+#   * U_j := floor(max event-time microseconds through batch j / 1000)
+#     - delay_ms (running max, ms precision — Spark's event-time stats
+#     truncate to milliseconds). Watermarks only ratchet upward.
+#   * TWO watermarks per batch k (Spark's late-events vs eviction
+#     split): the EVICTION watermark is U_{k-1}; the LATE-DATA filter
+#     uses the PREVIOUS batch's value, U_{k-2}. Probes A/B: rows whose
+#     window end was <= U_{k-1} but > U_{k-2} were still aggregated —
+#     dropping them (the naive one-watermark model) is WRONG.
+#   * The late filter's operand is the WINDOW END, not the row's raw
+#     event time (probe E: ts < watermark but window end > watermark is
+#     KEPT), and its boundary is inclusive: end <= U_{k-2} -> dropped
+#     (probe F: end == U_{k-2} dropped, numRowsDroppedByWatermark=1).
+#   * For sliding windows the rule is per (row, window) PAIR (probe G:
+#     one pair of the same row dropped, the other kept).
+#   * A window is emitted exactly once, when the eviction watermark
+#     reaches its end (inclusive: end <= U — probe C emitted
+#     end == U); windows whose end never gets overtaken are NEVER
+#     emitted. Final output therefore = retained pairs restricted to
+#     windows with end <= U_last.
+#   * Eviction happens at END of a batch, after merging that batch's
+#     rows (probe A: a late row and the eviction that finalized its
+#     window in the same batch produced ONE row containing it). The
+#     one-batch lag between the two watermarks can never re-create
+#     evicted state: a window evicted at end of batch j has
+#     end <= U_{j-1} <= U_{k-2} for every k > j, so the late filter
+#     blocks every subsequent row of that window — no duplicate
+#     emission is possible, which is what makes the final output a
+#     pure row-level retention predicate:
+#        pair (row in batch k, window w) retained  <=>
+#            end(w) > U_{k-2}  AND  end(w) <= U_last.
+#
+# Determinism rules (on top of the probed model):
+#   * widths/slides are whole seconds and windows are epoch-aligned, so
+#     window ends are exact whole-second microsecond values; comparing
+#     end at ms precision against the ms-truncated U is exact.
+#   * predicates are applied BEFORE withWatermark on the stream side,
+#     so the simulator computes per-batch event-time maxima over
+#     predicate-SURVIVING rows only (DuckDB evaluates the predicate
+#     text, not a Python re-implementation).
+#   * integer-typed SUMs get the v1 HUGEINT double-cast; float
+#     aggregates ride the comparator tolerance; keys/window bounds are
+#     discrete.
+#   * (user_id, ts) is unique at every tier (v7's probe), so
+#     rid = row_number() OVER (ORDER BY user_id, ts) is deterministic.
+# --------------------------------------------------------------------------
+
+_V9_WINDOWS = [  # (width_s, slide_s | None=tumbling)
+    (60, None), (300, None), (600, None), (1800, None), (3600, None),
+    (120, 60), (300, 60), (600, 300), (900, 300), (3600, 1800),
+]
+_V9_DELAYS = [0, 30, 60, 300, 900, 3600]
+_V9_LATE = [0.0, 0.05, 0.1, 0.2, 0.3]
+
+_V9_BASE_CACHE: dict = {}
+_V9_STAGE_CACHE: dict = {}
+
+
+@dataclass(frozen=True)
+class FuzzV9:
+    """One seeded append-mode watermark streaming scenario (v9)."""
+    seed: int
+    n_batches: int
+    late_frac: float
+    width_s: int
+    slide_s: int | None
+    delay_s: int
+    keys: tuple
+    key_names: tuple
+    aggs: tuple
+    preds: tuple
+    text: str
+
+    def sql(self) -> str:
+        return self.text
+
+    def stream_result(self, spark: SparkSession, sf_dir: str,
+                      timeout: int = 600) -> DataFrame:
+        d, _, _ = _v9_stage(self, sf_dir)
+        src = (spark.readStream
+               .schema("ts_us long, event_id long, user_id long, "
+                       "event_type string, value double, props string")
+               .option("maxFilesPerTrigger", 1).parquet(d)
+               .withColumn("ts", F.timestamp_micros("ts_us")))
+        out = src
+        for p in self.preds:
+            out = out.filter(p.make())
+        out = out.withWatermark("ts", f"{self.delay_s} seconds")
+        if self.slide_s is None:
+            wcol = F.window("ts", f"{self.width_s} seconds")
+        else:
+            wcol = F.window("ts", f"{self.width_s} seconds",
+                            f"{self.slide_s} seconds")
+        aggcols = [F.count(F.lit(1)).alias("cnt")]
+        for fn, e, n, cast in self.aggs:
+            c = getattr(F, fn)(e.make())
+            if cast:
+                c = c.cast("double")
+            aggcols.append(c.alias(n))
+        res = (out.groupBy(wcol, *[k.make().alias(n) for k, n
+                                   in zip(self.keys, self.key_names)])
+               .agg(*aggcols)
+               .select(F.col("window.start").alias("window_start"),
+                       F.col("window.end").alias("window_end"),
+                       *self.key_names, "cnt",
+                       *[n for _, _, n, _ in self.aggs]))
+        name = f"fuzz_v9_s{self.seed}"
+        q = (res.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            done = q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        if not done:
+            raise TimeoutError(
+                f"fuzz v9 seed {self.seed}: streaming query did not "
+                f"finish within {timeout}s; memory sink is partial")
+        return spark.table(name)
+
+    def oracle_rel(self, sf_dir: str):
+        """DuckDB relation over the simulator-retained (row, window)
+        pairs; .df() mirrors the duckdb relation API the comparator
+        expects."""
+        import duckdb
+
+        _, base, batch = _v9_stage(self, sf_dir)
+        con = duckdb.connect()
+        con.register("v9_staged", base)
+        if self.preds:
+            where = " AND ".join(p.sql for p in self.preds)
+            keep = con.sql(
+                f"SELECT rid FROM v9_staged WHERE {where}").df()["rid"]
+            surviving = keep.to_numpy()
+        else:
+            surviving = base["rid"].to_numpy()
+        retained = _v9_retained(self, base, batch, surviving)
+        con.register("v9_retained", retained)
+        return _V9Rel(con, self.text)
+
+
+class _V9Rel:
+    def __init__(self, con, text: str):
+        self._con, self._text = con, text
+
+    def df(self):
+        return self._con.sql(self._text).df()
+
+
+def _v9_base(sf_dir: str):
+    """Tier events as pandas with integer-us ts and a deterministic rid
+    ((user_id, ts) is unique at every tier — v7's probe)."""
+    hit = _V9_BASE_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.sql(
+        f"""SELECT row_number() OVER (ORDER BY user_id, ts) - 1 AS rid,
+                   epoch_us(ts) AS ts_us, event_id, user_id, event_type,
+                   value, props, ts
+            FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts""").df()
+    con.close()
+    _V9_BASE_CACHE[sf_dir] = df
+    return df
+
+
+def _v9_assign(seed: int, n: int, n_batches: int, late_frac: float,
+               ts_us) -> "object":
+    """Batch id per rid: in-ts-order chunks, then a seeded fraction of
+    rows promoted to a later chunk (genuinely late data)."""
+    import numpy as np
+
+    order = np.argsort(ts_us, kind="stable")
+    chunk = (n + n_batches - 1) // n_batches
+    batch = np.empty(n, dtype=np.int64)
+    batch[order] = np.arange(n) // chunk
+    rng = random.Random(("v9-assign", seed).__repr__())
+    if late_frac > 0.0:
+        for i in range(n):
+            if rng.random() < late_frac and batch[i] < n_batches - 1:
+                batch[i] = rng.randint(int(batch[i]) + 1, n_batches - 1)
+    return batch
+
+
+def _v9_stage(cfg: FuzzV9, sf_dir: str):
+    """Stage the seed's feed: one parquet file per micro-batch under a
+    per-process temp dir, ascending mtimes. Returns (dir, base, batch)."""
+    key = (cfg.seed, sf_dir)
+    hit = _V9_STAGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import os
+    import tempfile
+    import time
+
+    base = _v9_base(sf_dir)
+    batch = _v9_assign(cfg.seed, len(base), cfg.n_batches, cfg.late_frac,
+                       base["ts_us"].to_numpy())
+    d = tempfile.mkdtemp(prefix=f"spark_graft_v9_s{cfg.seed}_")
+    t0 = time.time() - 86_400
+    cols = ["ts_us", "event_id", "user_id", "event_type", "value", "props"]
+    for b in range(cfg.n_batches):
+        sub = base.loc[batch == b, cols]
+        path = os.path.join(d, f"b{b:03d}.parquet")
+        sub.to_parquet(path, index=False)
+        os.utime(path, (t0 + b * 10, t0 + b * 10))
+    _V9_STAGE_CACHE[key] = (d, base, batch)
+    return d, base, batch
+
+
+def _v9_retained(cfg: FuzzV9, base, batch, surviving):
+    """The probed retention model, exactly: pair (row in batch k,
+    window w) retained iff end(w) > U_{k-2} and end(w) <= U_last,
+    U_j = ms-floor running max event time through batch j minus delay."""
+    import numpy as np
+    import pandas as pd
+
+    B = cfg.n_batches
+    ts_us = base["ts_us"].to_numpy()
+    surv_mask = np.zeros(len(base), dtype=bool)
+    surv_mask[surviving] = True
+
+    # U_j over predicate-surviving rows (ms precision).
+    NEG = np.int64(-(10 ** 15))
+    delay_ms = cfg.delay_s * 1000
+    batch_max = np.full(B, NEG, dtype=np.int64)
+    for b in range(B):
+        m = surv_mask & (batch == b)
+        if m.any():
+            batch_max[b] = (ts_us[m].max() // 1000)
+    run_max = np.maximum.accumulate(batch_max)
+    U = np.where(run_max > NEG, run_max - delay_ms, NEG)
+    late_wm = np.full(B, NEG, dtype=np.int64)   # U_{k-2} per batch k
+    late_wm[2:] = U[:-2]
+    u_last = U[-1]
+
+    rid = base["rid"].to_numpy()[surv_mask]
+    ts = ts_us[surv_mask]
+    bk = batch[surv_mask]
+    W = np.int64(cfg.width_s) * 1_000_000
+    S = np.int64(cfg.slide_s or cfg.width_s) * 1_000_000
+    n_win = -(-cfg.width_s // (cfg.slide_s or cfg.width_s))  # ceil
+    # k-th candidate start = floor(ts/S)*S - k*S, k in 0..n_win-1;
+    # member iff ts < start + W (start <= ts holds by construction).
+    ks = np.arange(n_win, dtype=np.int64)
+    starts = ((ts // S) * S)[:, None] - ks[None, :] * S
+    member = ts[:, None] < starts + W
+    ends_ms = (starts + W) // 1000
+    keep = (member
+            & (ends_ms > late_wm[bk][:, None])
+            & (ends_ms <= u_last))
+    ridx, widx = np.nonzero(keep)
+    if len(ridx):
+        out = base.set_index("rid").loc[rid[ridx]].reset_index()
+        win_start = starts[ridx, widx]
+    else:
+        out = base.iloc[0:0].copy()
+        win_start = np.array([], dtype=np.int64)
+    out = out[["rid", "event_id", "user_id", "event_type", "value",
+               "props", "ts"]].copy()
+    out["window_start"] = pd.to_datetime(win_start, unit="us")
+    out["window_end"] = pd.to_datetime(win_start + W, unit="us")
+    return out
+
+
+def generate_v9(seed: int) -> FuzzV9:
+    """Append-mode watermark streaming corpus. Deterministic per seed;
+    independent of the v1-v8 seed spaces."""
+    rng = random.Random(("v9", seed).__repr__())
+    n_batches = rng.randint(2, 5)
+    late_frac = rng.choice(_V9_LATE)
+    width_s, slide_s = rng.choice(_V9_WINDOWS)
+    delay_s = rng.choice(_V9_DELAYS)
+    preds = tuple(_v5_pred(rng, "events")
+                  for _ in range(rng.randint(0, 1)))
+    pool = _v5_key_pool(rng, "events")
+    keys = tuple(rng.sample(pool, k=rng.randint(0, 2)))
+    key_names = tuple(f"k{i}" for i in range(len(keys)))
+
+    aggs = []
+    used = {"cnt"}
+    for i in range(rng.randint(1, 2)):
+        if rng.random() < 0.4:
+            fn = rng.choice(["sum", "avg", "min", "max"])
+            e = SExpr(lambda: F.col("value"), "value", "float")
+            aggs.append((fn, e, f"a{i}", False))
+        else:
+            e = _v5_scalar(rng, "events")
+            fn = (rng.choice(["sum", "avg", "min", "max"])
+                  if e.kind == "int" else rng.choice(["min", "max"]))
+            aggs.append((fn, e, f"a{i}", fn == "sum" and e.kind == "int"))
+    aggs = tuple(aggs)
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    sel = ["window_start", "window_end"]
+    sel += [f"{k.sql} AS {n}" for k, n in zip(keys, key_names)]
+    sel.append("count(*) AS cnt")
+    for fn, e, n, cast in aggs:
+        expr = f"{fn}({e.sql})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        sel.append(f"{expr} AS {n}")
+    group = ["window_start", "window_end"] + [k.sql for k in keys]
+    text = (f"SELECT {', '.join(sel)} FROM v9_retained{where} "
+            f"GROUP BY {', '.join(group)} "
+            f"-- v9 seed={seed} B={n_batches} late={late_frac} "
+            f"width={width_s} slide={slide_s} delay={delay_s}")
+    return FuzzV9(seed, n_batches, late_frac, width_s, slide_s, delay_s,
+                  keys, key_names, aggs, preds, text)

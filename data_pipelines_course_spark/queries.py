@@ -115,66 +115,64 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 9 rotation: staleness-ratchet front (VERDICT r8 #4) — the 50
-    # names whose most recent driver CORRECTNESS row is oldest, ranked
-    # (latest round, name). Freshness at r9 start: this front = the two
-    # r9 registrations (`ann_batch_topk`, `ivf_kmeans_topk` — no driver
-    # row ever -> absolute priority) + all 12 remaining r5 names + the
-    # 36 alphabetically-first r6 names, exactly the tuple the guard
-    # test emits. Includes rows-only names —
-    # expected per VERDICT r7 obs. #2. tests/test_registry.py
-    # recomputes the ranking from the committed CORRECTNESS files and
-    # fails with a paste-ready tuple when the rotation goes stale.
-    "ann_batch_topk",
-    "ivf_kmeans_topk",
-    "media_dedup_hash",
-    "ngram_novelty_report",
-    "pack_sequences",
-    "pii_redaction",
-    "quality_mixture_sample",
-    "range_position",
-    "table_profile_orders",
-    "temperature_resample_docs",
-    "tfidf_top_terms",
-    "unigram_logprob_score",
-    "vocabulary_build",
-    "weighted_sample_docs",
-    "ann_lsh_topk",
-    "approx_distinct_count",
-    "asof_join_latest_click",
-    "bpe_merge_table",
-    "bpe_token_stats",
-    "cogroup_conversion_lag",
-    "conversion_lag_native",
-    "corpus_curation_full",
-    "curation_attrition_report",
-    "customer_value_deciles",
-    "decontaminate_exact",
-    "decontaminate_lsh",
-    "decontaminate_ngram_hit",
-    "dedup_cluster_size_histogram",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dup_span_report",
-    "dup_span_trim",
-    "embedding_kmeans",
-    "embedding_neardup_topk",
-    "flagship_grouped_agg",
-    "ivf_pq_topk",
-    "ivf_topk",
-    "key_uniqueness_report",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_threshold",
-    "ngram_jaccard_threshold_prefix",
-    "ngram_jaccard_topk",
-    "pq_topk",
-    "price_quantiles",
-    "price_quantiles_approx",
-    "quantity_quantiles_by_flag",
-    "quantity_quantiles_by_flag_approx",
-    "range_join_click_count",
+    # Round 10 rotation: staleness-ratchet front (VERDICT r9 #4) — the
+    # 50 names whose most recent driver CORRECTNESS row is oldest,
+    # ranked (latest round, name). Freshness at r10 start: the 14
+    # remaining r6 names + the 36 alphabetically-first r7 names —
+    # exactly the tuple the guard test emits (max staleness stays
+    # bounded at <=4 rounds). tests/test_registry.py recomputes the
+    # ranking from the committed CORRECTNESS files and fails with a
+    # paste-ready tuple when the rotation goes stale.
+    "rollup_stream_convergence",
+    "salted_grouped_stats",
+    "salted_join_segment_revenue",
+    "scd2_stream_convergence",
+    "scd2_user_state_intervals",
+    "semdedup_candidates",
+    "sessionize_events",
+    "simhash_pairs",
+    "sketch_distinct_users_by_type",
+    "snapshot_diff_orders",
+    "trending_topk_stream_convergence",
+    "value_outliers_by_type",
+    "vocab_typo_pairs",
+    "vocab_typo_pairs_symspell",
+    "anti_join_stopwords",
+    "array_element_extract",
+    "array_mean",
+    "array_size",
+    "array_transform_norm",
+    "broadcast_join",
+    "case_when_bucket",
+    "contamination_report",
+    "corpus_curation",
+    "cube_agg",
+    "derived_datetime_parts",
+    "deterministic_sample_docs",
+    "dispersion_stats",
+    "distinct_count",
+    "doc_fingerprint",
+    "doc_length_stats",
+    "duplicate_ratio_report",
+    "embedding_norm_stats",
+    "except_inactive_customers",
+    "explode_array_agg",
+    "filter_contains",
+    "filter_date_window",
+    "filter_equality",
+    "global_minmax",
+    "grouped_count",
+    "grouped_hour_sum",
+    "grouping_sets_agg",
+    "intersect_nation_keys",
+    "join_multiway_revenue",
+    "json_extract_props",
+    "json_group_by_key",
+    "lag_lead_delta",
+    "lang_id",
+    "literal_and_cast",
+    "moving_average",
+    "projection_pluck",
 )
 
 

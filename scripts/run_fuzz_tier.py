@@ -28,7 +28,7 @@ import duckdb  # noqa: E402
 
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6, generate_v7, generate_v8,
+    generate_v6, generate_v7, generate_v8, generate_v9,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -64,7 +64,8 @@ def main() -> None:
     corpora = [("v1", generate, 200), ("v2", generate_v2, 100),
                ("v3", generate_v3, 100), ("v4", generate_v4, 80),
                ("v5", generate_v5, 100), ("v6", generate_v6, 40),
-               ("v7", generate_v7, 60), ("v8", generate_v8, 60)]
+               ("v7", generate_v7, 60), ("v8", generate_v8, 60),
+               ("v9", generate_v9, 40)]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:
@@ -72,6 +73,11 @@ def main() -> None:
             q = gen(s)
             checked += 1
             try:
+                if tag == "v9":  # stream-vs-simulator, no duck view SQL
+                    _conftest.assert_frames_match(
+                        q.stream_result(spark, sf_dir),
+                        q.oracle_rel(sf_dir), name=f"{tag}[{s}]")
+                    continue
                 _conftest.assert_frames_match(
                     q.df(spark, sf_dir), con.sql(q.sql()),
                     name=f"{tag}[{s}]")

@@ -26,7 +26,7 @@ import pytest
 
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6, generate_v7, generate_v8,
+    generate_v6, generate_v7, generate_v8, generate_v9,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -39,6 +39,7 @@ SEEDS_V5 = range(100)  # grammar v5: scalar-function pipelines (§2.8)
 SEEDS_V6 = range(40)  # grammar v6: batch <-> stream differential parity
 SEEDS_V7 = range(60)  # grammar v7: temporal joins (as-of / banded range)
 SEEDS_V8 = range(60)  # grammar v8: multi-level aggregation (ROLLUP/CUBE)
+SEEDS_V9 = range(40)  # grammar v9: watermark / append-mode streaming
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -57,6 +58,8 @@ CORPUS_DIGEST_V7 = (
     "a505054de42efb06382e0bc3d47af75dcaff4e91ed64f2616bbb7cb53e5c4ec1")
 CORPUS_DIGEST_V8 = (
     "7f34d087d743c2665258034a4c57211c6f845ab18fb382bbe884de2c408bffe1")
+CORPUS_DIGEST_V9 = (
+    "67bae5f594747947b13b0a1392a7f58255972b6c9b88c3d4ba40be9817121991")
 
 
 def test_generator_is_deterministic():
@@ -69,6 +72,7 @@ def test_generator_is_deterministic():
         assert generate_v6(seed % 40).sql() == generate_v6(seed % 40).sql()
         assert generate_v7(seed).sql() == generate_v7(seed).sql()
         assert generate_v8(seed % 60).sql() == generate_v8(seed % 60).sql()
+        assert generate_v9(seed % 40).sql() == generate_v9(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -112,6 +116,10 @@ def test_corpus_digest():
     assert got8 == CORPUS_DIGEST_V8, (
         f"fuzz v8 corpus changed: digest {got8} — re-pin "
         "CORPUS_DIGEST_V8 if intentional")
+    got9 = _digest(generate_v9, SEEDS_V9)
+    assert got9 == CORPUS_DIGEST_V9, (
+        f"fuzz v9 corpus changed: digest {got9} — re-pin "
+        "CORPUS_DIGEST_V9 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -187,6 +195,23 @@ def test_fuzz_parity_v7(spark, duck, seed):
     q = generate_v7(seed)
     assert_frames_match(q.df(spark, SF_DIR), duck.sql(q.sql()),
                         name=f"fuzz_v7[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V9)
+def test_fuzz_parity_v9_watermark_stream(spark, seed):
+    """Append-mode watermark streaming corpus: a seeded late/out-of-order
+    multi-micro-batch file feed through a windowed (tumbling or sliding)
+    event-time aggregation with a randomized watermark delay, compared
+    against a pure-Python integer-microsecond simulator of the probed
+    two-watermark retention model (late filter = U_{k-2} on window END,
+    eviction = U_{k-1}, final output = windows with end <= U_last) whose
+    retained (row, window) pairs DuckDB then aggregates. Divergence is a
+    watermark/state-store/late-data defect — the subtlest semantics in
+    the engine, previously verified only by hand-written scenarios."""
+    q = generate_v9(seed)
+    assert_frames_match(q.stream_result(spark, SF_DIR),
+                        q.oracle_rel(SF_DIR),
+                        name=f"fuzz_v9[{seed}]: {q.sql()}")
 
 
 @pytest.mark.parametrize("seed", SEEDS_V8)
