@@ -2119,8 +2119,8 @@ def _v9_base(sf_dir: str):
     return df
 
 
-def _v9_assign(seed: int, n: int, n_batches: int, late_frac: float,
-               ts_us) -> "object":
+def _feed_assign(salt: str, seed: int, n: int, n_batches: int,
+                 late_frac: float, ts_us) -> "object":
     """Batch id per rid: in-ts-order chunks, then a seeded fraction of
     rows promoted to a later chunk (genuinely late data)."""
     import numpy as np
@@ -2129,7 +2129,7 @@ def _v9_assign(seed: int, n: int, n_batches: int, late_frac: float,
     chunk = (n + n_batches - 1) // n_batches
     batch = np.empty(n, dtype=np.int64)
     batch[order] = np.arange(n) // chunk
-    rng = random.Random(("v9-assign", seed).__repr__())
+    rng = random.Random((salt, seed).__repr__())
     if late_frac > 0.0:
         for i in range(n):
             if rng.random() < late_frac and batch[i] < n_batches - 1:
@@ -2137,10 +2137,13 @@ def _v9_assign(seed: int, n: int, n_batches: int, late_frac: float,
     return batch
 
 
-def _v9_stage(cfg: FuzzV9, sf_dir: str):
-    """Stage the seed's feed: one parquet file per micro-batch under a
-    per-process temp dir, ascending mtimes. Returns (dir, base, batch)."""
-    key = (cfg.seed, sf_dir)
+def _stage_feed(tag: str, seed: int, n_batches: int, late_frac: float,
+                sf_dir: str):
+    """Stage a seeded feed: one parquet file per micro-batch under a
+    per-process temp dir, ascending mtimes. Returns (dir, base, batch).
+    Shared by grammars v9 and v10 (the cache key carries the grammar
+    tag so same-seed configs never collide)."""
+    key = (tag, seed, sf_dir)
     hit = _V9_STAGE_CACHE.get(key)
     if hit is not None:
         return hit
@@ -2149,18 +2152,22 @@ def _v9_stage(cfg: FuzzV9, sf_dir: str):
     import time
 
     base = _v9_base(sf_dir)
-    batch = _v9_assign(cfg.seed, len(base), cfg.n_batches, cfg.late_frac,
-                       base["ts_us"].to_numpy())
-    d = tempfile.mkdtemp(prefix=f"spark_graft_v9_s{cfg.seed}_")
+    batch = _feed_assign(f"{tag}-assign", seed, len(base), n_batches,
+                         late_frac, base["ts_us"].to_numpy())
+    d = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_s{seed}_")
     t0 = time.time() - 86_400
     cols = ["ts_us", "event_id", "user_id", "event_type", "value", "props"]
-    for b in range(cfg.n_batches):
+    for b in range(n_batches):
         sub = base.loc[batch == b, cols]
         path = os.path.join(d, f"b{b:03d}.parquet")
         sub.to_parquet(path, index=False)
         os.utime(path, (t0 + b * 10, t0 + b * 10))
     _V9_STAGE_CACHE[key] = (d, base, batch)
     return d, base, batch
+
+
+def _v9_stage(cfg: FuzzV9, sf_dir: str):
+    return _stage_feed("v9", cfg.seed, cfg.n_batches, cfg.late_frac, sf_dir)
 
 
 def _v9_retained(cfg: FuzzV9, base, batch, surviving):
@@ -2263,3 +2270,289 @@ def generate_v9(seed: int) -> FuzzV9:
             f"width={width_s} slide={slide_s} delay={delay_s}")
     return FuzzV9(seed, n_batches, late_frac, width_s, slide_s, delay_s,
                   keys, key_names, aggs, preds, text)
+
+
+# --------------------------------------------------------------------------
+# Grammar v10 — session-window streaming (tenth frozen digest). v9 covers
+# fixed tumbling/sliding event-time windows; session windows
+# (`session_windows`, streaming/jobs.py:110 — dynamic, data-dependent,
+# MERGING state) are the one remaining streaming operator with only a
+# hand-written scenario. Same feed machinery as v9 (seeded in-ts-order
+# chunks + late promotion, one file per micro-batch, append mode);
+# the oracle is a batch-by-batch Python state simulator, because session
+# retention is NOT a row-level predicate: which rows co-reside in open
+# state determines merging, so late data can genuinely change session
+# boundaries — and a key whose session was already emitted can RE-OPEN
+# and emit a second, possibly OVERLAPPING, session row.
+#
+# Model, probed against Spark 4.1 before the digest froze (probes
+# S1-S6 + a us-boundary probe, on top of v9's A-G):
+#   * late filter during batch k: a row is dropped iff its OWN
+#     pre-merge session end (ts + gap, exact microseconds) is
+#     <= U_{k-2} (same one-batch lag as v9; S2: dropped=1 at exactly
+#     the predicted row). U_j is the ms-FLOOR running max event time
+#     through batch j minus delay (us-boundary probe: wm literal is
+#     U_ms, compared against the us end — a row 500us above the
+#     boundary is KEPT).
+#   * surviving rows merge with the key's OPEN sessions by interval
+#     union of [ts, ts+gap], INCLUSIVE at touching boundaries (batch
+#     probe: two events exactly gap apart form ONE session; S1: an
+#     event past the boundary does NOT merge).
+#   * merge happens BEFORE eviction within a batch (S5: a same-batch
+#     event extended a session past the eviction watermark and kept it
+#     open — close-then-merge would have split it).
+#   * at end of batch k, sessions with end <= U_{k-1} close and emit
+#     (inclusive; S6: end == wm closed). Closed state is gone: a later
+#     surviving row re-opens a NEW session for the key — S4/S6 show a
+#     second emitted row, overlapping the first in S6.
+#   * AvailableNow's final no-data batch closes with U_last; sessions
+#     still open after that are NEVER emitted.
+#
+# Key choice is structural (it defines merge scope), so the grammar
+# draws it from {user_id, event_type, global} with gap pools matched to
+# each mode's inter-event spacing (so all three regimes — singleton
+# sessions + re-opens, moderate merging, heavy merging — actually occur
+# in the corpus); aggregates/predicates reuse the v5/v6 pools.
+# --------------------------------------------------------------------------
+
+_V10_GAPS = {  # key_mode -> gap pool (seconds), matched to event density
+    "user_id": [1800, 3600, 7200, 14400],
+    "event_type": [120, 300, 600, 1800],
+    # Streaming session windows REQUIRE a grouping key (probed:
+    # "Global aggregation with session window in streaming query is
+    # not supported", Spark AggUtils.planStreamingAggregationForSession)
+    # — so the heavy-merging regime uses a derived dense key instead of
+    # a global session.
+    "mod10": [300, 600, 900, 1800],
+}
+
+
+@dataclass(frozen=True)
+class FuzzV10:
+    """One seeded session-window append-mode streaming scenario (v10)."""
+    seed: int
+    n_batches: int
+    late_frac: float
+    gap_s: int
+    delay_s: int
+    key: str | None
+    aggs: tuple
+    preds: tuple
+    text: str
+
+    def sql(self) -> str:
+        return self.text
+
+    def stream_result(self, spark: SparkSession, sf_dir: str,
+                      timeout: int = 600) -> DataFrame:
+        d, _, _ = _v10_stage(self, sf_dir)
+        src = (spark.readStream
+               .schema("ts_us long, event_id long, user_id long, "
+                       "event_type string, value double, props string")
+               .option("maxFilesPerTrigger", 1).parquet(d)
+               .withColumn("ts", F.timestamp_micros("ts_us")))
+        out = src
+        for p in self.preds:
+            out = out.filter(p.make())
+        out = out.withWatermark("ts", f"{self.delay_s} seconds")
+        kcol = ((F.col("user_id") % 10).alias("skey")
+                if self.key == "mod10" else F.col(self.key).alias("skey"))
+        aggcols = [F.count(F.lit(1)).alias("cnt")]
+        for fn, e, n, cast in self.aggs:
+            c = getattr(F, fn)(e.make())
+            if cast:
+                c = c.cast("double")
+            aggcols.append(c.alias(n))
+        res = (out.groupBy(F.session_window("ts", f"{self.gap_s} seconds"),
+                           kcol)
+               .agg(*aggcols)
+               .select(F.col("session_window.start").alias("s_start"),
+                       F.col("session_window.end").alias("s_end"),
+                       "skey", "cnt", *[n for _, _, n, _ in self.aggs]))
+        name = f"fuzz_v10_s{self.seed}"
+        q = (res.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            done = q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        if not done:
+            raise TimeoutError(
+                f"fuzz v10 seed {self.seed}: streaming query did not "
+                f"finish within {timeout}s; memory sink is partial")
+        return spark.table(name)
+
+    def oracle_rel(self, sf_dir: str):
+        import duckdb
+
+        _, base, batch = _v10_stage(self, sf_dir)
+        con = duckdb.connect()
+        con.register("v10_staged", base)
+        if self.preds:
+            where = " AND ".join(p.sql for p in self.preds)
+            keep = con.sql(
+                f"SELECT rid FROM v10_staged WHERE {where}").df()["rid"]
+            surviving = keep.to_numpy()
+        else:
+            surviving = base["rid"].to_numpy()
+        retained = _v10_sessions(self, base, batch, surviving)
+        con.register("v10_retained", retained)
+        return _V9Rel(con, self.text)
+
+
+def _v10_stage(cfg: FuzzV10, sf_dir: str):
+    return _stage_feed("v10", cfg.seed, cfg.n_batches, cfg.late_frac,
+                       sf_dir)
+
+
+def _v10_sessions(cfg: FuzzV10, base, batch, surviving):
+    """Batch-by-batch state simulation of the probed session model;
+    returns the rows of EMITTED sessions with their final session
+    bounds (exact integer-microsecond arithmetic throughout)."""
+    import numpy as np
+    import pandas as pd
+
+    B = cfg.n_batches
+    gap_us = cfg.gap_s * 1_000_000
+    delay_ms = cfg.delay_s * 1000
+    ts_us_all = base["ts_us"].to_numpy()
+    surv_mask = np.zeros(len(base), dtype=bool)
+    surv_mask[surviving] = True
+
+    NEG = -(10 ** 15)
+    batch_max = [NEG] * B
+    for b in range(B):
+        m = surv_mask & (batch == b)
+        if m.any():
+            batch_max[b] = int(ts_us_all[m].max()) // 1000
+    U = []
+    run = NEG
+    for b in range(B):
+        run = max(run, batch_max[b])
+        U.append(run - delay_ms if run > NEG else NEG)
+
+    if cfg.key == "mod10":
+        key_all = base["user_id"].to_numpy() % 10
+    else:
+        key_all = base[cfg.key].to_numpy()
+
+    # open[key] = list of [start_us, end_us, rids]; emitted rows out.
+    open_s: dict = {}
+    emitted: list = []  # (rid, s_start_us, s_end_us)
+
+    def close(evict_lim_ms: int) -> None:
+        lim = evict_lim_ms * 1000
+        for k in list(open_s):
+            keep = []
+            for s, e, rids in open_s[k]:
+                if e <= lim:
+                    emitted.extend((r, s, e) for r in rids)
+                else:
+                    keep.append([s, e, rids])
+            if keep:
+                open_s[k] = keep
+            else:
+                del open_s[k]
+
+    rid_all = base["rid"].to_numpy()
+    for b in range(B):
+        late_lim = (U[b - 2] if b >= 2 else NEG) * 1000
+        m = surv_mask & (batch == b)
+        idx = np.nonzero(m)[0]
+        # late filter: own pre-merge end vs U_{k-2} (inclusive drop)
+        ends = ts_us_all[idx] + gap_us
+        idx = idx[ends > late_lim]
+        # merge new rows + open state per key: interval union via one
+        # sorted sweep per key (union is order-independent; inclusive
+        # at touching boundaries). Keys are processed as runs of the
+        # (key, ts)-sorted batch slice — O(n log n), not O(n^2).
+        order = np.lexsort((ts_us_all[idx], key_all[idx]))
+        sidx = idx[order]
+        i = 0
+        n_i = len(sidx)
+        while i < n_i:
+            j = i
+            k = key_all[sidx[i]]
+            while j < n_i and key_all[sidx[j]] == k:
+                j += 1
+            intervals = list(open_s.get(k, []))
+            for ridx in sidx[i:j]:
+                s = int(ts_us_all[ridx])
+                intervals.append([s, s + gap_us, [int(rid_all[ridx])]])
+            intervals.sort(key=lambda t: (t[0], t[1]))
+            merged = [intervals[0]]
+            for sess in intervals[1:]:
+                cur = merged[-1]
+                if sess[0] <= cur[1]:  # inclusive: touching merges
+                    cur[1] = max(cur[1], sess[1])
+                    cur[2].extend(sess[2])
+                else:
+                    merged.append(sess)
+            open_s[k] = merged
+            i = j
+        # eviction at END of batch with U_{k-1}
+        if b >= 1 and U[b - 1] > NEG:
+            close(U[b - 1])
+    if U[-1] > NEG:
+        close(U[-1])  # the AvailableNow final no-data batch
+
+    if emitted:
+        rids = np.array([r for r, _, _ in emitted], dtype=np.int64)
+        out = base.set_index("rid").loc[rids].reset_index()
+        ss = np.array([s for _, s, _ in emitted], dtype=np.int64)
+        ee = np.array([e for _, _, e in emitted], dtype=np.int64)
+    else:
+        out = base.iloc[0:0].copy()
+        ss = np.array([], dtype=np.int64)
+        ee = np.array([], dtype=np.int64)
+    out = out[["rid", "event_id", "user_id", "event_type", "value",
+               "props", "ts"]].copy()
+    out["s_start"] = pd.to_datetime(ss, unit="us")
+    out["s_end"] = pd.to_datetime(ee, unit="us")
+    return out
+
+
+def generate_v10(seed: int) -> FuzzV10:
+    """Session-window streaming corpus. Deterministic per seed;
+    independent of the v1-v9 seed spaces."""
+    rng = random.Random(("v10", seed).__repr__())
+    n_batches = rng.randint(2, 5)
+    late_frac = rng.choice(_V9_LATE)
+    key = rng.choices(["user_id", "event_type", "mod10"],
+                      [0.4, 0.3, 0.3])[0]
+    gap_s = rng.choice(_V10_GAPS[key])
+    delay_s = rng.choice(_V9_DELAYS)
+    preds = tuple(_v5_pred(rng, "events")
+                  for _ in range(rng.randint(0, 1)))
+
+    aggs = []
+    for i in range(rng.randint(1, 2)):
+        if rng.random() < 0.4:
+            fn = rng.choice(["sum", "avg", "min", "max"])
+            e = SExpr(lambda: F.col("value"), "value", "float")
+            aggs.append((fn, e, f"a{i}", False))
+        else:
+            e = _v5_scalar(rng, "events")
+            fn = (rng.choice(["sum", "avg", "min", "max"])
+                  if e.kind == "int" else rng.choice(["min", "max"]))
+            aggs.append((fn, e, f"a{i}", fn == "sum" and e.kind == "int"))
+    aggs = tuple(aggs)
+
+    where = (" WHERE " + " AND ".join(p.sql for p in preds)
+             if preds else "")
+    ksql = "user_id % 10" if key == "mod10" else key
+    sel = ["s_start", "s_end", f"{ksql} AS skey", "count(*) AS cnt"]
+    for fn, e, n, cast in aggs:
+        expr = f"{fn}({e.sql})"
+        if cast:
+            expr = f"CAST({expr} AS DOUBLE)"
+        sel.append(f"{expr} AS {n}")
+    group = ["s_start", "s_end", ksql]
+    text = (f"SELECT {', '.join(sel)} FROM v10_retained{where} "
+            f"GROUP BY {', '.join(group)} "
+            f"-- v10 seed={seed} B={n_batches} late={late_frac} "
+            f"gap={gap_s} delay={delay_s} key={key}")
+    return FuzzV10(seed, n_batches, late_frac, gap_s, delay_s, key,
+                   aggs, preds, text)

@@ -78,7 +78,16 @@ def windowed_wordcount(lines: DataFrame, ts_col: str = "timestamp",
                        watermark: str = "2 minutes") -> DataFrame:
     """T1+T2 with event time: tumbling windows (the 60 s micro-batch
     interval re-expressed as event-time windows) + watermark so late rows
-    beyond `watermark` are dropped and state is bounded."""
+    beyond `watermark` are dropped and state is bounded.
+
+    Watermark semantics note (fuzz grammar v9, 40 randomized
+    append-mode scenarios vs an exact simulator — fuzz.py v9 section):
+    Spark's LATE-data filter lags the EVICTION watermark by one
+    micro-batch, filters on the window END (not the row's event time),
+    and both boundaries are inclusive — so a row later than the
+    advertised delay may still be aggregated (drop is a lower bound,
+    per the Spark docs), and a window is emitted exactly once, when
+    the eviction watermark overtakes its end."""
     return (lines
             .withWatermark(ts_col, watermark)
             .select(F.col(ts_col),
@@ -110,7 +119,19 @@ def session_windows(events: DataFrame, ts_col: str = "ts",
                     gap: str = "30 seconds",
                     watermark: str = "2 minutes") -> DataFrame:
     """Session windows keyed by user — activity bursts separated by >gap
-    close the session (NOT exercised in the reference; engine surface)."""
+    close the session (NOT exercised in the reference; engine surface).
+
+    Semantics notes (fuzz grammar v10, 40 randomized append-mode
+    scenarios vs a batch-by-batch state simulator — fuzz.py v10
+    section): sessions merge by interval union of [ts, ts+gap],
+    INCLUSIVE at touching boundaries; merging happens before eviction
+    within a micro-batch, so a same-batch event can extend a session
+    past the watermark and keep it open; a key whose session was
+    already emitted can re-open and emit a second — possibly
+    overlapping — session row for late-but-not-too-late data. Streaming
+    session windows REQUIRE a grouping key: Spark rejects global
+    session aggregation ("Global aggregation with session window in
+    streaming query is not supported")."""
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.session_window(ts_col, gap), "user_id")

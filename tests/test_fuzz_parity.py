@@ -26,7 +26,7 @@ import pytest
 
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
-    generate_v6, generate_v7, generate_v8, generate_v9,
+    generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -40,6 +40,7 @@ SEEDS_V6 = range(40)  # grammar v6: batch <-> stream differential parity
 SEEDS_V7 = range(60)  # grammar v7: temporal joins (as-of / banded range)
 SEEDS_V8 = range(60)  # grammar v8: multi-level aggregation (ROLLUP/CUBE)
 SEEDS_V9 = range(40)  # grammar v9: watermark / append-mode streaming
+SEEDS_V10 = range(40)  # grammar v10: session-window streaming
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -60,6 +61,8 @@ CORPUS_DIGEST_V8 = (
     "7f34d087d743c2665258034a4c57211c6f845ab18fb382bbe884de2c408bffe1")
 CORPUS_DIGEST_V9 = (
     "67bae5f594747947b13b0a1392a7f58255972b6c9b88c3d4ba40be9817121991")
+CORPUS_DIGEST_V10 = (
+    "054e9b7cf9334a9144855ecfcb3727f1e0294a11372c17eb3781fd2a8db8ac60")
 
 
 def test_generator_is_deterministic():
@@ -73,6 +76,7 @@ def test_generator_is_deterministic():
         assert generate_v7(seed).sql() == generate_v7(seed).sql()
         assert generate_v8(seed % 60).sql() == generate_v8(seed % 60).sql()
         assert generate_v9(seed % 40).sql() == generate_v9(seed % 40).sql()
+        assert generate_v10(seed % 40).sql() == generate_v10(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -120,6 +124,10 @@ def test_corpus_digest():
     assert got9 == CORPUS_DIGEST_V9, (
         f"fuzz v9 corpus changed: digest {got9} — re-pin "
         "CORPUS_DIGEST_V9 if intentional")
+    got10 = _digest(generate_v10, SEEDS_V10)
+    assert got10 == CORPUS_DIGEST_V10, (
+        f"fuzz v10 corpus changed: digest {got10} — re-pin "
+        "CORPUS_DIGEST_V10 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -212,6 +220,22 @@ def test_fuzz_parity_v9_watermark_stream(spark, seed):
     assert_frames_match(q.stream_result(spark, SF_DIR),
                         q.oracle_rel(SF_DIR),
                         name=f"fuzz_v9[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V10)
+def test_fuzz_parity_v10_session_stream(spark, seed):
+    """Session-window streaming corpus: seeded late/out-of-order feeds
+    through session_window aggregations (key in {user_id, event_type,
+    user_id%10} with density-matched gap pools), append mode, vs a
+    batch-by-batch Python STATE simulator — session retention is not a
+    row-level predicate: open-state co-residency decides merging, and a
+    closed key can re-open and emit a second (even overlapping) session
+    row. Model probed per the fuzz.py v10 section (S1-S6 + us-boundary
+    probe). Divergence is a merging-state-store / late-data defect."""
+    q = generate_v10(seed)
+    assert_frames_match(q.stream_result(spark, SF_DIR),
+                        q.oracle_rel(SF_DIR),
+                        name=f"fuzz_v10[{seed}]: {q.sql()}")
 
 
 @pytest.mark.parametrize("seed", SEEDS_V8)
