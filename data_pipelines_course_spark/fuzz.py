@@ -2556,3 +2556,220 @@ def generate_v10(seed: int) -> FuzzV10:
             f"gap={gap_s} delay={delay_s} key={key}")
     return FuzzV10(seed, n_batches, late_frac, gap_s, delay_s, key,
                    aggs, preds, text)
+
+
+# --------------------------------------------------------------------------
+# Grammar v11 — stream-stream event-time interval join (eleventh frozen
+# digest). The last streaming surface with only a hand-paired scenario:
+# `interval_join_view_clicks` (streaming/jobs.py:251) — two watermarked
+# streams joined on a key plus a bounded event-time interval, append
+# mode. Same staged feed machinery as v9/v10; BOTH sides readStream the
+# same directory (probed: multi-source AvailableNow pulls one file from
+# each source per micro-batch, in lockstep), split by disjoint
+# event_type subsets.
+#
+# Model, probed against Spark 4.1 before the digest froze (probes
+# J1-J19; the three load-bearing facts):
+#   * The GLOBAL watermark of a multi-input query is the MIN over the
+#     sources' individual watermarks (multipleWatermarkPolicy default
+#     'min'), each = ms-floor prefix-max of THAT side's event times
+#     minus its delay, advancing one batch behind the data as in v9 —
+#     a side that has produced no rows yet pins the global watermark
+#     at -inf (probes J7/J8: wm stuck at epoch until the quiet side
+#     sees data). Naive per-side watermarks mispredict half the
+#     probes (J2's "impossible" late pair is simply a pinned min-wm).
+#   * Stream-stream joins DO late-filter their INPUT rows, on the raw
+#     event time, inclusively (ts <= W -> dropped, J18;
+#     numRowsDroppedByWatermark counts it, J9/J11/J12), on BOTH sides
+#     symmetrically (J16/J17), using the watermark one batch BEHIND
+#     the progress-reported value (J13/J15: a row between the lagged
+#     and the reported wm is KEPT) — the same lag v9 pinned for
+#     aggregations.
+#   * State eviction uses the IN-EFFECT (lagged) watermark (J19: a
+#     click arriving the batch right after its view's earliest
+#     possible eviction, in the one-batch window the lag could open,
+#     still pairs). Because eviction is thereby conservative w.r.t.
+#     the input filter, the interval algebra closes the gap in
+#     general: an evicted row's bound is below every later filter
+#     watermark, so any row that could have matched it is filtered
+#     first. Consequence — the INNER join's final output is EXACTLY a
+#     row-level model, no state simulation needed:
+#        pair (v, c) emitted  <=>  the join condition holds AND both
+#        rows passed the input filter at their arrival batches.
+#
+# The oracle therefore computes per-side survival (exact integer-us
+# arithmetic over the min-policy lagged watermark) and hands DuckDB a
+# plain interval join over the surviving rows. Scope: INNER only —
+# outer stream-stream joins add null-emission timing (state-eviction-
+# driven) that is NOT row-level; documented as the v12 candidate.
+# --------------------------------------------------------------------------
+
+_V11_TYPES = ["click", "error", "purchase", "signup", "view"]
+_V11_HORIZONS = [5, 15, 30, 60, 120]  # minutes
+_V11_KEYS = [  # (spark col factory, sql expr) — join key
+    (lambda: F.col("user_id"), "user_id"),
+    (lambda: F.col("user_id") % 10, "user_id % 10"),
+]
+
+
+@dataclass(frozen=True)
+class FuzzV11:
+    """One seeded stream-stream interval-join scenario (v11)."""
+    seed: int
+    n_batches: int
+    late_frac: float
+    left_types: tuple
+    right_types: tuple
+    key_sql: str
+    horizon_min: int
+    delay_s: int
+    strict_lo: bool
+    strict_hi: bool
+    text: str
+
+    def sql(self) -> str:
+        return self.text
+
+    def _key_col(self):
+        return (F.col("user_id") % 10 if "%" in self.key_sql
+                else F.col("user_id"))
+
+    def stream_result(self, spark: SparkSession, sf_dir: str,
+                      timeout: int = 600) -> DataFrame:
+        d, _, _ = _v11_stage(self, sf_dir)
+
+        def side(types, tag):
+            src = (spark.readStream
+                   .schema("ts_us long, event_id long, user_id long, "
+                           "event_type string, value double, props string")
+                   .option("maxFilesPerTrigger", 1).parquet(d)
+                   .withColumn("ts", F.timestamp_micros("ts_us"))
+                   .filter(F.col("event_type").isin(list(types)))
+                   .withWatermark("ts", f"{self.delay_s} seconds"))
+            return src.select(self._key_col().alias(f"{tag}_key"),
+                              F.col("ts").alias(f"{tag}_ts"),
+                              F.col("event_id").alias(f"{tag}_id"))
+
+        lhs = side(self.left_types, "l")
+        rhs = side(self.right_types, "r")
+        lo = (F.col("r_ts") > F.col("l_ts") if self.strict_lo
+              else F.col("r_ts") >= F.col("l_ts"))
+        hi_bound = F.col("l_ts") + F.expr(
+            f"INTERVAL {self.horizon_min} MINUTES")
+        hi = (F.col("r_ts") < hi_bound if self.strict_hi
+              else F.col("r_ts") <= hi_bound)
+        cond = (F.col("l_key") == F.col("r_key")) & lo & hi
+        res = (lhs.join(rhs, cond, "inner")
+               .select("l_key", "l_id", "l_ts", "r_id", "r_ts"))
+        name = f"fuzz_v11_s{self.seed}"
+        q = (res.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            done = q.awaitTermination(timeout)
+        finally:
+            q.stop()
+        if q.exception() is not None:
+            raise q.exception()
+        if not done:
+            raise TimeoutError(
+                f"fuzz v11 seed {self.seed}: streaming query did not "
+                f"finish within {timeout}s; memory sink is partial")
+        return spark.table(name)
+
+    def oracle_rel(self, sf_dir: str):
+        import duckdb
+
+        _, base, batch = _v11_stage(self, sf_dir)
+        lmask = _v11_survivors(self, base, batch, self.left_types)
+        rmask = _v11_survivors(self, base, batch, self.right_types)
+        con = duckdb.connect()
+        con.register("v11_left", base[lmask])
+        con.register("v11_right", base[rmask])
+        return _V9Rel(con, self.text)
+
+
+def _v11_stage(cfg: FuzzV11, sf_dir: str):
+    return _stage_feed("v11", cfg.seed, cfg.n_batches, cfg.late_frac,
+                       sf_dir)
+
+
+def _v11_survivors(cfg: FuzzV11, base, batch, types):
+    """Boolean mask of this side's rows that pass the min-policy lagged
+    input filter: row in batch k dropped iff ts_us <= W_{k}*1000 where
+    W_k = min over BOTH sides of (ms-floor prefix-max of that side's
+    event times through batch k-2) - delay_ms; -inf while either side
+    has no data in that prefix."""
+    import numpy as np
+
+    B = cfg.n_batches
+    ts_us = base["ts_us"].to_numpy()
+    et = base["event_type"].to_numpy()
+    delay_ms = cfg.delay_s * 1000
+    NEG = -(10 ** 15)
+
+    def prefix_max(side_types):
+        m = np.isin(et, list(side_types))
+        out = []
+        run = NEG
+        for b in range(B):
+            mb = m & (batch == b)
+            if mb.any():
+                run = max(run, int(ts_us[mb].max()) // 1000)
+            out.append(run)
+        return out
+
+    lmax = prefix_max(cfg.left_types)
+    rmax = prefix_max(cfg.right_types)
+    # filter wm in effect for batch k = min(sides' prefix through k-2)
+    W = []
+    for k in range(B):
+        if k < 2 or lmax[k - 2] == NEG or rmax[k - 2] == NEG:
+            W.append(NEG)
+        else:
+            W.append(min(lmax[k - 2], rmax[k - 2]) - delay_ms)
+    side = np.isin(et, list(types))
+    keep = np.zeros(len(base), dtype=bool)
+    for b in range(B):
+        m = side & (batch == b)
+        if W[b] == NEG:
+            keep |= m
+        else:
+            keep |= m & (ts_us > W[b] * 1000)
+    return keep
+
+
+def generate_v11(seed: int) -> FuzzV11:
+    """Stream-stream interval-join corpus. Deterministic per seed;
+    independent of the v1-v10 seed spaces."""
+    rng = random.Random(("v11", seed).__repr__())
+    n_batches = rng.randint(2, 5)
+    late_frac = rng.choice(_V9_LATE)
+    types = list(_V11_TYPES)
+    rng.shuffle(types)
+    n_left = rng.randint(1, 4)
+    n_right = rng.randint(1, 5 - n_left)
+    left_types = tuple(sorted(types[:n_left]))
+    right_types = tuple(sorted(types[n_left:n_left + n_right]))
+    _, key_sql = _V11_KEYS[rng.randrange(len(_V11_KEYS))]
+    horizon_min = rng.choice(_V11_HORIZONS)
+    delay_s = rng.choice(_V9_DELAYS)
+    strict_lo = rng.random() < 0.3
+    strict_hi = rng.random() < 0.3
+
+    lo_op = ">" if strict_lo else ">="
+    hi_op = "<" if strict_hi else "<="
+    text = (
+        f"SELECT l.{key_sql} AS l_key, "
+        f"l.event_id AS l_id, l.ts AS l_ts, "
+        f"r.event_id AS r_id, r.ts AS r_ts "
+        f"FROM v11_left l JOIN v11_right r "
+        f"ON (l.{key_sql}) = (r.{key_sql}) "
+        f"AND r.ts {lo_op} l.ts "
+        f"AND r.ts {hi_op} l.ts + INTERVAL {horizon_min} MINUTES "
+        f"-- v11 seed={seed} B={n_batches} late={late_frac} "
+        f"left={','.join(left_types)} right={','.join(right_types)} "
+        f"key={key_sql} H={horizon_min} delay={delay_s} "
+        f"lo={lo_op} hi={hi_op}")
+    return FuzzV11(seed, n_batches, late_frac, left_types, right_types,
+                   key_sql, horizon_min, delay_s, strict_lo, strict_hi,
+                   text)

@@ -265,7 +265,18 @@ def interval_join_view_clicks(views: DataFrame, clicks: DataFrame,
     and its buffered state is dropped. Without the time bound the state
     would grow forever; Spark refuses outer stream-stream joins in that
     case for exactly that reason. `how="left_outer"` emits unmatched
-    views once their interval expires (attribution misses)."""
+    views once their interval expires (attribution misses).
+
+    Semantics notes (fuzz grammar v11, 40 randomized inner-join
+    scenarios vs an exact row-level oracle — fuzz.py v11 section): the
+    GLOBAL watermark is the MIN over both sides' watermarks (default
+    multipleWatermarkPolicy) — a quiet side pins it, so state grows
+    until BOTH streams advance; both inputs are late-filtered on raw
+    event time, inclusively, against the watermark one micro-batch
+    behind the progress-reported value; state eviction is conservative
+    w.r.t. that filter, so for the INNER join the emitted pairs are
+    exactly {condition holds AND both rows passed their arrival-batch
+    filter}."""
     v = (views.withWatermark("ts", watermark)
          .select(F.col("user_id").alias("v_user"),
                  F.col("ts").alias("view_ts"),

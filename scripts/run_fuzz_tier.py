@@ -29,6 +29,7 @@ import duckdb  # noqa: E402
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
+    generate_v11,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -65,7 +66,8 @@ def main() -> None:
                ("v3", generate_v3, 100), ("v4", generate_v4, 80),
                ("v5", generate_v5, 100), ("v6", generate_v6, 40),
                ("v7", generate_v7, 60), ("v8", generate_v8, 60),
-               ("v9", generate_v9, 40), ("v10", generate_v10, 40)]
+               ("v9", generate_v9, 40), ("v10", generate_v10, 40),
+               ("v11", generate_v11, 40)]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:
@@ -73,7 +75,7 @@ def main() -> None:
             q = gen(s)
             checked += 1
             try:
-                if tag in ("v9", "v10"):  # stream-vs-simulator oracle
+                if tag in ("v9", "v10", "v11"):  # stream-vs-simulator oracle
                     _conftest.assert_frames_match(
                         q.stream_result(spark, sf_dir),
                         q.oracle_rel(sf_dir), name=f"{tag}[{s}]")

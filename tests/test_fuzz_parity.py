@@ -27,6 +27,7 @@ import pytest
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
+    generate_v11,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -41,6 +42,7 @@ SEEDS_V7 = range(60)  # grammar v7: temporal joins (as-of / banded range)
 SEEDS_V8 = range(60)  # grammar v8: multi-level aggregation (ROLLUP/CUBE)
 SEEDS_V9 = range(40)  # grammar v9: watermark / append-mode streaming
 SEEDS_V10 = range(40)  # grammar v10: session-window streaming
+SEEDS_V11 = range(40)  # grammar v11: stream-stream interval join
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -63,6 +65,8 @@ CORPUS_DIGEST_V9 = (
     "67bae5f594747947b13b0a1392a7f58255972b6c9b88c3d4ba40be9817121991")
 CORPUS_DIGEST_V10 = (
     "054e9b7cf9334a9144855ecfcb3727f1e0294a11372c17eb3781fd2a8db8ac60")
+CORPUS_DIGEST_V11 = (
+    "119d890c027581cf2b872537a3fbe83a0e127f76d45e45cae1907794f70b3dc8")
 
 
 def test_generator_is_deterministic():
@@ -77,6 +81,7 @@ def test_generator_is_deterministic():
         assert generate_v8(seed % 60).sql() == generate_v8(seed % 60).sql()
         assert generate_v9(seed % 40).sql() == generate_v9(seed % 40).sql()
         assert generate_v10(seed % 40).sql() == generate_v10(seed % 40).sql()
+        assert generate_v11(seed % 40).sql() == generate_v11(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -128,6 +133,10 @@ def test_corpus_digest():
     assert got10 == CORPUS_DIGEST_V10, (
         f"fuzz v10 corpus changed: digest {got10} — re-pin "
         "CORPUS_DIGEST_V10 if intentional")
+    got11 = _digest(generate_v11, SEEDS_V11)
+    assert got11 == CORPUS_DIGEST_V11, (
+        f"fuzz v11 corpus changed: digest {got11} — re-pin "
+        "CORPUS_DIGEST_V11 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -236,6 +245,23 @@ def test_fuzz_parity_v10_session_stream(spark, seed):
     assert_frames_match(q.stream_result(spark, SF_DIR),
                         q.oracle_rel(SF_DIR),
                         name=f"fuzz_v10[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V11)
+def test_fuzz_parity_v11_interval_join_stream(spark, seed):
+    """Stream-stream interval-join corpus: two watermarked sides (split
+    by seeded disjoint event_type subsets from one late/out-of-order
+    feed) inner-joined on a key + bounded event-time interval, append
+    mode. The probed model (fuzz.py v11 section) makes the INNER output
+    exactly row-level — min-policy global watermark, one-batch-lagged
+    inclusive input filter on both sides, eviction provably
+    conservative w.r.t. the filter — so the oracle filters each side's
+    survivors in Python and hands DuckDB a plain interval join.
+    Divergence is a join-state / watermark-coordination defect."""
+    q = generate_v11(seed)
+    assert_frames_match(q.stream_result(spark, SF_DIR),
+                        q.oracle_rel(SF_DIR),
+                        name=f"fuzz_v11[{seed}]: {q.sql()}")
 
 
 @pytest.mark.parametrize("seed", SEEDS_V8)
