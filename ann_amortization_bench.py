@@ -76,7 +76,11 @@ def main() -> None:
     # machinery), then time the single-probe baseline.
     lsh_batch_topk(emb, _panel(emb, sizes[-1]).cache()) \
         .write.format("noop").mode("overwrite").save()
-    t_single = _timed(lsh_batch_topk(emb, _panel(emb, 1).cache()), repeats)
+    single_panel = _panel(emb, 1).cache()
+    single_panel.count()  # materialize OUTSIDE the timing (ADVICE r10:
+    # an unmaterialized cached panel charges its build to the first
+    # repeat, inflating t_single — and every ratio — at repeats=1)
+    t_single = _timed(lsh_batch_topk(emb, single_panel), repeats)
 
     curve = []
     for n in sizes:

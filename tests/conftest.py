@@ -89,10 +89,15 @@ def _float_rows_match_groupwise(nsp: pd.DataFrame,
     discrete columns: first try a lexicographic row sort over all float
     columns with elementwise tolerance (cheap, handles distinct rows);
     if that misaligns — two rows within tolerance of each other can swap
-    under a raw-value sort — fall back to greedy tolerance matching of
-    whole row-tuples, O(n^2) but groups tied on every discrete column
-    are small. Row coherence is never surrendered: every Spark row must
-    find a full-tuple match among the oracle rows of its own group."""
+    under a raw-value sort — fall back to EXACT maximum bipartite
+    matching (Kuhn's augmenting paths) on the tolerance graph. Greedy
+    matching was not enough (ADVICE r10): a Spark row within tolerance
+    of two oracle rows could greedily consume the one a later row
+    needed, reporting a false FAILURE despite a valid perfect matching.
+    O(V·E) worst case, but groups tied on every discrete column are
+    small. Row coherence is never surrendered: every Spark row must
+    find a full-tuple match among the oracle rows of its own group,
+    each oracle row consumed exactly once."""
     import numpy as np
 
     fcols = [c for c in nsp.columns
@@ -139,20 +144,37 @@ def _float_rows_match_groupwise(nsp: pd.DataFrame,
         if all(rows_close(A2[i], B2[i]) for i in range(len(A2))):
             continue
         # Exact pass failed: rows within tolerance of EACH OTHER may
-        # legitimately swap under a raw-value sort. Greedy whole-tuple
-        # matching; bounded so a pathological all-float giant group
-        # cannot go quadratic (such a group fails loudly instead).
+        # legitimately swap under a raw-value sort. Exact MAXIMUM
+        # bipartite matching (Kuhn's augmenting paths) on the tolerance
+        # graph — greedy is not enough (ADVICE r10): when one Spark row
+        # is within tolerance of two oracle rows, greedy can consume
+        # the one a later row needed and report a false FAILURE even
+        # though a perfect matching exists. Bounded so a pathological
+        # all-float giant group cannot go cubic (fails loudly instead).
         if len(ia) > 2000:
             return False
-        used = [False] * len(ib)
-        for r in range(len(A)):
-            hit = False
-            for j in range(len(B)):
-                if not used[j] and rows_close(A[r], B[j]):
-                    used[j] = True
-                    hit = True
-                    break
-            if not hit:
+        import sys
+        sys.setrecursionlimit(max(sys.getrecursionlimit(), 3 * len(ia) + 100))
+        adj = [[j for j in range(len(B)) if rows_close(A[r], B[j])]
+               for r in range(len(A))]
+        if any(not a for a in adj):
+            return False
+        match_b = [-1] * len(B)  # match_b[j] = Spark row matched to B[j]
+
+        def augment(r: int, seen: list[bool]) -> bool:
+            for j in adj[r]:
+                if not seen[j]:
+                    seen[j] = True
+                    if match_b[j] < 0 or augment(match_b[j], seen):
+                        match_b[j] = r
+                        return True
+            return False
+
+        # Rows with the fewest candidates first: cheap heuristic that
+        # minimizes augmenting-path work (correctness doesn't depend on
+        # it — Kuhn finds a perfect matching iff one exists).
+        for r in sorted(range(len(A)), key=lambda r: len(adj[r])):
+            if not augment(r, [False] * len(B)):
                 return False
     return True
 

@@ -128,6 +128,29 @@ def test_all_float_frame_joint_rows():
     _check(sp, ok, "all-float-rowswap")
 
 
+def test_greedy_starvation_shape_passes_with_exact_matching():
+    # THE ADVICE r10 bug class: Spark row a1=(1.0, 5.000001) is within
+    # tolerance of BOTH oracle rows; a2=(1.000001, 5.0) only of
+    # b1=(1.0, 5.0). The cheap lexsorted pass misaligns (a2 pairs
+    # positionally with b2=(1.000001, 5.000002), y off by 2e-6), and a
+    # greedy scan lets a1 consume b1 — the row a2 needed — reporting a
+    # false failure. The exact augmenting-path matcher must find the
+    # perfect matching a1-b2 / a2-b1.
+    sp = pd.DataFrame({"x": [1.0, 1.000001], "y": [5.000001, 5.0]})
+    du = pd.DataFrame({"x": [1.0, 1.000001], "y": [5.0, 5.000002]})
+    _check(sp, du, "greedy-starvation")
+
+
+def test_no_perfect_matching_still_fails():
+    # Two Spark rows both within tolerance of the SAME single oracle
+    # row (and of nothing else): exact matching must NOT double-consume
+    # it — no perfect matching exists, so the comparator must fail.
+    sp = pd.DataFrame({"x": [1.0, 1.000001], "y": [5.0, 5.000001]})
+    du = pd.DataFrame({"x": [1.0, 9.0], "y": [5.0, 9.0]})
+    with pytest.raises(AssertionError):
+        _check(sp, du, "no-perfect-matching")
+
+
 def test_nan_pairs_match_within_group():
     sp = pd.DataFrame({"k": ["a", "a"], "x": [float("nan"), 1.0],
                        "y": [1.0, 2.0]})
