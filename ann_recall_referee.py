@@ -61,7 +61,8 @@ from data_pipelines_course_spark.datasets import load
 from data_pipelines_course_spark.functions.scalar import fround
 from data_pipelines_course_spark.operators.similarity import (
     IVF_K, IVF_NPROBE, PQ_KSUB, PQ_M, PQ_REFINE, TOP_K,
-    _arr_sql, _normalized, _pq_codebooks, _pq_encode_sql, _py_cos,
+    _arr_sql, _normalized, _pq_codebooks, _pq_encode_sql,
+    _pq_residual_codebooks, _py_cos, _residual_sql,
     ann_probe_panel, batch_ranked_topk, batch_score, cosine, dot,
     finite_norm, lsh_batch_topk, lsh_bucket_cols, norm,
 )
@@ -165,10 +166,14 @@ def batch_ivf_kmeans(spark: SparkSession, emb: DataFrame,
 
 
 def _probe_luts(spark: SparkSession, emb: DataFrame, probes: DataFrame,
-                books: list[list[list[float]]]) -> DataFrame:
-    """(probe_id, nvp, lut): unit probe vector + flat ADC lookup table
-    lut[m*PQ_KSUB + j] = q_m . c_mj — the registered per-probe LUT,
-    one row per probe instead of one literal per query."""
+                books: list[list[list[float]]],
+                cents: list[list[float]] | None = None) -> DataFrame:
+    """(probe_id, nvp, lut[, cdots]): unit probe vector + flat ADC
+    lookup table lut[m*PQ_KSUB + j] = q_m . c_mj — the registered
+    per-probe LUT, one row per probe instead of one literal per query.
+    With `cents` (the IVFADC path): cdots[c] = q . cents[c], the exact
+    inner-product decomposition's per-cell term (the registered query's
+    `cell_dots` literal, one array column per probe)."""
     dsub = len(books[0][0])
     rows = []
     for r in (_normalized(emb.join(F.broadcast(probes),
@@ -179,9 +184,14 @@ def _probe_luts(spark: SparkSession, emb: DataFrame, probes: DataFrame,
         for m, book in enumerate(books):
             qm = nvp[m * dsub:(m + 1) * dsub]
             lut += [sum(a * b for a, b in zip(qm, c)) for c in book]
-        rows.append((int(r["probe_id"]), nvp, lut))
-    return spark.createDataFrame(
-        rows, "probe_id bigint, nvp array<double>, lut array<double>")
+        row = [int(r["probe_id"]), nvp, lut]
+        if cents is not None:
+            row.append([sum(a * b for a, b in zip(nvp, c)) for c in cents])
+        rows.append(tuple(row))
+    schema = "probe_id bigint, nvp array<double>, lut array<double>"
+    if cents is not None:
+        schema += ", cdots array<double>"
+    return spark.createDataFrame(rows, schema)
 
 
 _ADC_SQL = " + ".join(
@@ -190,30 +200,38 @@ _ADC_SQL = " + ".join(
 
 
 def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
-             sf_dir: str, ivf_route: bool = False) -> DataFrame:
+             sf_dir: str, ivf_route: bool = False,
+             residual: bool = False) -> DataFrame:
     """pq_topk (ivf_route=False) / ivf_pq_topk (True) in batch form:
     same `_pq_codebooks` training, same `_pq_encode_sql` codes; the ADC
-    LUT is a column on the broadcast probe frame."""
-    books, _ = _pq_codebooks(spark, sf_dir)
-    if books is None:
-        return spark.createDataFrame([], "probe_id bigint, vec_id bigint,"
-                                         " cos_sim double")
-    dsub = len(books[0][0])
-    coded = (_normalized(emb)
-             .withColumn("codes", F.expr(_pq_encode_sql(books, dsub))))
+    LUT is a column on the broadcast probe frame. Probe-0 parity pinned
+    in tests/test_ann_recall_referee.py.
+
+    residual=True (requires ivf_route): the MEASURED-AND-REJECTED
+    IVFADC variant (VERDICT r10 #2; see ivf_pq_topk's docstring for the
+    verdict) — codes quantize the residual nv − cents[_cell]
+    (`_pq_residual_codebooks`), the LUT is over residual codebooks, and
+    the exact inner-product decomposition's per-cell term
+    q·cents[_cell] rides the probe frame as `cdots`. Kept as a
+    referee-only panel so every round's artifact re-measures the
+    negative result against the shipped raw path."""
+    empty = "probe_id bigint, vec_id bigint, cos_sim double"
     if ivf_route:
         # Trained router since r10 (VERDICT r9 #3): same kmeans_train
         # centroids + _best_cell assignment as the registered
-        # ivf_pq_topk / ivf_kmeans_topk (probe-0 parity pinned in
-        # tests/test_ann_recall_referee.py).
+        # ivf_pq_topk / ivf_kmeans_topk.
         from data_pipelines_course_spark.operators.similarity import (
             _best_cell, kmeans_train,
         )
 
-        cents, _ = kmeans_train(spark, sf_dir)
-        if not cents:
-            return spark.createDataFrame(
-                [], "probe_id bigint, vec_id bigint, cos_sim double")
+        if residual:
+            books, _, cents = _pq_residual_codebooks(spark, sf_dir)
+        else:
+            books, _ = _pq_codebooks(spark, sf_dir)
+            cents, _ = kmeans_train(spark, sf_dir)
+        if books is None or not cents:
+            return spark.createDataFrame([], empty)
+        dsub = len(books[0][0])
         routes = []
         for r in probes.collect():
             qv = [float(x) for x in r["pv"]]
@@ -222,19 +240,37 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
             routes += [(int(r["probe_id"]), int(c)) for c in cells]
         routes_df = spark.createDataFrame(routes,
                                           "probe_id bigint, _cell int")
-        coded = (coded.withColumn(
-            "_cell",
-            _best_cell(cents)["c"].cast("int"))
-            .join(F.broadcast(routes_df), "_cell"))
-        pairs = coded.join(F.broadcast(_probe_luts(spark, emb, probes,
-                                                   books)), "probe_id")
+        coded = (_normalized(emb)
+                 .withColumn("_cell", _best_cell(cents)["c"].cast("int"))
+                 .join(F.broadcast(routes_df), "_cell"))
+        if residual:
+            coded = (coded
+                     .withColumn("rv", F.expr(_residual_sql(cents)))
+                     .withColumn("codes", F.expr(
+                         _pq_encode_sql(books, dsub, vec="rv"))))
+            adc_sql = "element_at(cdots, _cell + 1) + " + _ADC_SQL
+        else:
+            coded = coded.withColumn(
+                "codes", F.expr(_pq_encode_sql(books, dsub)))
+            adc_sql = _ADC_SQL
+        pairs = coded.join(
+            F.broadcast(_probe_luts(spark, emb, probes, books,
+                                    cents=cents if residual else None)),
+            "probe_id")
     else:
+        books, _ = _pq_codebooks(spark, sf_dir)
+        if books is None:
+            return spark.createDataFrame([], empty)
+        dsub = len(books[0][0])
+        coded = (_normalized(emb)
+                 .withColumn("codes", F.expr(_pq_encode_sql(books, dsub))))
         pairs = coded.crossJoin(
             F.broadcast(_probe_luts(spark, emb, probes, books)))
+        adc_sql = _ADC_SQL
     pairs = pairs.filter(F.col("vec_id") != F.col("probe_id"))
     adc_ranked = _ranked_topk(
         pairs.select("probe_id", "vec_id", "nv", "nvp",
-                     F.expr(_ADC_SQL).alias("adc_score")),
+                     F.expr(adc_sql).alias("adc_score")),
         PQ_REFINE * TOP_K, score="adc_score")
     rescored = adc_ranked.select(
         "probe_id", "vec_id",
@@ -292,6 +328,10 @@ def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
         "pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir),
         "ivf_pq_topk": lambda: batch_pq(spark, emb, probes, sf_dir,
                                         ivf_route=True),
+        # referee-only: the rejected IVFADC residual variant, re-measured
+        # every round against the shipped raw path (see batch_pq)
+        "ivf_pq_residual": lambda: batch_pq(spark, emb, probes, sf_dir,
+                                            ivf_route=True, residual=True),
         "ivf_kmeans_topk": lambda: batch_ivf_kmeans(
             spark, emb, probes, sf_dir),
     }
@@ -322,6 +362,8 @@ def run(spark: SparkSession, sf_dir: str, mod: int) -> dict:
     out["paths"]["ivf_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
     out["paths"]["pq_topk"]["cand_frac"] = 1.0  # ADC scans all codes
     out["paths"]["ivf_pq_topk"]["cand_frac"] = round(IVF_NPROBE / IVF_K, 4)
+    out["paths"]["ivf_pq_residual"]["cand_frac"] = round(
+        IVF_NPROBE / IVF_K, 4)
     out["paths"]["ivf_kmeans_topk"]["cand_frac"] = round(
         IVF_NPROBE / IVF_K, 4)
     return out

@@ -79,8 +79,9 @@ def test_semdedup_recall_vs_exact(spark):
 
 
 def test_pq_recall_vs_brute_force(spark):
-    """PQ/ADC with 4-bit codes per subspace and 8x refine: measured
-    recall@10 = 0.8 on this isotropic corpus (neighbors at cos~0.5 —
+    """PQ/ADC with 4-bit codes per subspace and 16x refine (r11: 8x
+    widened, monotone-nondecreasing — see PQ_REFINE): measured
+    recall@10 >= 0.8 on this isotropic corpus (neighbors at cos~0.5 —
     the hardest regime for any quantizer); floor at 0.6 for machine
     drift. Clustered real-embedding corpora sit far higher."""
     brute = set(_topk_ids(spark, "knn_brute_force"))
@@ -148,3 +149,24 @@ def test_ivf_pq_recall_and_exact_rerank(spark):
     for r in got:
         if r["vec_id"] in brute:
             assert abs(r["cos_sim"] - brute[r["vec_id"]]) < 1e-9
+
+
+def test_py_cos_zero_norm_returns_zero():
+    """ADVICE r10: a trained centroid CAN be the exact zero vector when a
+    cell's member mean cancels (adversarial v/-v corpora — _unit returns
+    zero vectors unchanged), and the old _py_cos raised ZeroDivisionError
+    when routing cosined against it. It must instead rank the
+    direction-less centroid below every real one (0.0), so routing skips
+    it without crashing."""
+    from data_pipelines_course_spark.operators.similarity import _py_cos
+
+    assert _py_cos([1.0, 0.0], [0.0, 0.0]) == 0.0
+    assert _py_cos([0.0, 0.0], [1.0, 0.0]) == 0.0
+    assert _py_cos([0.0, 0.0], [0.0, 0.0]) == 0.0
+    # real vectors unaffected
+    assert abs(_py_cos([1.0, 0.0], [1.0, 0.0]) - 1.0) < 1e-12
+    assert abs(_py_cos([1.0, 0.0], [0.0, 1.0])) < 1e-12
+    # routing sort order: zero-norm centroid loses to any positive-cos one
+    cents = [[0.0, 0.0], [0.6, 0.8]]
+    ranked = sorted(range(2), key=lambda c: -_py_cos([1.0, 0.0], cents[c]))
+    assert ranked[0] == 1
