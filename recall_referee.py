@@ -106,6 +106,37 @@ def _banding_p(j: float) -> float:
     return 1.0 - (1.0 - j ** ROWS_PER_BAND) ** BANDS
 
 
+def _full_model_p(j: float) -> float:
+    """P(the registered pipeline EMITS a J-similar pair) under the full
+    model the pipeline implements: >=1 agreeing band AND the NUM_PERM-
+    sample estimated Jaccard >= 0.5 (VERDICT r10 obs. #1: the banding
+    s-curve alone omits the est-cutoff term and so OVERSTATES expected
+    recall in sub-0.8 bands; judging theory_in_ci against the full
+    model makes it a two-sided gate). Exact DP over the joint event
+    with the NUM_PERM per-permutation agreements i.i.d. Bernoulli(J)
+    (the min-wise-independence idealization): track (total agreements,
+    any-band-complete) across the BANDS bands of ROWS_PER_BAND rows;
+    emit-probability = P(any_full AND total >= NUM_PERM/2). Numerically
+    the cutoff term is material only below J~0.7 (J=0.6: 0.649 vs
+    0.671 banding-only); above it the two curves coincide to 3 dp —
+    which is itself diagnostic: a band measured BELOW the full model's
+    CI cannot be blamed on the cutoff under ideal minhash (see
+    RECALL_r11 sf10-docs [0.7,0.8) triage in NOTES_r11)."""
+    from math import comb
+
+    pmf = [comb(ROWS_PER_BAND, k) * j ** k * (1 - j) ** (ROWS_PER_BAND - k)
+           for k in range(ROWS_PER_BAND + 1)]
+    dp = {(0, False): 1.0}
+    for _ in range(BANDS):
+        nxt: dict = {}
+        for (s, f), p in dp.items():
+            for k in range(ROWS_PER_BAND + 1):
+                key = (s + k, f or k == ROWS_PER_BAND)
+                nxt[key] = nxt.get(key, 0.0) + p * pmf[k]
+        dp = nxt
+    return sum(p for (s, f), p in dp.items() if f and s >= NUM_PERM // 2)
+
+
 def wilson_ci(hit: int, n: int, z: float = 1.96) -> tuple[float, float]:
     """95% Wilson score interval for a binomial proportion — the
     small-n-safe interval (Wilson 1927; Brown/Cai/DasGupta 2001 rate it
@@ -126,17 +157,24 @@ def _recall(found: set, truth: dict, theory: bool = True) -> dict:
                     key=lambda p: truth[p])
     # Stratify by TRUE Jaccard: aggregate recall is a property of the
     # corpus's J-distribution; the implementation contract is per-band
-    # recall vs the banding s-curve (theory_mean), judged through a
-    # Wilson 95% CI (ADVICE r8 #1: band n is 2-300, so point estimates
-    # over- and under-shoot theory by binomial noise alone — r8's
-    # sf10 [0.7,0.8) read 0.75 on n=16 against theory 0.933). The
-    # s-curve also OVERSTATES expected recall below J~0.8: the
-    # registered est-Jaccard >= 0.5 cutoff drops co-bucketed pairs
-    # whose 32-sample signature estimate lands under 0.5 — a loss the
-    # banding model does not include (missed_diagnosis attributes these
-    # as 'est_cutoff'). So the healthy reading is: theory_in_ci or
-    # measured above theory; measured BELOW the CI of theory in a
-    # J >= 0.8 band = implementation bug.
+    # recall vs the FULL pipeline model (theory_mean = _full_model_p:
+    # banding AND est-cutoff, r11 — VERDICT r10 #3; banding_mean keeps
+    # the classic s-curve), judged through a Wilson 95% CI (ADVICE r8
+    # #1: band n is 2-300, so point estimates over- and under-shoot
+    # theory by binomial noise alone). With the full model, theory_in_ci
+    # is a two-sided gate; a band below even the full model's CI is a
+    # REAL shortfall to triage — the r11 triage of sf10 [0.7,0.8)
+    # (0.75 obs vs 0.932 full-model) found per-perm agreement unbiased
+    # (fresh-512-perm probe ~= J) and attributed the gap to the SHARED
+    # fixed permutation draw: band agreements are correlated across
+    # structurally-similar near-dup pairs, so per-pair ~5% banding-tail
+    # events cluster instead of averaging out. Knob answer, measured on
+    # the same signatures at sf10-docs: a 16x2 band/row split lifts
+    # [0.7,0.8) 0.75 -> 1.0 and [0.6,0.7) 0.85 -> 0.94 at a 63x
+    # candidate-volume cost (474k -> 29.8M pairs at 500k docs) — a
+    # user-facing precision/cost knob, not a default change; the
+    # registered J >= 0.8 contract holds at 1.0 throughout. Measured
+    # BELOW the CI of theory in a J >= 0.8 band = implementation bug.
     by_band = {}
     for lo, hi in ((0.6, 0.7), (0.7, 0.8), (0.8, 0.9), (0.9, 1.01)):
         band = [p for p, j in truth.items() if lo <= j < hi]
@@ -150,11 +188,16 @@ def _recall(found: set, truth: dict, theory: bool = True) -> dict:
             "ci95": [ci_lo, ci_hi],
         }
         if theory:
-            # Minhash only: the s-curve is the minhash banding's, not a
+            # Minhash only: the curves are the minhash pipeline's, not a
             # prediction for the Hamming-threshold simhash detector.
+            # theory_mean is the FULL model (banding AND est-cutoff,
+            # _full_model_p — r11, VERDICT r10 #3); banding_mean keeps
+            # the classic s-curve for cross-round comparability.
             tm = round(
-                sum(_banding_p(truth[p]) for p in band) / len(band), 4)
+                sum(_full_model_p(truth[p]) for p in band) / len(band), 4)
             cell["theory_mean"] = tm
+            cell["banding_mean"] = round(
+                sum(_banding_p(truth[p]) for p in band) / len(band), 4)
             cell["theory_in_ci"] = bool(ci_lo <= tm <= ci_hi)
             cell["at_or_above_theory"] = bool(cell["recall"] >= tm)
         by_band[f"[{lo},{hi if hi <= 1 else 1.0})"] = cell

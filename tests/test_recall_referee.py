@@ -151,3 +151,33 @@ def test_recall_cells_carry_ci_and_theory_flags(spark):
             cell["recall"] >= cell["theory_mean"])
     for cell in out["lsh"]["simhash_pairs"]["by_band"].values():
         assert "ci95" in cell and "theory_mean" not in cell
+
+
+def test_full_model_vs_banding_only():
+    """The r11 full pipeline model (banding AND est-cutoff,
+    _full_model_p): always <= the banding-only s-curve (the cutoff can
+    only remove emissions), materially below it only in the weak-J
+    regime, coinciding above J~0.7 (so a [0.7,0.8) shortfall cannot be
+    blamed on the cutoff under ideal minhash — the r11 triage's
+    premise), monotone in J, and exactly the banding curve at J=1."""
+    from recall_referee import _banding_p, _full_model_p
+
+    prev = 0.0
+    for j in [i / 20 for i in range(1, 21)]:
+        full, band = _full_model_p(j), _banding_p(j)
+        assert full <= band + 1e-12
+        assert full >= prev - 1e-12  # monotone
+        prev = full
+    # cutoff term material at J=0.6, gone by J=0.75 (3 dp)
+    assert _banding_p(0.6) - _full_model_p(0.6) > 0.01
+    assert abs(_banding_p(0.75) - _full_model_p(0.75)) < 1e-3
+    assert abs(_full_model_p(1.0) - 1.0) < 1e-12
+
+
+def test_recall_cells_carry_banding_mean(spark):
+    """r11: minhash cells carry BOTH curves — theory_mean (full model,
+    the judged one) and banding_mean (classic s-curve, cross-round
+    comparability), with full <= banding per cell."""
+    out = measure(spark, SF_DIR, mod=1)
+    for cell in out["lsh"]["minhash_lsh_pairs"]["by_band"].values():
+        assert cell["theory_mean"] <= cell["banding_mean"] + 1e-9
