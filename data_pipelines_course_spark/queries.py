@@ -115,64 +115,64 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 10 rotation: staleness-ratchet front (VERDICT r9 #4) — the
+    # Round 11 rotation: staleness-ratchet front (VERDICT r9 #4) — the
     # 50 names whose most recent driver CORRECTNESS row is oldest,
-    # ranked (latest round, name). Freshness at r10 start: the 14
-    # remaining r6 names + the 36 alphabetically-first r7 names —
+    # ranked (latest round, name). Freshness at r11 start: the 14
+    # remaining r7 names + the 36 alphabetically-first r8 names —
     # exactly the tuple the guard test emits (max staleness stays
     # bounded at <=4 rounds). tests/test_registry.py recomputes the
     # ranking from the committed CORRECTNESS files and fails with a
     # paste-ready tuple when the rotation goes stale.
-    "rollup_stream_convergence",
-    "salted_grouped_stats",
-    "salted_join_segment_revenue",
-    "scd2_stream_convergence",
-    "scd2_user_state_intervals",
-    "semdedup_candidates",
-    "sessionize_events",
-    "simhash_pairs",
-    "sketch_distinct_users_by_type",
-    "snapshot_diff_orders",
-    "trending_topk_stream_convergence",
-    "value_outliers_by_type",
-    "vocab_typo_pairs",
-    "vocab_typo_pairs_symspell",
-    "anti_join_stopwords",
-    "array_element_extract",
-    "array_mean",
-    "array_size",
-    "array_transform_norm",
-    "broadcast_join",
-    "case_when_bucket",
-    "contamination_report",
-    "corpus_curation",
-    "cube_agg",
-    "derived_datetime_parts",
-    "deterministic_sample_docs",
-    "dispersion_stats",
-    "distinct_count",
-    "doc_fingerprint",
-    "doc_length_stats",
-    "duplicate_ratio_report",
-    "embedding_norm_stats",
-    "except_inactive_customers",
-    "explode_array_agg",
-    "filter_contains",
-    "filter_date_window",
-    "filter_equality",
-    "global_minmax",
-    "grouped_count",
-    "grouped_hour_sum",
-    "grouping_sets_agg",
-    "intersect_nation_keys",
-    "join_multiway_revenue",
-    "json_extract_props",
-    "json_group_by_key",
-    "lag_lead_delta",
-    "lang_id",
-    "literal_and_cast",
-    "moving_average",
-    "projection_pluck",
+    "rank_customers",
+    "rollup_agg",
+    "semi_join_active_customers",
+    "sort_by_computed",
+    "sql_region_revenue",
+    "tail_slice",
+    "text_quality",
+    "token_count",
+    "topk_words",
+    "union_all",
+    "value_counts",
+    "variant_props_extract",
+    "window_first_last_ratio",
+    "wordcount",
+    "boilerplate_ngrams",
+    "context_windows_report",
+    "daily_event_gapfill",
+    "encode_docs_to_ids",
+    "event_funnel",
+    "gopher_quality_flags",
+    "knn_brute_force",
+    "label_centroid_norms",
+    "lang_confusion_report",
+    "lang_token_stats",
+    "lateral_topk_per_nation",
+    "media_feature_extract",
+    "media_feature_extract_arrow",
+    "media_frame_sample",
+    "media_kind_stats",
+    "minmax_scale_by_group",
+    "mixture_sample_events",
+    "pivot_status_counts",
+    "props_map_stats",
+    "repetition_ratio",
+    "retention_cohorts",
+    "rolling_7day_customer_spend",
+    "stratified_sample_per_source",
+    "token_length_histogram",
+    "topk_orders_per_segment",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q1_pricing_summary",
 )
 
 
