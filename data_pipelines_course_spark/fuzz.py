@@ -131,6 +131,22 @@ from pyspark.sql.window import Window
 from .datasets import load
 from .functions.scalar import weekday_py
 
+
+def _mkdtemp_tracked(prefix: str) -> str:
+    """tempfile.mkdtemp + atexit rmtree. Staged stream-feed dirs are
+    cached per (tag, seed, sf_dir) for the life of the process; without
+    cleanup a full fuzz-tier run leaks 120+ dirs each holding a copy of
+    the tier's events table split into per-batch parquet (ADVICE r10).
+    atexit (not per-seed rmtree) because the cache exists precisely so
+    a re-run of the same seed in one process reuses the staging."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
 # --------------------------------------------------------------------------
 # Column metadata (sf-independent: domains are the generator's constants
 # pool, not assertions about the data — a predicate matching 0 rows is a
@@ -1622,11 +1638,10 @@ def _v6_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is squat-prone on shared hosts); normalize ts exactly as
     datasets.load does for the batch scan."""
     import os
-    import tempfile
 
     d = _V6_STAGE_CACHE.get(sf_dir)
     if d is None:
-        d = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+        d = _mkdtemp_tracked(prefix="spark_graft_stream_src_")
         _V6_STAGE_CACHE[sf_dir] = d
     link = os.path.join(d, "events.parquet")
     if not os.path.lexists(link):
@@ -2148,13 +2163,12 @@ def _stage_feed(tag: str, seed: int, n_batches: int, late_frac: float,
     if hit is not None:
         return hit
     import os
-    import tempfile
     import time
 
     base = _v9_base(sf_dir)
     batch = _feed_assign(f"{tag}-assign", seed, len(base), n_batches,
                          late_frac, base["ts_us"].to_numpy())
-    d = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_s{seed}_")
+    d = _mkdtemp_tracked(prefix=f"spark_graft_{tag}_s{seed}_")
     t0 = time.time() - 86_400
     cols = ["ts_us", "event_id", "user_id", "event_type", "value", "props"]
     for b in range(n_batches):
@@ -2627,6 +2641,9 @@ class FuzzV11:
     strict_hi: bool
     text: str
 
+    TAG = "v11"
+    HOW = "inner"
+
     def sql(self) -> str:
         return self.text
 
@@ -2659,9 +2676,9 @@ class FuzzV11:
         hi = (F.col("r_ts") < hi_bound if self.strict_hi
               else F.col("r_ts") <= hi_bound)
         cond = (F.col("l_key") == F.col("r_key")) & lo & hi
-        res = (lhs.join(rhs, cond, "inner")
+        res = (lhs.join(rhs, cond, self.HOW)
                .select("l_key", "l_id", "l_ts", "r_id", "r_ts"))
-        name = f"fuzz_v11_s{self.seed}"
+        name = f"fuzz_{self.TAG}_s{self.seed}"
         q = (res.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
         try:
@@ -2672,8 +2689,8 @@ class FuzzV11:
             raise q.exception()
         if not done:
             raise TimeoutError(
-                f"fuzz v11 seed {self.seed}: streaming query did not "
-                f"finish within {timeout}s; memory sink is partial")
+                f"fuzz {self.TAG} seed {self.seed}: streaming query did "
+                f"not finish within {timeout}s; memory sink is partial")
         return spark.table(name)
 
     def oracle_rel(self, sf_dir: str):
@@ -2689,7 +2706,7 @@ class FuzzV11:
 
 
 def _v11_stage(cfg: FuzzV11, sf_dir: str):
-    return _stage_feed("v11", cfg.seed, cfg.n_batches, cfg.late_frac,
+    return _stage_feed(cfg.TAG, cfg.seed, cfg.n_batches, cfg.late_frac,
                        sf_dir)
 
 
@@ -2771,5 +2788,140 @@ def generate_v11(seed: int) -> FuzzV11:
         f"key={key_sql} H={horizon_min} delay={delay_s} "
         f"lo={lo_op} hi={hi_op}")
     return FuzzV11(seed, n_batches, late_frac, left_types, right_types,
+                   key_sql, horizon_min, delay_s, strict_lo, strict_hi,
+                   text)
+
+
+# --------------------------------------------------------------------------
+# Grammar v12 — OUTER (left) stream-stream interval join (twelfth frozen
+# digest). v11 verified the INNER join and explicitly scoped out outer
+# modes: null-extended rows ride STATE EVICTION, not row arrival. This
+# grammar closes that gap for `interval_join_view_clicks`'s
+# how="left_outer" mode (streaming/jobs.py) — the last registered
+# operator mode verified only by hand-written scenarios (VERDICT r10
+# next-round #1).
+#
+# Model, probed against Spark 4.1 before the digest froze (probes
+# O-A..O-L, /tmp/probe_v12*.py, r11). The inner part is exactly v11's
+# row-level model; the null-extension facts:
+#   * A left row emits null-extended iff it entered state (passed the
+#     v11 lagged min-policy input filter), was never matched, and its
+#     interval EXPIRED against the final watermark: with upper bound
+#     r_ts <= l_ts + H, evicted iff l_ts + H < W_final, STRICTLY —
+#     equality keeps the row (probes O-B: l+H == W kept, +-1ms flips
+#     it). A strict upper bound (r_ts < l_ts + H) shifts the boundary
+#     to INCLUSIVE: evicted iff l_ts + H <= W_final (O-D: equality
+#     evicts, 1ms below W does not). The comparison is exact-us row
+#     time against the ms-floored watermark (O-I: with strict hi,
+#     l+H = W + 0.5ms is KEPT — the row time is NOT ms-floored).
+#     The lower bound's strictness is inert for left eviction (O-K).
+#   * W_final is the full-prefix min-policy watermark: min over BOTH
+#     sides of (ms-floor prefix-max of that side's event times over
+#     ALL batches) - delay. AvailableNow's final no-data batch evicts
+#     with it (O-H: expiry-crossing rows arriving in the LAST data
+#     batch still trigger nulls), and min applies to eviction exactly
+#     as to the filter (O-J: a row expired against its own side's
+#     watermark but not the min stays in state; O-G: a side with no
+#     rows pins W_final at -inf — NO nulls ever, the unbounded-state
+#     operational hazard interval_join_view_clicks documents, pinned
+#     as divergence test #4 in tests/test_adversarial.py).
+#   * Matched left rows never null-emit, however long expired (O-E),
+#     and the match set is closed under eviction: an evicted row's
+#     bound sits below every later filter watermark (the v11 closure
+#     argument, now load-bearing for "unmatched" being row-level too).
+#   * Right rows never null-emit under left_outer (O-A2/O-L scope the
+#     mirror; right_outer mirrors with the right-side state bound).
+#
+# Oracle: per-side survival masks (v11's, unchanged), an `evicted`
+# boolean per surviving left row (the strictness-adjusted expiry
+# predicate above), and a plain DuckDB LEFT JOIN filtered to
+# (matched OR evicted) — fully row-level, no state simulation.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FuzzV12(FuzzV11):
+    """One seeded LEFT-OUTER stream-stream interval-join scenario (v12).
+    Inherits v11's feed, condition, and stream plumbing; only the join
+    mode and the oracle differ."""
+
+    TAG = "v12"
+    HOW = "left_outer"
+
+    def oracle_rel(self, sf_dir: str):
+        import duckdb
+
+        _, base, batch = _v11_stage(self, sf_dir)
+        lmask = _v11_survivors(self, base, batch, self.left_types)
+        rmask = _v11_survivors(self, base, batch, self.right_types)
+        left = base[lmask].copy()
+        left["evicted"] = _v12_evicted(self, base, left)
+        con = duckdb.connect()
+        con.register("v12_left", left)
+        con.register("v12_right", base[rmask])
+        return _V9Rel(con, self.text)
+
+
+def _v12_evicted(cfg: FuzzV12, base, left) -> "object":
+    """Boolean per surviving left row: interval expired against the
+    final full-prefix min-policy watermark (probes O-B/O-D/O-H/O-I/O-J).
+    The final watermark needs no batch bookkeeping — every row arrives
+    by the last data batch, so the full per-side max IS the final
+    prefix (AvailableNow's no-data batch then evicts with it, O-H).
+    strict_hi shifts the strict '<' boundary to '<=' (O-D); a side
+    with no rows anywhere pins the min at -inf and evicts nothing
+    (O-G). Exact-us row expiry vs ms-floored watermark (O-I)."""
+    import numpy as np
+
+    et = base["event_type"].to_numpy()
+    ts_us = base["ts_us"].to_numpy()
+
+    def full_max_ms(types):
+        m = np.isin(et, list(types))
+        return int(ts_us[m].max()) // 1000 if m.any() else None
+
+    lmax = full_max_ms(cfg.left_types)
+    rmax = full_max_ms(cfg.right_types)
+    if lmax is None or rmax is None:
+        return np.zeros(len(left), dtype=bool)
+    w_us = (min(lmax, rmax) - cfg.delay_s * 1000) * 1000
+    expiry = left["ts_us"].to_numpy() + cfg.horizon_min * 60 * 1_000_000
+    return expiry <= w_us if cfg.strict_hi else expiry < w_us
+
+
+def generate_v12(seed: int) -> FuzzV12:
+    """Left-outer stream-stream interval-join corpus. Deterministic per
+    seed; independent of the v1-v11 seed spaces."""
+    rng = random.Random(("v12", seed).__repr__())
+    n_batches = rng.randint(2, 5)
+    late_frac = rng.choice(_V9_LATE)
+    types = list(_V11_TYPES)
+    rng.shuffle(types)
+    n_left = rng.randint(1, 4)
+    n_right = rng.randint(1, 5 - n_left)
+    left_types = tuple(sorted(types[:n_left]))
+    right_types = tuple(sorted(types[n_left:n_left + n_right]))
+    _, key_sql = _V11_KEYS[rng.randrange(len(_V11_KEYS))]
+    horizon_min = rng.choice(_V11_HORIZONS)
+    delay_s = rng.choice(_V9_DELAYS)
+    strict_lo = rng.random() < 0.3
+    strict_hi = rng.random() < 0.3
+
+    lo_op = ">" if strict_lo else ">="
+    hi_op = "<" if strict_hi else "<="
+    text = (
+        f"SELECT l.{key_sql} AS l_key, "
+        f"l.event_id AS l_id, l.ts AS l_ts, "
+        f"r.event_id AS r_id, r.ts AS r_ts "
+        f"FROM v12_left l LEFT JOIN v12_right r "
+        f"ON (l.{key_sql}) = (r.{key_sql}) "
+        f"AND r.ts {lo_op} l.ts "
+        f"AND r.ts {hi_op} l.ts + INTERVAL {horizon_min} MINUTES "
+        f"WHERE r.event_id IS NOT NULL OR l.evicted "
+        f"-- v12 seed={seed} B={n_batches} late={late_frac} "
+        f"left={','.join(left_types)} right={','.join(right_types)} "
+        f"key={key_sql} H={horizon_min} delay={delay_s} "
+        f"lo={lo_op} hi={hi_op}")
+    return FuzzV12(seed, n_batches, late_frac, left_types, right_types,
                    key_sql, horizon_min, delay_s, strict_lo, strict_hi,
                    text)

@@ -29,7 +29,7 @@ import duckdb  # noqa: E402
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
-    generate_v11,
+    generate_v11, generate_v12,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -45,12 +45,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     confs = []
+    skip: set = set()
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
         a = argv[i]
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
+        elif a.startswith("--skip="):
+            # Explicit, logged scale-tier exclusion (no silent caps):
+            # the stream-stream join grammars (v11/v12) are excluded at
+            # sf1 BY DESIGN — interval-join output volume grows with
+            # corpus density x horizon (order-10^8 pairs into a memory
+            # sink at the 1M-event tier); their semantics are density-
+            # independent and fully exercised at sf0.01/sf0.1.
+            skip = set(a.split("=", 1)[1].split(","))
         elif a == "--set":
             i += 1
             confs.append(argv[i].split("=", 1))
@@ -67,7 +76,11 @@ def main() -> None:
                ("v5", generate_v5, 100), ("v6", generate_v6, 40),
                ("v7", generate_v7, 60), ("v8", generate_v8, 60),
                ("v9", generate_v9, 40), ("v10", generate_v10, 40),
-               ("v11", generate_v11, 40)]
+               ("v11", generate_v11, 40),
+               ("v12", generate_v12, 40)]
+    if skip:
+        print(f"skipping corpora by flag: {sorted(skip)}", flush=True)
+        corpora = [c for c in corpora if c[0] not in skip]
     t0 = time.time()
     checked, failed = 0, []
     for tag, gen, n in corpora:
@@ -75,7 +88,7 @@ def main() -> None:
             q = gen(s)
             checked += 1
             try:
-                if tag in ("v9", "v10", "v11"):  # stream-vs-simulator oracle
+                if tag in ("v9", "v10", "v11", "v12"):  # stream-vs-sim oracle
                     _conftest.assert_frames_match(
                         q.stream_result(spark, sf_dir),
                         q.oracle_rel(sf_dir), name=f"{tag}[{s}]")

@@ -1217,3 +1217,66 @@ def test_inf_values_reported_as_outliers(spark, extremes_dir):
     assert 9000000 not in by_event             # NaN view: no score
     assert not out["zscore"].map(
         lambda z: z != z).any()                # no NaN scores anywhere
+
+
+def test_known_quiet_side_pins_min_watermark(spark, tmp_path):
+    """Documented operational hazard #4 (found by fuzz v11 probes
+    J7/J8, re-confirmed by v12 probe O-G; promoted to a pin per the
+    r10 verdict): in a multi-watermark query Spark's default
+    `multipleWatermarkPolicy = min` takes the GLOBAL watermark as the
+    MIN across sources, so a stream-stream join whose one side is
+    QUIET pins the global watermark at epoch — the busy side's state
+    is NEVER evicted (unbounded growth) and a left-outer join emits NO
+    null-extended rows however stale its unmatched rows get. Pinned
+    with the REGISTERED operator (`interval_join_view_clicks`,
+    how=left_outer): views flow, clicks never arrive; the final
+    progress must show the epoch watermark and ALL view rows still in
+    state, and the sink must stay empty. If Spark's policy default or
+    eviction coupling ever changes, this fails and the v11/v12 fuzz
+    oracles must be re-probed."""
+    import os
+    import time as _time
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_pipelines_course_spark.streaming.jobs import (
+        interval_join_view_clicks,
+    )
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    t0 = _time.time() - 3600
+    S = 1_000_000
+    for b, ts in enumerate((100 * S, 5000 * S)):  # views 100s, 5000s apart
+        p = os.path.join(d, f"b{b:03d}.parquet")
+        pd.DataFrame({"ts_us": [ts], "event_id": [b], "user_id": [1],
+                      "event_type": ["view"]}).to_parquet(p, index=False)
+        os.utime(p, (t0 + b * 10, t0 + b * 10))
+
+    def side(kind):
+        return (spark.readStream
+                .schema("ts_us long, event_id long, user_id long,"
+                        " event_type string")
+                .option("maxFilesPerTrigger", 1).parquet(d)
+                .filter(F.col("event_type") == kind)
+                .withColumn("ts", F.timestamp_micros("ts_us")))
+
+    res = interval_join_view_clicks(side("view"), side("click"),
+                                    horizon="10 minutes",
+                                    watermark="0 seconds",
+                                    how="left_outer")
+    q = (res.writeStream.format("memory")
+         .queryName("quiet_side_pin").outputMode("append")
+         .trigger(availableNow=True).start())
+    try:
+        assert q.awaitTermination(300)
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    # view 0 is 49+ minutes past its 10-minute horizon at the final
+    # batch, yet: no null-extended emission (sink empty), watermark
+    # pinned at epoch by the click side, both views still in state.
+    assert spark.table("quiet_side_pin").count() == 0
+    assert prog["eventTime"]["watermark"].startswith("1970-01-01T00:00:00")
+    assert prog["stateOperators"][0]["numRowsTotal"] == 2

@@ -27,7 +27,7 @@ import pytest
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
-    generate_v11,
+    generate_v11, generate_v12,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -43,6 +43,7 @@ SEEDS_V8 = range(60)  # grammar v8: multi-level aggregation (ROLLUP/CUBE)
 SEEDS_V9 = range(40)  # grammar v9: watermark / append-mode streaming
 SEEDS_V10 = range(40)  # grammar v10: session-window streaming
 SEEDS_V11 = range(40)  # grammar v11: stream-stream interval join
+SEEDS_V12 = range(40)  # grammar v12: LEFT-OUTER stream-stream interval join
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -67,6 +68,8 @@ CORPUS_DIGEST_V10 = (
     "054e9b7cf9334a9144855ecfcb3727f1e0294a11372c17eb3781fd2a8db8ac60")
 CORPUS_DIGEST_V11 = (
     "119d890c027581cf2b872537a3fbe83a0e127f76d45e45cae1907794f70b3dc8")
+CORPUS_DIGEST_V12 = (
+    "1fa900f2bd71a65be88f0121451cb5f7b2f0c68f7b2ba441d226574b64b3bb47")
 
 
 def test_generator_is_deterministic():
@@ -82,6 +85,7 @@ def test_generator_is_deterministic():
         assert generate_v9(seed % 40).sql() == generate_v9(seed % 40).sql()
         assert generate_v10(seed % 40).sql() == generate_v10(seed % 40).sql()
         assert generate_v11(seed % 40).sql() == generate_v11(seed % 40).sql()
+        assert generate_v12(seed % 40).sql() == generate_v12(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -137,6 +141,10 @@ def test_corpus_digest():
     assert got11 == CORPUS_DIGEST_V11, (
         f"fuzz v11 corpus changed: digest {got11} — re-pin "
         "CORPUS_DIGEST_V11 if intentional")
+    got12 = _digest(generate_v12, SEEDS_V12)
+    assert got12 == CORPUS_DIGEST_V12, (
+        f"fuzz v12 corpus changed: digest {got12} — re-pin "
+        "CORPUS_DIGEST_V12 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -262,6 +270,23 @@ def test_fuzz_parity_v11_interval_join_stream(spark, seed):
     assert_frames_match(q.stream_result(spark, SF_DIR),
                         q.oracle_rel(SF_DIR),
                         name=f"fuzz_v11[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V12)
+def test_fuzz_parity_v12_outer_interval_join_stream(spark, seed):
+    """LEFT-OUTER stream-stream interval-join corpus (v11's scoped-out
+    mode): same feed/condition machinery, how=left_outer, so
+    null-extended rows ride STATE EVICTION timing. The probed model
+    (fuzz.py v12 section, probes O-A..O-L) makes even the null part
+    row-level: a surviving-but-unmatched left row null-emits iff its
+    interval expired against the final full-prefix min-policy watermark
+    (strictly for <=-bounded intervals, inclusively for <-bounded, exact
+    us vs ms-floored watermark). Divergence is a join-state eviction /
+    null-emission-timing defect."""
+    q = generate_v12(seed)
+    assert_frames_match(q.stream_result(spark, SF_DIR),
+                        q.oracle_rel(SF_DIR),
+                        name=f"fuzz_v12[{seed}]: {q.sql()}")
 
 
 @pytest.mark.parametrize("seed", SEEDS_V8)
