@@ -215,6 +215,11 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
     q·cents[_cell] rides the probe frame as `cdots`. Kept as a
     referee-only panel so every round's artifact re-measures the
     negative result against the shipped raw path."""
+    if residual and not ivf_route:
+        # ADVICE r11: without the guard, residual=True silently ran the
+        # raw flat-PQ path and could mislabel a future referee panel.
+        raise ValueError("residual=True requires ivf_route=True "
+                         "(IVFADC quantizes cell residuals)")
     empty = "probe_id bigint, vec_id bigint, cos_sim double"
     if ivf_route:
         # Trained router since r10 (VERDICT r9 #3): same kmeans_train
@@ -240,9 +245,17 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
             routes += [(int(r["probe_id"]), int(c)) for c in cells]
         routes_df = spark.createDataFrame(routes,
                                           "probe_id bigint, _cell int")
+        # _cell, rv and codes depend ONLY on the corpus row, so they are
+        # computed BEFORE the routes join. The r11 restructure computed
+        # codes after it, which made Spark evaluate the argmin-over-
+        # codebooks encode expression once per (row x routed probe)
+        # instead of once per row — Catalyst does not push computed
+        # projections below a join — and blew the sf1 panel up 8.2x
+        # (2149.8 s vs 261.9 s, VERDICT r11 obs. #3: the cost was this
+        # referee shape, not the PQ_REFINE widening; pq_topk with the
+        # same 16x window got FASTER at sf1).
         coded = (_normalized(emb)
-                 .withColumn("_cell", _best_cell(cents)["c"].cast("int"))
-                 .join(F.broadcast(routes_df), "_cell"))
+                 .withColumn("_cell", _best_cell(cents)["c"].cast("int")))
         if residual:
             coded = (coded
                      .withColumn("rv", F.expr(_residual_sql(cents)))
@@ -253,6 +266,7 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
             coded = coded.withColumn(
                 "codes", F.expr(_pq_encode_sql(books, dsub)))
             adc_sql = _ADC_SQL
+        coded = coded.join(F.broadcast(routes_df), "_cell")
         pairs = coded.join(
             F.broadcast(_probe_luts(spark, emb, probes, books,
                                     cents=cents if residual else None)),

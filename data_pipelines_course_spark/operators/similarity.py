@@ -473,17 +473,20 @@ def _arr_sql(vs: list[float]) -> str:
 def _py_cos(a: list[float], b: list[float]) -> float:
     import math
 
-    # 0.0 (not a ZeroDivisionError) when either operand has zero norm:
+    # -inf (not a ZeroDivisionError) when either operand has zero norm:
     # a trained centroid CAN be the zero vector when a cell's member
     # mean cancels exactly (adversarial v/-v corpora — _unit returns
     # zero vectors unchanged), and routing must rank such a
-    # direction-less centroid below every real one, mirroring the
-    # NULL-on-zero-norm rule the column-side `cosine` applies
-    # (ADVICE r10).
+    # direction-less centroid below EVERY real one — including real
+    # centroids with negative cosine to the probe. 0.0 (ADVICE r10's
+    # first cut) let a zero centroid outrank a negatively-correlated
+    # real cell and consume an IVF_NPROBE slot (ADVICE r11); -inf
+    # matches the column-side NULL-last semantics exactly (NULL sorts
+    # below -1 under the desc sort).
     na = math.sqrt(sum(x * x for x in a))
     nb = math.sqrt(sum(y * y for y in b))
     if na == 0.0 or nb == 0.0:
-        return 0.0
+        return float("-inf")
     return sum(x * y for x, y in zip(a, b)) / (na * nb)
 
 

@@ -120,8 +120,10 @@ def _full_model_p(j: float) -> float:
     the cutoff term is material only below J~0.7 (J=0.6: 0.649 vs
     0.671 banding-only); above it the two curves coincide to 3 dp —
     which is itself diagnostic: a band measured BELOW the full model's
-    CI cannot be blamed on the cutoff under ideal minhash (see
-    RECALL_r11 sf10-docs [0.7,0.8) triage in NOTES_r11)."""
+    CI cannot be blamed on the cutoff under ideal minhash (see the
+    RECALL_r11 sf10-docs [0.7,0.8) triage in `_recall`'s comment below
+    and NOTES_r12.md — the r11 triage notes; VERDICT r11 #2 flagged the
+    original citation of a NOTES_r11 that was never written)."""
     from math import comb
 
     pmf = [comb(ROWS_PER_BAND, k) * j ** k * (1 - j) ** (ROWS_PER_BAND - k)

@@ -153,28 +153,53 @@ def _float_rows_match_groupwise(nsp: pd.DataFrame,
         # all-float giant group cannot go cubic (fails loudly instead).
         if len(ia) > 2000:
             return False
-        import sys
-        sys.setrecursionlimit(max(sys.getrecursionlimit(), 3 * len(ia) + 100))
         adj = [[j for j in range(len(B)) if rows_close(A[r], B[j])]
                for r in range(len(A))]
         if any(not a for a in adj):
             return False
         match_b = [-1] * len(B)  # match_b[j] = Spark row matched to B[j]
 
-        def augment(r: int, seen: list[bool]) -> bool:
-            for j in adj[r]:
-                if not seen[j]:
+        def augment(root: int) -> bool:
+            # Iterative DFS over alternating paths (ADVICE r11: the
+            # recursive form required a process-wide setrecursionlimit
+            # bump that was never restored — a test helper permanently
+            # mutating process state). The path root -(j1)-> r1 -(j2)->
+            # r2 ... -(jk, free) is recorded as via[r_i] = j_i (the
+            # column matched to r_i when the path reached it) and
+            # pred[r_i] = r_{i-1}; on success the matching flips along
+            # it: match_b[j_k] = r_{k-1}, match_b[j_i] = r_{i-1}.
+            seen = [False] * len(B)
+            via: dict[int, int] = {}
+            pred: dict[int, int] = {}
+            stack = [(root, iter(adj[root]))]
+            while stack:
+                r, it = stack[-1]
+                advanced = False
+                for j in it:
+                    if seen[j]:
+                        continue
                     seen[j] = True
-                    if match_b[j] < 0 or augment(match_b[j], seen):
+                    if match_b[j] < 0:
                         match_b[j] = r
+                        while r != root:
+                            match_b[via[r]] = pred[r]
+                            r = pred[r]
                         return True
+                    nxt = match_b[j]
+                    via[nxt] = j
+                    pred[nxt] = r
+                    stack.append((nxt, iter(adj[nxt])))
+                    advanced = True
+                    break
+                if not advanced:
+                    stack.pop()
             return False
 
         # Rows with the fewest candidates first: cheap heuristic that
         # minimizes augmenting-path work (correctness doesn't depend on
         # it — Kuhn finds a perfect matching iff one exists).
         for r in sorted(range(len(A)), key=lambda r: len(adj[r])):
-            if not augment(r, [False] * len(B)):
+            if not augment(r):
                 return False
     return True
 

@@ -151,22 +151,28 @@ def test_ivf_pq_recall_and_exact_rerank(spark):
             assert abs(r["cos_sim"] - brute[r["vec_id"]]) < 1e-9
 
 
-def test_py_cos_zero_norm_returns_zero():
-    """ADVICE r10: a trained centroid CAN be the exact zero vector when a
-    cell's member mean cancels (adversarial v/-v corpora — _unit returns
-    zero vectors unchanged), and the old _py_cos raised ZeroDivisionError
-    when routing cosined against it. It must instead rank the
-    direction-less centroid below every real one (0.0), so routing skips
-    it without crashing."""
+def test_py_cos_zero_norm_sorts_below_every_real_centroid():
+    """ADVICE r10/r11: a trained centroid CAN be the exact zero vector
+    when a cell's member mean cancels (adversarial v/-v corpora — _unit
+    returns zero vectors unchanged). The original fix returned 0.0,
+    which still let the direction-less centroid outrank a NEGATIVELY
+    correlated real cell and consume an IVF_NPROBE slot (ADVICE r11);
+    -inf ranks it below every real centroid, matching the column-side
+    NULL-last semantics (NULL sorts below -1 under the desc sort)."""
     from data_pipelines_course_spark.operators.similarity import _py_cos
 
-    assert _py_cos([1.0, 0.0], [0.0, 0.0]) == 0.0
-    assert _py_cos([0.0, 0.0], [1.0, 0.0]) == 0.0
-    assert _py_cos([0.0, 0.0], [0.0, 0.0]) == 0.0
+    assert _py_cos([1.0, 0.0], [0.0, 0.0]) == float("-inf")
+    assert _py_cos([0.0, 0.0], [1.0, 0.0]) == float("-inf")
+    assert _py_cos([0.0, 0.0], [0.0, 0.0]) == float("-inf")
     # real vectors unaffected
     assert abs(_py_cos([1.0, 0.0], [1.0, 0.0]) - 1.0) < 1e-12
     assert abs(_py_cos([1.0, 0.0], [0.0, 1.0])) < 1e-12
     # routing sort order: zero-norm centroid loses to any positive-cos one
     cents = [[0.0, 0.0], [0.6, 0.8]]
+    ranked = sorted(range(2), key=lambda c: -_py_cos([1.0, 0.0], cents[c]))
+    assert ranked[0] == 1
+    # ...and to a NEGATIVELY-correlated real one (the r11 finding: 0.0
+    # put the zero centroid ahead of cos=-0.8 and stole its nprobe slot)
+    cents = [[0.0, 0.0], [-0.6, -0.8]]
     ranked = sorted(range(2), key=lambda c: -_py_cos([1.0, 0.0], cents[c]))
     assert ranked[0] == 1
