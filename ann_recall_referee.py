@@ -45,6 +45,7 @@ Usage:
     python ann_recall_referee.py --sf-dir=/tmp/spark_graft_sf1 --mod=200
     python ann_recall_referee.py --nprobe-sweep           # IVF knob map
     python ann_recall_referee.py --lsh-sweep              # (L, p) map
+    python ann_recall_referee.py --refine-sweep           # PQ window cost
 Prints one JSON line per invocation; round artifact = ANN_RECALL_r08.json.
 """
 
@@ -201,7 +202,8 @@ _ADC_SQL = " + ".join(
 
 def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
              sf_dir: str, ivf_route: bool = False,
-             residual: bool = False) -> DataFrame:
+             residual: bool = False,
+             refine: int = PQ_REFINE) -> DataFrame:
     """pq_topk (ivf_route=False) / ivf_pq_topk (True) in batch form:
     same `_pq_codebooks` training, same `_pq_encode_sql` codes; the ADC
     LUT is a column on the broadcast probe frame. Probe-0 parity pinned
@@ -285,7 +287,7 @@ def batch_pq(spark: SparkSession, emb: DataFrame, probes: DataFrame,
     adc_ranked = _ranked_topk(
         pairs.select("probe_id", "vec_id", "nv", "nvp",
                      F.expr(adc_sql).alias("adc_score")),
-        PQ_REFINE * TOP_K, score="adc_score")
+        refine * TOP_K, score="adc_score")
     rescored = adc_ranked.select(
         "probe_id", "vec_id",
         (fround(dot("nv", "nvp"), 6) + F.lit(0.0)).alias("cos_sim"))
@@ -405,6 +407,33 @@ def run_nprobe_sweep(spark: SparkSession, sf_dir: str, mod: int) -> dict:
     return out
 
 
+def run_refine_sweep(spark: SparkSession, sf_dir: str, mod: int) -> dict:
+    """Recall-vs-cost curve for the PQ refine window (VERDICT r11 #3:
+    price the 16x window instead of assuming it). For refine in
+    {8, 16, 32}, run the ivf_pq batch panel with that ADC candidate
+    window and report recall + seconds. The window is provably
+    monotone-nondecreasing in recall (a superset of ADC candidates
+    exact-reranked), so the curve's only open question is the COST
+    slope per tier — r12's referee-shape fix (encode before the routes
+    join) is what makes the cost comparable across rounds: the r11 sf1
+    blow-up (2149.8 s) was the join shape, not the window."""
+    emb = load(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    probes = probe_panel(emb, mod).cache()
+    gt = _collect_sets(batch_ground_truth(emb, probes))
+    out = {"sweep": "pq_refine", "sf_dir": sf_dir, "n_corpus": n_corpus,
+           "mod": mod, "n_probes": probes.count(), "top_k": TOP_K,
+           "registered": PQ_REFINE, "points": {}}
+    for refine in (8, 16, 32):
+        t0 = time.time()
+        found = _collect_sets(batch_pq(spark, emb, probes, sf_dir,
+                                       ivf_route=True, refine=refine))
+        rep = recall_report(gt, found)
+        rep["sec"] = round(time.time() - t0, 1)
+        out["points"][str(refine)] = rep
+    return out
+
+
 def run_lsh_param_sweep(spark: SparkSession, sf_dir: str,
                         mod: int) -> dict:
     """Recall-vs-touch curve for the LSH family across (L tables,
@@ -452,6 +481,7 @@ def main() -> None:
     mod = 20
     sweep = "--nprobe-sweep" in sys.argv
     lsh_sweep = "--lsh-sweep" in sys.argv
+    refine_sweep = "--refine-sweep" in sys.argv
     for a in sys.argv[1:]:
         if a.startswith("--sf-dir="):
             sf_dir = a.split("=", 1)[1]
@@ -461,7 +491,8 @@ def main() -> None:
 
     spark = get_spark()
     fn = (run_nprobe_sweep if sweep
-          else run_lsh_param_sweep if lsh_sweep else run)
+          else run_lsh_param_sweep if lsh_sweep
+          else run_refine_sweep if refine_sweep else run)
     print(json.dumps(fn(spark, sf_dir, mod)))
 
 

@@ -2643,6 +2643,10 @@ class FuzzV11:
 
     TAG = "v11"
     HOW = "inner"
+    # Which side's key survives into the output: the OUTER side's (the
+    # preserved side's key is never null). "l" for inner/left_outer;
+    # v13's right_outer overrides with "r".
+    KEY_SIDE = "l"
 
     def sql(self) -> str:
         return self.text
@@ -2677,7 +2681,8 @@ class FuzzV11:
               else F.col("r_ts") <= hi_bound)
         cond = (F.col("l_key") == F.col("r_key")) & lo & hi
         res = (lhs.join(rhs, cond, self.HOW)
-               .select("l_key", "l_id", "l_ts", "r_id", "r_ts"))
+               .select(f"{self.KEY_SIDE}_key", "l_id", "l_ts",
+                       "r_id", "r_ts"))
         name = f"fuzz_{self.TAG}_s{self.seed}"
         q = (res.writeStream.format("memory").queryName(name)
              .outputMode("append").trigger(availableNow=True).start())
@@ -2923,5 +2928,132 @@ def generate_v12(seed: int) -> FuzzV12:
         f"key={key_sql} H={horizon_min} delay={delay_s} "
         f"lo={lo_op} hi={hi_op}")
     return FuzzV12(seed, n_batches, late_frac, left_types, right_types,
+                   key_sql, horizon_min, delay_s, strict_lo, strict_hi,
+                   text)
+
+
+# --------------------------------------------------------------------------
+# Grammar v13 — RIGHT-OUTER stream-stream interval join (thirteenth frozen
+# digest). v12 verified left_outer and its probes O-A2/O-L scoped the
+# right_outer mirror without verifying it; `interval_join_view_clicks`
+# passed `how` through unvalidated, so right_outer ran with UNVERIFIED
+# null-emission semantics (VERDICT r11 #6). This grammar adds the mirror
+# seeds; the operator now validates `how` against the verified modes.
+#
+# Model, probed against Spark 4.1 before the digest froze (probes R-A..R-E,
+# /tmp/probe_v13.py, r12 — all five matched the mirror prediction first
+# run). The inner part is v11's row-level model, unchanged. A right row's
+# match window is l_ts ∈ [r_ts − H, r_ts] (from r_ts ≥ l_ts ∧
+# r_ts ≤ l_ts + H), so the bound that future left arrivals run past is
+# the LOWER-bound side, and the null-emission facts mirror v12's with
+# lo/hi roles swapped:
+#   * A right row null-emits iff it entered state, was never matched,
+#     and r_ts fell behind the final full-prefix min-policy watermark:
+#     with non-strict lo (r_ts >= l_ts), evicted iff r_ts < W_final
+#     STRICTLY — equality keeps the row (probe R-A: r_ts == W kept,
+#     -1ms flips it). A strict lo (r_ts > l_ts) shifts the boundary to
+#     INCLUSIVE: evicted iff r_ts <= W_final (R-B: equality evicts).
+#     Exact-us row time vs ms-floored watermark (R-C/R-D: r_ts =
+#     W + 0.5ms KEPT under strict lo). The hi bound's strictness is
+#     inert for right eviction (R-C).
+#   * W_final, min policy, the final no-data batch, and the quiet-side
+#     -inf pin all behave exactly as v12 measured them (R-A routes W
+#     through the LEFT side's smaller max; R-E: no left rows anywhere
+#     -> no nulls ever).
+#   * Matched right rows never null-emit (pinned in every probe run via
+#     a matched pair far below W).
+#
+# Oracle: v11's per-side survival masks, an `evicted` boolean per
+# surviving RIGHT row (r_ts vs W_final, strictness from lo_op), and a
+# DuckDB right LEFT-JOIN left filtered to (matched OR evicted) — fully
+# row-level, no state simulation.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FuzzV13(FuzzV11):
+    """One seeded RIGHT-OUTER stream-stream interval-join scenario (v13).
+    Inherits v11's feed, condition, and stream plumbing; the join mode,
+    the output key side, and the oracle differ."""
+
+    TAG = "v13"
+    HOW = "right_outer"
+    KEY_SIDE = "r"
+
+    def oracle_rel(self, sf_dir: str):
+        import duckdb
+
+        _, base, batch = _v11_stage(self, sf_dir)
+        lmask = _v11_survivors(self, base, batch, self.left_types)
+        rmask = _v11_survivors(self, base, batch, self.right_types)
+        right = base[rmask].copy()
+        right["evicted"] = _v13_evicted(self, base, right)
+        con = duckdb.connect()
+        con.register("v13_left", base[lmask])
+        con.register("v13_right", right)
+        return _V9Rel(con, self.text)
+
+
+def _v13_evicted(cfg: FuzzV13, base, right) -> "object":
+    """Boolean per surviving right row: the row's match window expired
+    against the final full-prefix min-policy watermark (probes
+    R-A..R-E). Unlike v12's left case there is no horizon term — the
+    upper edge of a right row's match window is r_ts itself — and the
+    boundary strictness comes from the LOWER bound: strict lo shifts
+    the strict '<' boundary to '<='. A side with no rows anywhere pins
+    the min at -inf and evicts nothing. Exact-us row time vs ms-floored
+    watermark."""
+    import numpy as np
+
+    et = base["event_type"].to_numpy()
+    ts_us = base["ts_us"].to_numpy()
+
+    def full_max_ms(types):
+        m = np.isin(et, list(types))
+        return int(ts_us[m].max()) // 1000 if m.any() else None
+
+    lmax = full_max_ms(cfg.left_types)
+    rmax = full_max_ms(cfg.right_types)
+    if lmax is None or rmax is None:
+        return np.zeros(len(right), dtype=bool)
+    w_us = (min(lmax, rmax) - cfg.delay_s * 1000) * 1000
+    rts = right["ts_us"].to_numpy()
+    return rts <= w_us if cfg.strict_lo else rts < w_us
+
+
+def generate_v13(seed: int) -> FuzzV13:
+    """Right-outer stream-stream interval-join corpus. Deterministic per
+    seed; independent of the v1-v12 seed spaces."""
+    rng = random.Random(("v13", seed).__repr__())
+    n_batches = rng.randint(2, 5)
+    late_frac = rng.choice(_V9_LATE)
+    types = list(_V11_TYPES)
+    rng.shuffle(types)
+    n_left = rng.randint(1, 4)
+    n_right = rng.randint(1, 5 - n_left)
+    left_types = tuple(sorted(types[:n_left]))
+    right_types = tuple(sorted(types[n_left:n_left + n_right]))
+    _, key_sql = _V11_KEYS[rng.randrange(len(_V11_KEYS))]
+    horizon_min = rng.choice(_V11_HORIZONS)
+    delay_s = rng.choice(_V9_DELAYS)
+    strict_lo = rng.random() < 0.3
+    strict_hi = rng.random() < 0.3
+
+    lo_op = ">" if strict_lo else ">="
+    hi_op = "<" if strict_hi else "<="
+    text = (
+        f"SELECT r.{key_sql} AS r_key, "
+        f"l.event_id AS l_id, l.ts AS l_ts, "
+        f"r.event_id AS r_id, r.ts AS r_ts "
+        f"FROM v13_right r LEFT JOIN v13_left l "
+        f"ON (l.{key_sql}) = (r.{key_sql}) "
+        f"AND r.ts {lo_op} l.ts "
+        f"AND r.ts {hi_op} l.ts + INTERVAL {horizon_min} MINUTES "
+        f"WHERE l.event_id IS NOT NULL OR r.evicted "
+        f"-- v13 seed={seed} B={n_batches} late={late_frac} "
+        f"left={','.join(left_types)} right={','.join(right_types)} "
+        f"key={key_sql} H={horizon_min} delay={delay_s} "
+        f"lo={lo_op} hi={hi_op}")
+    return FuzzV13(seed, n_batches, late_frac, left_types, right_types,
                    key_sql, horizon_min, delay_s, strict_lo, strict_hi,
                    text)

@@ -353,6 +353,47 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's key, so the guard reuses the `_fanout` exchange and adds
     zero extra shuffles.
     """
+    return _lsh_banding_pairs(spark, sf_dir, BANDS, ROWS_PER_BAND)
+
+
+# The measured high-recall banding split (r11 triage, RECALL_r11 +
+# recall_referee.py): 16 bands x 2 rows over the SAME 32-perm signatures.
+HR_BANDS = 16
+HR_ROWS_PER_BAND = NUM_PERM // HR_BANDS
+
+
+@query("minhash_lsh_pairs_highrecall")  # rows-only: same reason as above
+def minhash_lsh_pairs_highrecall(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """`minhash_lsh_pairs` at the measured HIGH-RECALL banding knob:
+    16 bands x 2 rows over the same NUM_PERM=32 signatures (same
+    shingles, same permutations, same est-Jaccard >= 0.5 output cutoff
+    — only the band/row split changes).
+
+    Why it exists as registered product surface (VERDICT r11 #5): the
+    r11 [0.7,0.8)-band triage measured, on the same signatures at
+    sf10-docs (500k docs), that the 16x2 split lifts band recall
+    0.75 -> 1.0 in [0.7,0.8) and 0.85 -> 0.94 in [0.6,0.7), at a 63x
+    candidate-volume cost (474k -> 29.8M candidate pairs). That is
+    exactly the recall-vs-compute decision a 100 TB dedup run makes —
+    the s-curve midpoint (1/b)^(1/r) drops from 0.595 to 0.25, so far
+    more sub-threshold pairs co-bucket and the est-cutoff does the
+    precision work. Keeping it registered (instead of a docstring
+    constant) makes the knob driver-checked every round and lets the
+    recall referee publish its per-band panel next to the default's
+    (recall_referee.py measures BOTH against the same sampled GT).
+
+    Scale shape is identical to the default: bucketed banding, MAX_BUCKET
+    skew guard, digest-only shuffles — the 63x is candidate volume, not
+    a plan change."""
+    return _lsh_banding_pairs(spark, sf_dir, HR_BANDS, HR_ROWS_PER_BAND)
+
+
+def _lsh_banding_pairs(spark: SparkSession, sf_dir: str,
+                       bands_n: int, rows_per_band: int) -> DataFrame:
+    """Shared LSH banding pipeline, parameterized by the band/row split
+    (the only degree of freedom between the registered default and the
+    high-recall twin). See `minhash_lsh_pairs` for the plan notes."""
     docs = load(spark, sf_dir, "documents")
     # Materialize the signature table ONCE (lazy checkpoint): three
     # branches consume it (the band table + both per-pair re-attach
@@ -369,9 +410,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.expr(
-            f"transform(sequence(0, {BANDS - 1}),"
-            f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1,"
-            f" {ROWS_PER_BAND})))"))
+            f"transform(sequence(0, {bands_n - 1}),"
+            f" b -> hash(slice(sig, b * {rows_per_band} + 1,"
+            f" {rows_per_band})))"))
         .alias("band", "band_hash"),
     )
     bands = _fanout(bands, "band", "band_hash")

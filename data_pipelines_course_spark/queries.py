@@ -115,64 +115,66 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 11 rotation: staleness-ratchet front (VERDICT r9 #4) — the
+    # Round 12 rotation: staleness-ratchet front (VERDICT r11 #4) — the
     # 50 names whose most recent driver CORRECTNESS row is oldest,
-    # ranked (latest round, name). Freshness at r11 start: the 14
-    # remaining r7 names + the 36 alphabetically-first r8 names —
-    # exactly the tuple the guard test emits (max staleness stays
-    # bounded at <=4 rounds). tests/test_registry.py recomputes the
-    # ranking from the committed CORRECTNESS files and fails with a
-    # paste-ready tuple when the rotation goes stale.
-    "rank_customers",
-    "rollup_agg",
-    "semi_join_active_customers",
-    "sort_by_computed",
-    "sql_region_revenue",
-    "tail_slice",
-    "text_quality",
-    "token_count",
-    "topk_words",
-    "union_all",
-    "value_counts",
-    "variant_props_extract",
-    "window_first_last_ratio",
-    "wordcount",
-    "boilerplate_ngrams",
-    "context_windows_report",
-    "daily_event_gapfill",
-    "encode_docs_to_ids",
-    "event_funnel",
-    "gopher_quality_flags",
-    "knn_brute_force",
-    "label_centroid_norms",
-    "lang_confusion_report",
-    "lang_token_stats",
-    "lateral_topk_per_nation",
-    "media_feature_extract",
-    "media_feature_extract_arrow",
-    "media_frame_sample",
-    "media_kind_stats",
-    "minmax_scale_by_group",
-    "mixture_sample_events",
-    "pivot_status_counts",
-    "props_map_stats",
-    "repetition_ratio",
-    "retention_cohorts",
-    "rolling_7day_customer_spend",
-    "stratified_sample_per_source",
-    "token_length_histogram",
-    "topk_orders_per_segment",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_parts",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q1_pricing_summary",
+    # ranked (latest round, name). Freshness at r12 start: the new r12
+    # registration (minhash_lsh_pairs_highrecall, never covered — ranks
+    # first by rule) + the 14 remaining r8 names + the 35
+    # alphabetically-first r9 names — exactly the tuple the guard test
+    # emits (max staleness stays bounded at <=4 rounds).
+    # tests/test_registry.py recomputes the ranking from the committed
+    # CORRECTNESS files and fails with a paste-ready tuple when the
+    # rotation goes stale.
+    "minhash_lsh_pairs_highrecall",
+    "tpch_q20_part_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_top_acctbal_per_nation",
+    "tpch_q3_unshipped_revenue",
+    "tpch_q4_late_shipment_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "train_eval_split_docs",
+    "type_token_ratio_by_source",
+    "unpivot_part_attrs",
+    "ann_batch_topk",
+    "ann_lsh_topk",
+    "approx_distinct_count",
+    "asof_join_latest_click",
+    "bpe_merge_table",
+    "bpe_token_stats",
+    "cogroup_conversion_lag",
+    "conversion_lag_native",
+    "corpus_curation_full",
+    "curation_attrition_report",
+    "customer_value_deciles",
+    "decontaminate_exact",
+    "decontaminate_lsh",
+    "decontaminate_ngram_hit",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "dedup_clusters_twostar",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dup_span_report",
+    "dup_span_trim",
+    "embedding_kmeans",
+    "embedding_neardup_topk",
+    "flagship_grouped_agg",
+    "ivf_kmeans_topk",
+    "ivf_pq_topk",
+    "ivf_topk",
+    "key_uniqueness_report",
+    "media_dedup_hash",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_threshold",
+    "ngram_jaccard_threshold_prefix",
+    "ngram_jaccard_topk",
+    "ngram_novelty_report",
+    "pack_sequences",
 )
 
 

@@ -276,7 +276,22 @@ def interval_join_view_clicks(views: DataFrame, clicks: DataFrame,
     behind the progress-reported value; state eviction is conservative
     w.r.t. that filter, so for the INNER join the emitted pairs are
     exactly {condition holds AND both rows passed their arrival-batch
-    filter}."""
+    filter}.
+
+    `how` is validated against the VERIFIED modes (VERDICT r11 #6 —
+    previously it was passed through unvalidated, so full_outer ran
+    with semantics no grammar had pinned): inner (fuzz v11),
+    left_outer (fuzz v12), right_outer (fuzz v13 — null-emission =
+    the row's own event time falling behind the final min-policy
+    watermark, strictness from the LOWER bound; probes R-A..R-E).
+    full_outer is rejected until a grammar verifies its combined
+    two-sided eviction timing."""
+    verified = ("inner", "left_outer", "right_outer")
+    if how not in verified:
+        raise ValueError(
+            f"interval_join_view_clicks: how={how!r} is not a verified "
+            f"mode {verified}; full_outer/semi modes are unsupported "
+            "until their null-emission semantics are grammar-verified")
     v = (views.withWatermark("ts", watermark)
          .select(F.col("user_id").alias("v_user"),
                  F.col("ts").alias("view_ts"),

@@ -98,15 +98,18 @@ def restrict_to_sample(pairs: DataFrame, sample: DataFrame) -> DataFrame:
             .join(ids.withColumnRenamed("doc_id", "doc2"), "doc2", "semi"))
 
 
-def _banding_p(j: float) -> float:
-    """P(a J-similar pair co-buckets in >=1 band) under the REGISTERED
-    banding (BANDS bands x ROWS_PER_BAND rows): 1-(1-J^r)^b. This is the
+def _banding_p(j: float, bands: int = BANDS,
+               rows: int = ROWS_PER_BAND) -> float:
+    """P(a J-similar pair co-buckets in >=1 band) under the given
+    banding (default: the REGISTERED 8x4): 1-(1-J^r)^b. This is the
     s-curve every LSH paper tunes against (Leskovec/Rajaraman/Ullman,
-    MMDS ch.3) — 0.67 at J=0.6, 0.985 at J=0.8 for 8x4."""
-    return 1.0 - (1.0 - j ** ROWS_PER_BAND) ** BANDS
+    MMDS ch.3) — 0.67 at J=0.6, 0.985 at J=0.8 for 8x4. The
+    high-recall twin's 16x2 moves the midpoint to 0.25 (r12)."""
+    return 1.0 - (1.0 - j ** rows) ** bands
 
 
-def _full_model_p(j: float) -> float:
+def _full_model_p(j: float, bands: int = BANDS,
+                  rows: int = ROWS_PER_BAND) -> float:
     """P(the registered pipeline EMITS a J-similar pair) under the full
     model the pipeline implements: >=1 agreeing band AND the NUM_PERM-
     sample estimated Jaccard >= 0.5 (VERDICT r10 obs. #1: the banding
@@ -126,14 +129,14 @@ def _full_model_p(j: float) -> float:
     original citation of a NOTES_r11 that was never written)."""
     from math import comb
 
-    pmf = [comb(ROWS_PER_BAND, k) * j ** k * (1 - j) ** (ROWS_PER_BAND - k)
-           for k in range(ROWS_PER_BAND + 1)]
+    pmf = [comb(rows, k) * j ** k * (1 - j) ** (rows - k)
+           for k in range(rows + 1)]
     dp = {(0, False): 1.0}
-    for _ in range(BANDS):
+    for _ in range(bands):
         nxt: dict = {}
         for (s, f), p in dp.items():
-            for k in range(ROWS_PER_BAND + 1):
-                key = (s + k, f or k == ROWS_PER_BAND)
+            for k in range(rows + 1):
+                key = (s + k, f or k == rows)
                 nxt[key] = nxt.get(key, 0.0) + p * pmf[k]
         dp = nxt
     return sum(p for (s, f), p in dp.items() if f and s >= NUM_PERM // 2)
@@ -153,7 +156,8 @@ def wilson_ci(hit: int, n: int, z: float = 1.96) -> tuple[float, float]:
             round(min(1.0, center + half), 4))
 
 
-def _recall(found: set, truth: dict, theory: bool = True) -> dict:
+def _recall(found: set, truth: dict, theory: bool = True,
+            bands: int = BANDS, rows: int = ROWS_PER_BAND) -> dict:
     hit = [p for p in truth if p in found]
     missed = sorted((p for p in truth if p not in found),
                     key=lambda p: truth[p])
@@ -196,10 +200,12 @@ def _recall(found: set, truth: dict, theory: bool = True) -> dict:
             # _full_model_p — r11, VERDICT r10 #3); banding_mean keeps
             # the classic s-curve for cross-round comparability.
             tm = round(
-                sum(_full_model_p(truth[p]) for p in band) / len(band), 4)
+                sum(_full_model_p(truth[p], bands, rows)
+                    for p in band) / len(band), 4)
             cell["theory_mean"] = tm
             cell["banding_mean"] = round(
-                sum(_banding_p(truth[p]) for p in band) / len(band), 4)
+                sum(_banding_p(truth[p], bands, rows)
+                    for p in band) / len(band), 4)
             cell["theory_in_ci"] = bool(ci_lo <= tm <= ci_hi)
             cell["at_or_above_theory"] = bool(cell["recall"] >= tm)
         by_band[f"[{lo},{hi if hi <= 1 else 1.0})"] = cell
@@ -215,7 +221,9 @@ def _recall(found: set, truth: dict, theory: bool = True) -> dict:
 
 
 def diagnose_missed(spark: SparkSession, sf_dir: str,
-                    missed: list[tuple[int, int]]) -> list[dict]:
+                    missed: list[tuple[int, int]],
+                    bands: int = BANDS,
+                    rows: int = ROWS_PER_BAND) -> list[dict]:
     """Attribute each missed minhash pair to its mechanism, by recomputing
     the two documents' signatures and replaying the registered pipeline's
     three drop points in order:
@@ -238,9 +246,9 @@ def diagnose_missed(spark: SparkSession, sf_dir: str,
     for d1, d2 in missed:
         s1, s2 = sigs[d1], sigs[d2]
         agree = sum(
-            1 for b in range(BANDS)
-            if s1[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            == s2[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND])
+            1 for b in range(bands)
+            if s1[b * rows:(b + 1) * rows]
+            == s2[b * rows:(b + 1) * rows])
         est = sum(x == y for x, y in zip(s1, s2)) / NUM_PERM
         cause = ("banding" if agree == 0
                  else "est_cutoff" if est < 0.5
@@ -262,23 +270,37 @@ def measure(spark: SparkSession, sf_dir: str, mod: int, bucket: int = 0,
     truth = exact_pairs_within(sample)
     gt_sec = time.perf_counter() - t0
 
+    from data_pipelines_course_spark.operators.dedup import (
+        HR_BANDS, HR_ROWS_PER_BAND,
+    )
+
     q = all_queries()
+    # name -> (bands, rows) for the minhash theory curves; the
+    # high-recall twin (VERDICT r11 #5, registered r12) is judged
+    # against ITS OWN 16x2 banding+est-cutoff model so its panel sits
+    # next to the default's every round.
+    band_cfg = {"minhash_lsh_pairs": (BANDS, ROWS_PER_BAND),
+                "minhash_lsh_pairs_highrecall": (HR_BANDS,
+                                                 HR_ROWS_PER_BAND)}
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "mod": mod, "bucket": bucket,
            "n_sample": n_sample, "jaccard_t": JACCARD_T,
            "sample_gt_sec": round(gt_sec, 1), "lsh": {}}
-    for name in ("minhash_lsh_pairs", "simhash_pairs"):
+    for name in ("minhash_lsh_pairs", "simhash_pairs",
+                 "minhash_lsh_pairs_highrecall"):
         t0 = time.perf_counter()
         pairs = q[name](spark, sf_dir)
         within = {(r["doc1"], r["doc2"])
                   for r in restrict_to_sample(pairs, sample).collect()}
+        bands_n, rows_n = band_cfg.get(name, (BANDS, ROWS_PER_BAND))
         out["lsh"][name] = dict(
-            _recall(within, truth, theory=name.startswith("minhash")),
+            _recall(within, truth, theory=name.startswith("minhash"),
+                    bands=bands_n, rows=rows_n),
             sec=round(time.perf_counter() - t0, 1))
         if name.startswith("minhash"):
             missed = [p for p in truth if p not in within][:40]
             if missed:
                 out["lsh"][name]["missed_diagnosis"] = diagnose_missed(
-                    spark, sf_dir, missed)
+                    spark, sf_dir, missed, bands_n, rows_n)
     if full_gt:
         # Referee-validation mode (tractable tiers only): direct recall
         # against the FULL exact GT, to show sampled recall estimates it.
@@ -287,11 +309,14 @@ def measure(spark: SparkSession, sf_dir: str, mod: int, bucket: int = 0,
                       q["ngram_jaccard_threshold"](spark, sf_dir).collect()}
         out["full_gt_sec"] = round(time.perf_counter() - t0, 1)
         out["full_gt"] = {}
-        for name in ("minhash_lsh_pairs", "simhash_pairs"):
+        for name in ("minhash_lsh_pairs", "simhash_pairs",
+                     "minhash_lsh_pairs_highrecall"):
             found = {(r["doc1"], r["doc2"])
                      for r in q[name](spark, sf_dir).collect()}
+            bands_n, rows_n = band_cfg.get(name, (BANDS, ROWS_PER_BAND))
             out["full_gt"][name] = _recall(
-                found, full_truth, theory=name.startswith("minhash"))
+                found, full_truth, theory=name.startswith("minhash"),
+                bands=bands_n, rows=rows_n)
     sample.unpersist()
     return out
 

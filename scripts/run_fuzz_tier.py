@@ -1,4 +1,4 @@
-"""Run the full fuzz corpus (all eight grammars, 740 seeds; v6 checks
+"""Run the full fuzz corpus (all thirteen grammars, 980 seeds; v6 checks
 BOTH its batch and streaming renderings) against
 DuckDB at an arbitrary tier — the in-suite corpus runs at sf0.01; this
 driver re-checks the identical seeds at 10x/100x data, where a
@@ -29,7 +29,7 @@ import duckdb  # noqa: E402
 from data_pipelines_course_spark.fuzz import (  # noqa: E402
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
-    generate_v11, generate_v12,
+    generate_v11, generate_v12, generate_v13,
 )
 from data_pipelines_course_spark.session import get_spark  # noqa: E402
 
@@ -54,7 +54,7 @@ def main() -> None:
             sf_dir = a.split("=", 1)[1]
         elif a.startswith("--skip="):
             # Explicit, logged scale-tier exclusion (no silent caps):
-            # the stream-stream join grammars (v11/v12) are excluded at
+            # the stream-stream join grammars (v11/v12/v13) are excluded at
             # sf1 BY DESIGN — interval-join output volume grows with
             # corpus density x horizon (order-10^8 pairs into a memory
             # sink at the 1M-event tier); their semantics are density-
@@ -77,7 +77,8 @@ def main() -> None:
                ("v7", generate_v7, 60), ("v8", generate_v8, 60),
                ("v9", generate_v9, 40), ("v10", generate_v10, 40),
                ("v11", generate_v11, 40),
-               ("v12", generate_v12, 40)]
+               ("v12", generate_v12, 40),
+               ("v13", generate_v13, 40)]
     if skip:
         print(f"skipping corpora by flag: {sorted(skip)}", flush=True)
         corpora = [c for c in corpora if c[0] not in skip]
@@ -88,7 +89,7 @@ def main() -> None:
             q = gen(s)
             checked += 1
             try:
-                if tag in ("v9", "v10", "v11", "v12"):  # stream-vs-sim oracle
+                if tag in ("v9", "v10", "v11", "v12", "v13"):  # stream-vs-sim oracle
                     _conftest.assert_frames_match(
                         q.stream_result(spark, sf_dir),
                         q.oracle_rel(sf_dir), name=f"{tag}[{s}]")

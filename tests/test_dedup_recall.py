@@ -58,6 +58,28 @@ def test_minhash_lsh_recall_confident_band(spark):
     assert recall >= 0.9, f"confident-band recall {recall:.3f} < 0.9"
 
 
+def test_highrecall_twin_dominates_default(spark):
+    """The 16x2 high-recall twin (VERDICT r11 #5, registered r12) must
+    (a) emit a SUPERSET of the default 8x4's pairs — structurally
+    guaranteed: a 4-row band agreement implies both of its 2-row halves
+    agree, so every default co-bucketing survives the split; the
+    est-Jaccard cutoff is identical — and (b) clear the same 0.9 recall
+    floor vs the exact-threshold truth. (a) is the property that makes
+    the knob monotone: turning it on can only add candidate pairs."""
+    q = all_queries()
+    default = {(r["doc1"], r["doc2"])
+               for r in q["minhash_lsh_pairs"](spark, SF_DIR).collect()}
+    high = {(r["doc1"], r["doc2"])
+            for r in q["minhash_lsh_pairs_highrecall"](spark,
+                                                       SF_DIR).collect()}
+    assert default <= high, (
+        f"high-recall twin lost default pairs: {sorted(default - high)[:5]}")
+    truth = {(r["doc1"], r["doc2"])
+             for r in q["ngram_jaccard_threshold"](spark, SF_DIR).collect()}
+    recall = len(truth & high) / len(truth)
+    assert recall >= 0.9, f"high-recall twin recall {recall:.3f} < 0.9"
+
+
 def test_decontaminate_lsh_recall_vs_exact(spark):
     """The banded cross-set MinHash path must recover the exact-Jaccard
     contamination pairs (same banding math as the self-join case; the

@@ -27,7 +27,7 @@ import pytest
 from data_pipelines_course_spark.fuzz import (
     generate, generate_v2, generate_v3, generate_v4, generate_v5,
     generate_v6, generate_v7, generate_v8, generate_v9, generate_v10,
-    generate_v11, generate_v12,
+    generate_v11, generate_v12, generate_v13,
 )
 
 from .conftest import SF_DIR, assert_frames_match
@@ -44,6 +44,7 @@ SEEDS_V9 = range(40)  # grammar v9: watermark / append-mode streaming
 SEEDS_V10 = range(40)  # grammar v10: session-window streaming
 SEEDS_V11 = range(40)  # grammar v11: stream-stream interval join
 SEEDS_V12 = range(40)  # grammar v12: LEFT-OUTER stream-stream interval join
+SEEDS_V13 = range(40)  # grammar v13: RIGHT-OUTER stream-stream interval join
 
 # sha256 over the SQL renderings of all seeds (test_corpus_digest).
 CORPUS_DIGEST = (
@@ -70,6 +71,8 @@ CORPUS_DIGEST_V11 = (
     "119d890c027581cf2b872537a3fbe83a0e127f76d45e45cae1907794f70b3dc8")
 CORPUS_DIGEST_V12 = (
     "1fa900f2bd71a65be88f0121451cb5f7b2f0c68f7b2ba441d226574b64b3bb47")
+CORPUS_DIGEST_V13 = (
+    "3356a94492c618ec0e70929edd833376df2daef8afc599f340b9fce965385046")
 
 
 def test_generator_is_deterministic():
@@ -86,6 +89,7 @@ def test_generator_is_deterministic():
         assert generate_v10(seed % 40).sql() == generate_v10(seed % 40).sql()
         assert generate_v11(seed % 40).sql() == generate_v11(seed % 40).sql()
         assert generate_v12(seed % 40).sql() == generate_v12(seed % 40).sql()
+        assert generate_v13(seed % 40).sql() == generate_v13(seed % 40).sql()
 
 
 def _digest(gen, seeds) -> str:
@@ -145,6 +149,10 @@ def test_corpus_digest():
     assert got12 == CORPUS_DIGEST_V12, (
         f"fuzz v12 corpus changed: digest {got12} — re-pin "
         "CORPUS_DIGEST_V12 if intentional")
+    got13 = _digest(generate_v13, SEEDS_V13)
+    assert got13 == CORPUS_DIGEST_V13, (
+        f"fuzz v13 corpus changed: digest {got13} — re-pin "
+        "CORPUS_DIGEST_V13 if intentional")
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -287,6 +295,23 @@ def test_fuzz_parity_v12_outer_interval_join_stream(spark, seed):
     assert_frames_match(q.stream_result(spark, SF_DIR),
                         q.oracle_rel(SF_DIR),
                         name=f"fuzz_v12[{seed}]: {q.sql()}")
+
+
+@pytest.mark.parametrize("seed", SEEDS_V13)
+def test_fuzz_parity_v13_right_outer_interval_join_stream(spark, seed):
+    """RIGHT-OUTER stream-stream interval-join corpus: the mirror of
+    v12 (VERDICT r11 #6 — right_outer previously ran with unverified
+    null-emission semantics). The probed model (fuzz.py v13 section,
+    probes R-A..R-E) is v12's with the bound roles swapped: a
+    surviving-but-unmatched RIGHT row null-emits iff its own event time
+    fell behind the final full-prefix min-policy watermark (strictly
+    for >=-bounded intervals, inclusively for >-bounded; exact us vs
+    ms-floored watermark; hi-bound strictness inert). Divergence is a
+    join-state eviction / null-emission-timing defect."""
+    q = generate_v13(seed)
+    assert_frames_match(q.stream_result(spark, SF_DIR),
+                        q.oracle_rel(SF_DIR),
+                        name=f"fuzz_v13[{seed}]: {q.sql()}")
 
 
 @pytest.mark.parametrize("seed", SEEDS_V8)

@@ -493,6 +493,52 @@ def test_stream_stream_left_outer_emits_expired_views(spark, tmp_path):
     assert (1, None) in unmatched
 
 
+def test_stream_stream_right_outer_emits_expired_clicks(spark, tmp_path):
+    """right_outer (fuzz v13's mode): a click with no view inside its
+    horizon is emitted (null view) once the min-policy watermark passes
+    the click's own event time — the mirror of the left_outer eviction,
+    bounded by the LOWER join bound rather than view_ts + horizon."""
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(); cdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(vdir / "v1.json", [(900, "2024-01-01T00:00:01", 99)])
+    _write_events(cdir / "c1.json", [(1, "2024-01-01T00:00:00", 7)])
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+
+    def drain():
+        sv = spark.readStream.schema(schema).json(str(vdir))
+        sc = spark.readStream.schema(schema).json(str(cdir))
+        result = jobs.interval_join_view_clicks(sv, sc, how="right_outer")
+        q = (result.writeStream.outputMode("append").format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(); q.stop()
+
+    drain()  # watermark still at batch-1 max; click 1 unexpired
+    _write_events(vdir / "v2.json", [(901, "2024-01-01T05:00:00", 99)])
+    _write_events(cdir / "c2.json", [(2, "2024-01-01T05:00:00", 7)])
+    drain()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    unmatched = [(r["view_id"], r["click_id"]) for r in rows
+                 if r["view_id"] is None]
+    assert (None, 1) in unmatched
+
+
+def test_interval_join_rejects_unverified_how(spark, tmp_path):
+    """VERDICT r11 #6: `how` used to pass through unvalidated, so
+    full_outer ran with null-emission semantics no grammar had pinned.
+    Only the fuzz-verified modes (v11 inner, v12 left_outer, v13
+    right_outer) are accepted."""
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    (tmp_path / "views").mkdir(); (tmp_path / "clicks").mkdir()
+    sv = spark.readStream.schema(schema).json(str(tmp_path / "views"))
+    sc = spark.readStream.schema(schema).json(str(tmp_path / "clicks"))
+    for bad in ("full_outer", "left_semi", "outer", "cross"):
+        with pytest.raises(ValueError, match="not a verified mode"):
+            jobs.interval_join_view_clicks(sv, sc, how=bad)
+
+
 def test_idempotent_batch_sink_replay_does_not_duplicate(spark, tmp_path):
     """foreachBatch's contract is at-least-once delivery of each batch;
     the idempotent sink must turn a batch REPLAY into a no-op overwrite
