@@ -104,6 +104,40 @@ def uncache_all() -> None:
             pass  # handle may belong to an already-stopped session
 
 
+def widen_scan(df: DataFrame, key: str) -> DataFrame:
+    """Scale-adaptive fan-out of a narrow scan before a heavy map stage
+    (optimization guide §2.5, "input skew: one huge unsplittable file").
+
+    The driver testdata writes every table as ONE parquet row group, and
+    Spark assigns a row group to the split containing its byte-midpoint —
+    so locally every scan stage runs as exactly ONE task and any heavy
+    per-row work layered on it (exact-percentile partial aggregation,
+    hyperplane/codebook HOF arithmetic, from_json parsing) serializes on
+    one core. This is the generalization of `operators/dedup.py:_widen`
+    (in the engine since r2 for the shingle family) to the other heavy
+    map stages, measured per consumer in OPTIMIZATION_r12.md.
+
+    Scale honesty: the width probe is `inputFiles()` — at 100 TB a table
+    scan is already split into ~128 MB tasks across many files, the probe
+    sees files >= the shuffle-partition target, and this is a NO-OP; only
+    a scan whose file count cannot feed the target parallelism pays the
+    one linear row-shuffle. Hash-partitioned by a deterministic `key`
+    column (never round-robin): retried map tasks reproduce the same
+    row-to-partition assignment (SPARK-38388) and no sort-before-
+    repartition pass is charged. Streaming frames pass through untouched.
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:
+        pass
+    return df.repartition(n, F.col(key))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every registered table (lazy; no jobs run)."""
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}

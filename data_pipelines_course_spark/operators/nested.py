@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from ..datasets import load
+from ..datasets import load, widen_scan
 from ..functions.scalar import fround
 from ..queries import query
 
@@ -66,7 +66,12 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # widen_scan (r12): the per-row from_json parse ran serially in the
+    # one-row-group scan task (guide §2.5); no-op at 100 TB. Measured
+    # 0.346 s -> see OPTIMIZATION_r12.md; grouped values are
+    # placement-independent (counts exact; the 2dp sum rounding absorbs
+    # partial-sum reordering).
+    ev = widen_scan(load(spark, sf_dir, "events"), "event_id")
     k = F.from_json("props", PROPS_SCHEMA).getField("k").alias("k")
     return (ev.groupBy(k)
             .agg(F.count(F.lit(1)).alias("cnt"),
