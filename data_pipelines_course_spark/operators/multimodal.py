@@ -37,6 +37,12 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     """Adapt the documents table into the MEDIA envelope shape: payload =
     utf-8 bytes of the text (a stand-in for encoded image/audio bytes),
     kind cycled deterministically from doc_id."""
+    # widen_scan was MEASURED AND REJECTED here (r12): repartitioning the
+    # 5k-row local corpus to 32 partitions before the Arrow stage tripled
+    # media_feature_extract's warm time (0.19 s -> 0.44 s) — per-task
+    # Python-worker/Arrow-batch startup dominates rows this small. At
+    # 100 TB the scan is already many tasks and the decode parallelizes
+    # without help (guide §4.5: amortize worker init over large batches).
     kind = (F.when(F.col("doc_id") % 3 == 0, "image")
             .when(F.col("doc_id") % 3 == 1, "audio")
             .otherwise("video"))

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datasets import load
+from ..datasets import load, widen_scan
 from ..functions.scalar import fround
 from ..queries import query
 
@@ -91,7 +91,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # widen_scan (r12): per-row regex tokenization ran serially in the
+    # one-row-group scan task (guide §2.5); no-op at 100 TB. Measured
+    # 0.286 s -> 0.215 s warm at sf0.1; per-row values unchanged.
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
     stop_hits = F.expr(_spark_hits(STOP_EN))
     return docs.select(
