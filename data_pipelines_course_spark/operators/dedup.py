@@ -421,6 +421,18 @@ def _lsh_banding_pairs(spark: SparkSession, sf_dir: str,
              .withColumn("bucket_n", F.count(F.lit(1)).over(bucket_w))
              .filter(F.col("bucket_n") <= MAX_BUCKET)
              .drop("bucket_n"))
+    # r12 optimization: stage the guarded band table. The self-join's
+    # small side goes through a BroadcastExchange, and exchange reuse
+    # does NOT fire across a broadcast boundary (the same reason the
+    # signature table above is staged), so _fanout's shared-exchange
+    # intent was defeated: the plan ran Generate→Exchange→Sort→Window
+    # TWICE, once per join side (plans/r12/minhash_lsh_pairs_before.txt,
+    # branches 1-7 vs 8-14). Staging materializes the banding + skew
+    # guard once; both sides scan the checkpoint. Measured 0.721 s ->
+    # 0.384 s warm at sf0.1 (min-of-7, interleaved); rows identical.
+    # Same digest-size argument as the signature checkpoint: (doc_id,
+    # band, band_hash) ≈ 20 B/row × bands_n — write-time layout at scale.
+    bands = stage(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -70,8 +70,12 @@ def json_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-row-group scan task (guide §2.5); no-op at 100 TB. Measured
     # 0.346 s -> see OPTIMIZATION_r12.md; grouped values are
     # placement-independent (counts exact; the 2dp sum rounding absorbs
-    # partial-sum reordering).
-    ev = widen_scan(load(spark, sf_dir, "events"), "event_id")
+    # partial-sum reordering). Widen key = `value`, a column the
+    # aggregate already needs (guide §2.3): keying on event_id read +
+    # shuffled a third column only to be dropped after the exchange.
+    # Measured 0.524 s -> 0.385 s warm at sf0.1 (min-of-7, interleaved);
+    # ReadSchema 3 -> 2 columns.
+    ev = widen_scan(load(spark, sf_dir, "events"), "value")
     k = F.from_json("props", PROPS_SCHEMA).getField("k").alias("k")
     return (ev.groupBy(k)
             .agg(F.count(F.lit(1)).alias("cnt"),

@@ -75,7 +75,15 @@ def flagship_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-5); values identical (medians are placement-exact, the 2dp
     # mean rounding already absorbs partial-sum reordering — docstring
     # above). No-op at 100 TB (inputFiles >= target ⇒ pass-through).
-    li = widen_scan(load(spark, sf_dir, "lineitem"), "l_orderkey")
+    # Widen key = l_extendedprice, a column the aggregate already needs
+    # (guide §2.3, project before the exchange): keying on l_orderkey
+    # read + shuffled a 6th column only to be dropped after the
+    # exchange. ~583k distinct doubles spread the 32-way hash evenly and
+    # the key is a real column, so retried map tasks repartition
+    # identically (SPARK-38388). Measured 1.115 s -> 0.889 s warm at
+    # sf0.1 (min-of-7, interleaved); ReadSchema 6 -> 5 columns
+    # (plans/r12/flagship_grouped_agg_{before,after}.txt).
+    li = widen_scan(load(spark, sf_dir, "lineitem"), "l_extendedprice")
     return li.groupBy("l_returnflag").agg(*_flagship_aggs())
 
 

@@ -34,15 +34,23 @@ from ..queries import query
     """,
 )
 def window_first_last_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization (guide §2.4): the ratio needs ONE row per user —
+    # the value at the min and max (ts, event_id) — so the full-frame
+    # window + DISTINCT (Exchange→Sort→Window over every event, then a
+    # second full-row agg to dedupe) is computed as a plain min_by/max_by
+    # aggregation instead: partial aggregation shrinks each scan task to
+    # one row per user BEFORE the exchange, the sort disappears, and the
+    # dedupe is free (groupBy emits one row per key). (ts, event_id) is
+    # the same total order the window used, so the selected values are
+    # identical — verified row-identical at sf0.001/0.01/0.1 and vs the
+    # unchanged DISTINCT-window oracle. Measured 0.372 s -> 0.293 s warm
+    # at sf0.1 interleaved; plan 2 exchanges + Sort + Window -> 1
+    # exchange of 1-row-per-user partials (plans/r12/).
     ev = load(spark, sf_dir, "events")
-    w = (Window.partitionBy("user_id")
-         .orderBy("ts", "event_id")
-         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return (ev.select(
-                "user_id",
-                (fround((F.last("value").over(w) / F.first("value").over(w)
-                          - 1) * 100, 2) + F.lit(0.0)).alias("pct_change"))
-            .distinct())
+    key = F.struct("ts", "event_id")
+    return (ev.groupBy("user_id")
+            .agg((fround((F.max_by("value", key) / F.min_by("value", key)
+                          - 1) * 100, 2) + F.lit(0.0)).alias("pct_change")))
 
 
 # ---------------------------------------------------------------------------
