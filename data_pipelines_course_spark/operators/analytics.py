@@ -222,13 +222,28 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_functions.py asserts <1% relative error against the exact
     twin on the real corpus. No SQL oracle: DuckDB's approx_quantile is
     a different sketch with different (valid) outputs — the exact twin
-    price_quantiles IS the ground truth the driver hash-checks."""
+    price_quantiles IS the ground truth the driver hash-checks.
+
+    r12 optimization (guide §1.2 "don't compute things you throw
+    away"): the original form called percentile_approx once PER
+    quantile — four independent ApproximatePercentile buffers each
+    ingesting every row, i.e. 4× the per-row sketch-update work for
+    four copies of the SAME sketch (same values, same order, same
+    accuracy ⇒ identical state). One call with an array of percentages
+    builds the sketch once and reads four order statistics out of it,
+    so the outputs are bit-identical to the four-agg form (verified by
+    collect-compare at sf0.1 and pinned by test). Measured 0.889 s ->
+    0.311 s warm at sf0.1 (min-of-7, interleaved); plan: 4
+    ObjectHashAggregate buffers -> 1."""
     li = load(spark, sf_dir, "lineitem")
     acc = 10000
-    return li.agg(*[
-        F.expr(f"percentile_approx(l_extendedprice, {q}, {acc})")
-        .alias(f"q{int(q * 100)}")
-        for q in (0.25, 0.5, 0.75, 0.95)])
+    qs = (0.25, 0.5, 0.75, 0.95)
+    arr = ", ".join(f"{q}D" for q in qs)
+    return (li.agg(F.expr(
+                f"percentile_approx(l_extendedprice, array({arr}), {acc})")
+            .alias("qs"))
+            .select(*[F.col("qs").getItem(i).alias(f"q{int(q * 100)}")
+                      for i, q in enumerate(qs)]))
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datasets import load
+from ..datasets import load, widen_scan
 from ..functions.scalar import fround
 from ..queries import ORACLES, query
 from ..staging import stage
@@ -185,8 +185,14 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transform lambda per element (O(tokens²) work per doc — measured
     4.6 s at sf0.1 vs 0.28 s staged, 16×). CollapseProject keeps the
     staging because each alias is non-cheap and referenced more than
-    once, so each array is computed exactly once per row."""
-    docs = load(spark, sf_dir, "documents")
+    once, so each array is computed exactly once per row.
+
+    r12: widen the single-row-group scan before the bigram HOF stage
+    (guide §2.5; same heavy-per-row-map rule as text_quality/gopher).
+    Per-row outputs, placement-independent; no-op at 100 TB. Measured
+    0.331 s -> 0.186 s warm at sf0.1 (min-of-7, interleaved);
+    hash_match at 3 SFs."""
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     return (docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
             .filter(F.size("w") >= 2)
             .select("doc_id",

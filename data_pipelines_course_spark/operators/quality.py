@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datasets import load
+from ..datasets import load, widen_scan
 from ..functions.scalar import fround, fround_sql
 from ..queries import query
 from .dedup import _DUCK_WORDS, _GRAMS5_OF_W, _DUCK_GRAMS5
@@ -86,8 +86,16 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffles, zero Python; the whole query is a map over the scan
     and at 100 TB runs at parquet-read speed. Thresholds compare in
     integer space (``3*n <= sum_len``) so keep/drop never depends on
-    float rounding."""
-    docs = load(spark, sf_dir, "documents")
+    float rounding.
+
+    r12: widen the single-row-group scan before the HOF stage
+    (guide §2.5) — the tokenize + aggregate/filter lambdas are exactly
+    the heavy-per-row-map profile the widen rule adopted for
+    text_quality; per-row outputs are placement-independent. No-op at
+    100 TB (the docstring's zero-shuffle claim still holds there).
+    Measured 0.192 s -> 0.117 s warm at sf0.1 (min-of-7, interleaved);
+    hash_match at 3 SFs."""
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     stops = ", ".join(f"'{s}'" for s in _STOPWORDS)
     staged = docs.select(
         "doc_id", F.expr(_SPARK_WORDS).alias("w"))

@@ -234,19 +234,42 @@ def lang_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the prediction is pure per-row codegen (stopword-hit CASE,
     same expressions as lang_id); the labels ride the SAME scan, so the
     only exchange is the (langs x predictions)-key aggregate; the share
-    window runs over that K-row result, never the corpus."""
-    docs = load(spark, sf_dir, "documents")
-    hits = {name: F.expr(_spark_hits(words)) for name, words in
-            (("en", STOP_EN), ("de", STOP_DE), ("fr", STOP_FR))}
+    window runs over that K-row result, never the corpus.
+
+    r12 optimization (guide §1.2 per-task work + §2.5): the CASE
+    branches originally inlined `_spark_hits` per reference — up to 7
+    evaluations of split(lower(text)) per row, because conditional
+    branches defeat codegen subexpression elimination. Tokenize ONCE
+    into an array projection, compute the three hit counts off it, and
+    branch on those ints; then widen the single-row-group scan so the
+    tokenize runs 32-way (the same per-row-regex-cost rule that
+    adopted text_quality's widen). Confusion cells are exact ints, so
+    placement cannot change any value; rows verified identical and
+    hash_match at 3 SFs. Measured 0.576 s -> 0.290 s warm at sf0.1
+    (min-of-7, interleaved: 0.58 -> 0.37 single-tokenize, -> 0.29
+    widened)."""
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("lang", F.split(F.lower("text"), r"\s+").alias("tk"))
+
+    def hits_of(words: tuple[str, ...]):
+        lst = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        return F.expr(f"size(filter(tk, x -> array_contains({lst}, x)))")
+
+    counted = toks.select(
+        "lang",
+        hits_of(STOP_EN).alias("h_en"),
+        hits_of(STOP_DE).alias("h_de"),
+        hits_of(STOP_FR).alias("h_fr"))
     predicted = (
-        F.when((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0),
-               "unknown")
-        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
-        .when(hits["de"] >= hits["fr"], "de")
+        F.when((F.col("h_en") == 0) & (F.col("h_de") == 0)
+               & (F.col("h_fr") == 0), "unknown")
+        .when((F.col("h_en") >= F.col("h_de"))
+              & (F.col("h_en") >= F.col("h_fr")), "en")
+        .when(F.col("h_de") >= F.col("h_fr"), "de")
         .otherwise("fr"))
     from pyspark.sql import Window
 
-    cells = (docs.select("lang", predicted.alias("predicted_lang"))
+    cells = (counted.select("lang", predicted.alias("predicted_lang"))
              .groupBy("lang", "predicted_lang")
              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
     lang_w = Window.partitionBy("lang")

@@ -114,6 +114,29 @@ def test_approx_quantiles_within_documented_error(spark):
         assert rel < 0.01, (col, e[col], a[col])
 
 
+def test_approx_quantiles_single_sketch_matches_per_quantile_aggs(spark):
+    """r12 optimization pin: the registered query builds ONE
+    percentile_approx sketch with an array of percentages; the original
+    form ran four independent single-percentage aggregates. Same
+    values, same order, same accuracy ⇒ identical sketch state, so the
+    two forms must agree bit-for-bit — this is what licenses the 4x
+    per-row work reduction without touching the rows-only contract."""
+    from pyspark.sql import functions as F
+
+    from data_pipelines_course_spark.datasets import load
+    from data_pipelines_course_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["price_quantiles_approx"](spark, sf).first()
+    li = load(spark, sf, "lineitem")
+    old = li.agg(*[
+        F.expr(f"percentile_approx(l_extendedprice, {q}, 10000)")
+        .alias(f"q{int(q * 100)}")
+        for q in (0.25, 0.5, 0.75, 0.95)]).first()
+    for col in ("q25", "q50", "q75", "q95"):
+        assert got[col] == old[col], (col, got[col], old[col])
+
+
 def test_vocab_typo_logic_on_planted_typos(spark):
     """The corpus vocabulary happens to contain no edit-distance-1
     frequency-skewed pairs (the registered query legitimately returns 0
