@@ -693,11 +693,22 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
                    F.transform(F.slice("by_freq", F.lit(1), plen),
                                lambda x: x["h"]).alias("pref"))
                .transform(stage))
+    # r12: carry n through the prefix explode and apply the AllPairs
+    # LENGTH filter inside the candidate join (guide §3.2 "reduce before
+    # you shuffle/verify"): J(A,B) = |∩|/|∪| <= min(n1,n2)/max(n1,n2),
+    # so J >= t requires t*n1 <= n2 AND t*n2 <= n1 — pairs of very
+    # different sizes are pruned BEFORE the dedup aggregate and the two
+    # verification joins, for one extra int per prefix row. Candidates
+    # 299,377 -> 193,148 at sf0.1; rows verified identical (256 pairs);
+    # 2.42 s -> 1.56 s warm (min-of-7, interleaved).
     prefix = _fanout(
-        docsets.select("doc_id", F.explode("pref").alias("h")), "h")
+        docsets.select("doc_id", "n", F.explode("pref").alias("h")), "h")
     a, b = prefix.alias("a"), prefix.alias("b")
+    t = F.lit(JACCARD_T)
     cand = (a.join(b, (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (t * F.col("a.n") <= F.col("b.n"))
+                   & (t * F.col("b.n") <= F.col("a.n")))
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .dropDuplicates(["doc1", "doc2"]))

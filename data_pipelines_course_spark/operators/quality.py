@@ -152,15 +152,29 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     total T comes from a LIGHT third branch (sum of array sizes — no
     explode, no token shuffle, 1-row broadcast) instead of a second
     explode→aggregate chain; identical to 4 decimals. The per-doc
-    aggregate is the only corpus-sized shuffle, keyed on doc_id."""
-    docs = load(spark, sf_dir, "documents")
+    aggregate is the only corpus-sized shuffle, keyed on doc_id.
+
+    r12 (guide §1.2 / §2.4): three changes, rows verified identical and
+    hash_match at 3 SFs. (a) The corpus total T is read off the vocab
+    count table (sum of c == token instances, exactly the old third
+    branch's sum(size(w))) instead of a third scan+tokenize of the
+    corpus. (b) The count table is staged: it fed the broadcast build
+    AND (now) the total, and exchange reuse does not cross a broadcast
+    boundary, so the tokenize+explode+aggregate pipeline ran once per
+    consumer; the checkpoint is vocab-sized (sublinear — a digest, not
+    the corpus). (c) widen_scan ahead of the tokenize (the heavy-
+    per-row-map rule). Measured 0.633 s -> 0.354 s warm at sf0.1
+    (min-of-7, interleaved); staging the corpus-sized token table
+    instead was measured WORSE (0.342 vs 0.303) and rejected."""
+    from ..staging import stage
+
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         "doc_id",
         F.explode(F.expr(_SPARK_WORDS)).alias("token"))
-    counts = (toks.groupBy("token")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    total = docs.select(F.expr(_SPARK_WORDS).alias("w")).agg(
-        F.sum(F.size("w")).cast("double").alias("t"))
+    counts = stage(toks.groupBy("token")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
     per_doc = (toks.join(counts, "token")
                .groupBy("doc_id")
                .agg(F.sum(F.log("c")).alias("sum_ln_c"),
@@ -210,8 +224,13 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     table that can never broadcast at 100 TB, which would force the
     aggregate-then-join form into shuffling BOTH sides on the gram
     anyway, plus a second corpus scan. Measured 1.8x over the
-    join form at sf0.1 (1.11 s vs 1.96 s)."""
-    docs = load(spark, sf_dir, "documents")
+    join form at sf0.1 (1.11 s vs 1.96 s).
+
+    r12: widen the single-row-group scan before the 5-gram HOF +
+    explode (guide §2.5, the heavy-per-row-map rule); counts are
+    placement-independent. Measured 0.802 s -> 0.610 s warm at sf0.1
+    (min-of-7, interleaved); hash_match at 3 SFs."""
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
     grams = (docs
              .select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
              .filter(F.size("w") >= 5)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..datasets import load
+from ..datasets import load, widen_scan
 from ..functions.scalar import fround, fround_sql
 from ..queries import query
 from ..memo import evict_stale
@@ -217,12 +217,16 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The token array is STAGED through a projection: inlining split()
     # into the lambda re-splits per element (O(tokens²) per doc; see
     # repetition_ratio for the measured 16× cost of that shape).
+    # r12: widen the single-row-group scan before the tokenize + 3-gram
+    # slide (guide §2.5, heavy-per-row-map rule — measured 0.793 s ->
+    # 0.493 s warm at sf0.1, min-of-7 interleaved; counts placement-
+    # independent, hash_match at 3 SFs; no-op at 100 TB).
     ngrams = F.expr(
         "CASE WHEN size(toks) >= 3 THEN"
         " transform(sequence(0, size(toks) - 3),"
         " i -> concat_ws(' ', slice(toks, i + 1, 3)))"
         " ELSE array() END")
-    return (docs
+    return (widen_scan(docs, "doc_id")
             .select("doc_id",
                     F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
             .select("doc_id", F.explode(ngrams).alias("ngram"))
