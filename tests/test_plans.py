@@ -435,26 +435,35 @@ def test_corpus_curation_full_anti_join_is_broadcast(spark):
     assert not any("SortMergeJoin" in s for s in strategies), strategies
 
 
-def test_gopher_flags_zero_shuffle_single_scan(spark):
-    """The Gopher filter is a pure map over the scan: zero exchanges,
-    one documents scan reading only (doc_id, text)."""
+def test_gopher_flags_single_scan_widen_only(spark):
+    """The Gopher filter is a pure map over the scan: the only exchange
+    is the scale-adaptive widening repartition ahead of the heavy HOF
+    stage (OPTIMIZATION_r12 #8 — a no-op at 100 TB via the
+    `inputFiles()` probe), one documents scan reading only
+    (doc_id, text)."""
     df = QUERIES["gopher_quality_flags"](spark, SF_DIR)
-    assert pa.exchange_count(df) == 0, pa.formatted_plan(df)
+    plan = pa.formatted_plan(df)
+    assert pa.exchange_count(df) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
     assert pa.codegen_stage_count(df) >= 1
 
 
 def test_unigram_score_broadcasts_vocab_not_corpus(spark):
-    """The vocab-count attachment must be a broadcast join (corpus side
-    never shuffles on the Zipf-skewed token key), and the total-T branch
-    must not re-explode (exactly two generate/explode nodes: toks and
-    the counts build)."""
+    """The vocab-count attachment must be a broadcast join, the corpus
+    side must never shuffle on the Zipf-skewed token key (its only
+    exchange is the widening repartition by doc_id), and the corpus is
+    tokenized exactly ONCE per execution — the vocab build and the
+    total-T branch both read the staged vocab table instead of
+    re-exploding the corpus (OPTIMIZATION_r12 #13: 3 corpus tokenize
+    pipelines -> 1 live + 1 behind the session-staged checkpoint)."""
     df = QUERIES["unigram_logprob_score"](spark, SF_DIR)
     plan = pa.formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(token" not in plan, plan
     import re
     explodes = re.findall(r"\(\d+\) Generate", plan)
-    assert len(explodes) == 2, plan
+    assert len(explodes) == 1, plan
 
 
 def test_scd2_single_exchange(spark):
