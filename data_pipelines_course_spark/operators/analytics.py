@@ -125,9 +125,13 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. range-repartition the values (the parallel-sort shuffle —
          every task sorts one value range; partition sizes bounded by
          maxPartitionBytes, never by data volume);
-      2. per-partition counts -> cumulative offsets (P rows, broadcast
-         back), so offset + within-partition row_number = exact global
-         rank without any global sort on one node;
+      2. per-partition counts -> ONE P-row collect gives n AND the
+         cumulative offsets (driver-side integer cumsum, re-attached as
+         a literal array indexed by pid), so offset + within-partition
+         row_number = exact global rank without any global sort on one
+         node — and without the old separate count() pass or the
+         counts-aggregate + window + broadcast join the stats job used
+         to re-derive (r12);
       3. pull the <=8 order statistics the 4 quantiles need and
          interpolate with quantile_cont's formula (lo*(1-f) + hi*f —
          see exact_quantiles for why the algebraic twin is not it).
@@ -166,9 +170,31 @@ def exact_quantiles(df: DataFrame, col: str,
             .withColumn("pid", F.spark_partition_id())
             .persist())
     try:
-        n = vals.count()
+        # ONE P-row collect supplies BOTH n and the per-partition rank
+        # offsets (r12 continuation, guide §1.2 "don't compute things
+        # you throw away"): the old form ran count() as its own pass and
+        # then re-derived the same per-pid counts INSIDE the stats job
+        # (aggregate + single-partition window + broadcast join), i.e.
+        # three passes over the cached values and two driver-visible
+        # jobs whose first threw away the breakdown the second needed.
+        # n = sum(cnt) is exactly count(); the cumulative offsets are
+        # integer arithmetic over <=P rows, computed driver-side (same
+        # "P rows: the only driver-adjacent state" bound as before) and
+        # re-attached as a LITERAL array indexed by pid — the stats job
+        # loses the counts aggregate, the window and the join outright.
+        # Measured 1.881 -> 1.523 s construction+collect at sf0.1
+        # (min-of-7, interleaved; cold 5.6 -> 2.3 s); values identical
+        # (plans/r12/price_quantiles_rankpass_{before,after}.txt).
+        cnt_rows = (vals.groupBy("pid")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect())
+        n = sum(r["cnt"] for r in cnt_rows)
         if n == 0:
             return {q: None for q in qs}
+        offs = [0] * n_parts
+        acc = 0
+        for row in sorted(cnt_rows, key=lambda r: r["pid"]):
+            offs[row["pid"]] = acc
+            acc += row["cnt"]
         # quantile_cont rank arithmetic (0-indexed): pos = q*(n-1);
         # need order statistics floor(pos) and ceil(pos), 1-indexed.
         need: set[int] = set()
@@ -178,17 +204,13 @@ def exact_quantiles(df: DataFrame, col: str,
             pos[q] = p
             need.add(int(p) + 1)
             need.add(min(int(p) + 2, n))
-        counts = (vals.groupBy("pid")
-                  .agg(F.count(F.lit(1)).alias("cnt")))
-        off_w = (Window.orderBy("pid")
-                 .rowsBetween(Window.unboundedPreceding, -1))
-        offsets = counts.select(
-            "pid", F.coalesce(F.sum("cnt").over(off_w), F.lit(0))
-            .alias("offset"))  # P rows: the only driver-adjacent state
         rank_w = Window.partitionBy("pid").orderBy("v")
-        stats = (vals.join(F.broadcast(offsets), "pid")
-                 .withColumn("r", F.row_number().over(rank_w)
-                             + F.col("offset"))
+        # long literals: global ranks overflow int32 beyond ~2e9 rows.
+        off_col = F.element_at(
+            F.array(*[F.lit(o).cast("long") for o in offs]),
+            F.col("pid") + 1)
+        stats = (vals.withColumn("r", F.row_number().over(rank_w)
+                                 + off_col)
                  .filter(F.col("r").isin(*need))
                  .select("r", "v").collect())
         by_rank = {int(row["r"]): float(row["v"]) for row in stats}

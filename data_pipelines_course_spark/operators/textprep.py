@@ -61,11 +61,23 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrub PII-shaped spans (emails, phone numbers) and a denylist of
     tracked terms from every document, emitting the redacted-text hash
     plus per-doc audit counters. Pure regexp_replace chain — one scan,
-    zero shuffles, codegen throughout; at 100 TB this is the canonical
-    map-only pass and its cost is the scan itself. The md5 lets the
-    oracle prove the REDACTED BYTES equal DuckDB's, not just the
-    counters."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    codegen throughout; at 100 TB this is the canonical map-only pass
+    and its cost is the scan itself. The md5 lets the oracle prove the
+    REDACTED BYTES equal DuckDB's, not just the counters.
+
+    r12: widen_scan ahead of the regex stage — five full-text
+    regexp_replace evaluations plus two rlike probes per row are the
+    heaviest per-row-regex profile in the registry (heavier than the
+    adopted text_quality/lang_confusion widens), and on the local
+    single-row-group files they serialized on one core. Measured 0.456
+    -> 0.233 s warm at sf0.1 (min-of-7, interleaved, every rep below
+    the old form); per-row outputs are placement-independent, and the
+    widen is a no-op at 100 TB via the `inputFiles()` probe
+    (plans/r12/pii_redaction_{before,after}.txt: the one exchange is
+    the REPARTITION_BY_NUM widen)."""
+    docs = widen_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), _EMAIL_RE, _MASK),

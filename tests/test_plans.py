@@ -334,10 +334,15 @@ def test_q21_exists_pair_is_one_order_aggregate(spark):
 # -- text-prep family (textprep, r3) -----------------------------------------
 
 def test_pii_redaction_is_map_only(spark):
-    """Redaction is a pure regexp_replace chain: zero exchanges, one
-    scan reading only (doc_id, text), fully inside codegen."""
+    """Redaction is a pure regexp_replace chain over one scan reading
+    only (doc_id, text), fully inside codegen; the only exchange is the
+    scale-adaptive widening repartition ahead of the heavy regex stage
+    (r12 continuation — a no-op at 100 TB via the `inputFiles()`
+    probe, the gopher_quality_flags idiom)."""
     df = QUERIES["pii_redaction"](spark, SF_DIR)
-    assert pa.exchange_count(df) == 0, pa.formatted_plan(df)
+    plan = pa.formatted_plan(df)
+    assert pa.exchange_count(df) == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
     assert sorted(pa.read_schema_columns(df)) == ["doc_id", "text"]
     assert pa.codegen_stage_count(df) >= 1
 
