@@ -285,21 +285,39 @@ def encode_docs_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme vocab it degrades to a shuffle join, not an OOM). The
     full-vocab rank is ONE window over the aggregated vocab (vocab-sized
     sort, not corpus-sized). A real BPE tokenizer replaces the vocab
-    CTE; the attachment plan is unchanged."""
+    CTE; the attachment plan is unchanged.
+
+    r12: (a) the (token, token_id) vocab table is STAGED — it feeds the
+    broadcast build, and exchange reuse does not cross a broadcast
+    boundary (the unigram_logprob_score #13 argument), so each
+    execution re-tokenized the corpus TWICE (vocab branch + probe
+    branch); the checkpoint is vocab-sized, a digest. (b) widen_scan
+    ahead of the posexplode (the heavy-per-row-map rule). Measured
+    0.510 -> 0.238 (staging) -> 0.179 s warm at sf0.1 (min-of-7,
+    interleaved three ways, every rep below); rows identical;
+    hash_match at 3 SFs. Plans:
+    plans/r12/encode_docs_to_ids_{before,after}.txt (2 corpus
+    tokenize pipelines per execution -> 1 live + the session-staged
+    vocab; the join stays a vocab broadcast)."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
+    from ..staging import stage
+
+    docs = widen_scan(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id")
     toks = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+"))
         .alias("pos", "token"))
-    vocab = (toks.groupBy("token")
-             .agg(F.count(F.lit(1)).alias("n"))
-             .withColumn("token_id",
-                         F.row_number().over(
-                             Window.orderBy(F.desc("n"), "token"))
-                         .cast("bigint"))
-             .select("token", "token_id"))
+    vocab = stage(
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("token_id",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("n"), "token"))
+                    .cast("bigint"))
+        .select("token", "token_id"))
     return (toks.join(vocab, "token")
             .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
                     "token_id"))
