@@ -42,6 +42,16 @@ def _duck_hits(words: tuple[str, ...]) -> str:
             f" x -> list_contains({_sql_list(words)}, x)))")
 
 
+def _hits_of_tk(words: tuple[str, ...]):
+    """Stopword hit count over a pre-tokenized `tk` array column — the
+    tokenize-once form of `_spark_hits` (r12, guide §1.2): CASE branches
+    defeat codegen subexpression elimination, so inlining _spark_hits
+    re-ran split(lower(text)) per branch reference; callers project the
+    token array once and branch on these ints instead."""
+    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return F.expr(f"size(filter(tk, x -> array_contains({arr}, x)))")
+
+
 # ---------------------------------------------------------------------------
 # Token counting: whitespace tokens + BPE-ish regex tokens.
 # ---------------------------------------------------------------------------
@@ -134,22 +144,29 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    hits = {name: F.expr(_spark_hits(words)) for name, words in
-            (("en", STOP_EN), ("de", STOP_DE), ("fr", STOP_FR))}
-    predicted = (
-        F.when((hits["en"] == 0) & (hits["de"] == 0) & (hits["fr"] == 0),
-               "unknown")
-        .when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr"))
-    return docs.select(
+    # r12: tokenize ONCE into an array projection and branch on the hit
+    # ints (the lang_confusion_report treatment, guide §1.2 — inlined
+    # _spark_hits re-evaluated split(lower(text)) per CASE branch), plus
+    # the single-row-group widen (§2.5). Measured 0.222 s -> 0.120 s
+    # warm at sf0.1 (min-of-7, interleaved); 5000 rows collect-identical;
+    # hash_match at 3 SFs.
+    docs = widen_scan(load(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id",
+                       F.split(F.lower("text"), r"\s+").alias("tk"))
+    counted = toks.select(
         "doc_id",
-        hits["en"].alias("hits_en"),
-        hits["de"].alias("hits_de"),
-        hits["fr"].alias("hits_fr"),
-        predicted.alias("predicted_lang"),
-    )
+        _hits_of_tk(STOP_EN).alias("hits_en"),
+        _hits_of_tk(STOP_DE).alias("hits_de"),
+        _hits_of_tk(STOP_FR).alias("hits_fr"))
+    predicted = (
+        F.when((F.col("hits_en") == 0) & (F.col("hits_de") == 0)
+               & (F.col("hits_fr") == 0), "unknown")
+        .when((F.col("hits_en") >= F.col("hits_de"))
+              & (F.col("hits_en") >= F.col("hits_fr")), "en")
+        .when(F.col("hits_de") >= F.col("hits_fr"), "de")
+        .otherwise("fr"))
+    return counted.select("doc_id", "hits_en", "hits_de", "hits_fr",
+                          predicted.alias("predicted_lang"))
 
 
 # ---------------------------------------------------------------------------
