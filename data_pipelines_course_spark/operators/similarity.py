@@ -337,21 +337,37 @@ def batch_ranked_topk(scored: DataFrame, k: int = TOP_K,
 
 def lsh_batch_topk(emb: DataFrame, probes: DataFrame,
                    n_tables: int | None = None,
-                   planes_per_table: int | None = None) -> DataFrame:
+                   planes_per_table: int | None = None,
+                   emb_b: DataFrame | None = None) -> DataFrame:
     """`ann_lsh_topk` semantics over a probe panel: bucket both sides
     with identical `lsh_bucket_cols()` signatures, equi-join on
     (table, bucket), dedup candidates, exact-cosine re-rank per probe.
     Either LSH parameter may be overridden alone — the other defaults
     to the registered value (ADVICE r8 #3: the old referee signature
-    raised TypeError on n_tables-without-planes).
+    raised TypeError on n_tables-without-planes). ``emb_b`` lets the
+    caller supply a pre-built (…, buckets) index table — the registered
+    query passes the staged write-time index (see ann_batch_topk);
+    referee knob sweeps keep building theirs inline.
 
     At 100 TB: `buckets` is a write-time index column, the panel is
     broadcast (panels are small by construction), and the only wide
     exchange is the per-probe window — partitioned by probe_id, so it
-    scales with panel size, not corpus size."""
+    scales with panel size, not corpus size.
+
+    r12 (guide §2.5): the deduped candidate set is hash-repartitioned on
+    vec_id BEFORE the corpus join-back, so the exact-cosine scoring
+    stage runs at the configured width — AQE coalesced the few-MB
+    distinct output to ONE partition locally, serializing ~51k
+    interpreted 64-dim cosines behind it (measured 2.18 s -> 0.74 s
+    warm at sf0.1). The exchange carries 16 B/row (probe_id, vec_id) —
+    narrower than both the scored rows and the index rows — and at
+    scale it stands where the join-back's own vec_id shuffle would be;
+    the per-probe window exchange still carries scored rows only."""
     L = N_TABLES if n_tables is None else n_tables
     p = PLANES_PER_TABLE if planes_per_table is None else planes_per_table
-    emb_b = emb.withColumn("buckets", F.array(*lsh_bucket_cols(L, p)))
+    if emb_b is None:
+        emb_b = emb.withColumn("buckets",
+                               F.array(*lsh_bucket_cols(L, p)))
     probe_b = (emb_b.join(F.broadcast(probes),
                           emb_b.vec_id == probes.probe_id)
                .select("probe_id",
@@ -362,8 +378,11 @@ def lsh_batch_topk(emb: DataFrame, probes: DataFrame,
                             (corp_b.t == probe_b.t)
                             & (corp_b.b == F.col("qb")))
                 .select("probe_id", "vec_id").distinct())
-    cands = (cand_ids
-             .join(emb.filter(norm("embedding") > 0), "vec_id")
+    n = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                      "32"))
+    cands = (cand_ids.repartition(n, F.col("vec_id"))
+             .join(emb_b.drop("buckets").filter(norm("embedding") > 0),
+                   "vec_id")
              .join(F.broadcast(probes), "probe_id")
              .filter(F.col("vec_id") != F.col("probe_id")))
     return batch_ranked_topk(batch_score(cands))
@@ -377,9 +396,20 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     amortize one pass over the bucket index — whereas `ann_lsh_topk`
     is its single-probe restriction (pinned equal on probe 0).
     Columns: (probe_id, vec_id, cos_sim), top-10 per probe.
-    Recall measured per round by ann_recall_referee.py."""
+    Recall measured per round by ann_recall_referee.py.
+
+    r12: the bucket index table is widened and staged (the ann_lsh_topk
+    treatment, same digest-gate precedent) — both join branches, the
+    norm-filtered corpus side and the probe panel previously recomputed
+    the 16-table hyperplane signatures per execution, serially in the
+    one-row-group scan task. Together with the candidate repartition in
+    lsh_batch_topk: 3.186 s -> 0.735 s warm at sf0.1 (min-of-7,
+    interleaved); 400 result rows collect-identical;
+    `SPARK_GRAFT_STAGING=none` re-derives full lineage."""
     emb = load(spark, sf_dir, "embeddings")
-    return lsh_batch_topk(emb, ann_probe_panel(emb))
+    emb_b = stage(widen_scan(emb, "vec_id")
+                  .withColumn("buckets", F.array(*lsh_bucket_cols())))
+    return lsh_batch_topk(emb, ann_probe_panel(emb_b), emb_b=emb_b)
 
 
 # --------------------------------------------------------------------------
@@ -757,15 +787,25 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: identical loop — centroid literals are KB-sized broadcasts,
     the per-iteration aggregate returns K rows regardless of corpus size,
-    and the persisted projection is the only thing that scales."""
+    and the persisted projection is the only thing that scales.
+
+    r12: the summary reads the shared staged serving index
+    (`_serving_index` — the same (nv, _cell) table ivf_kmeans_topk
+    serves from, one build per session) instead of re-running the
+    KMEANS_K-dot argmax per row per execution, and recomputes only the
+    SELECTED cell's dot: dot(nv, cents[_cell]) is the argmax's own
+    score, same zip_with/aggregate fold over the same literals, so the
+    value is bit-identical to _best_cell's "s". Measured 0.921 s ->
+    0.218 s warm at sf0.1 (min-of-7, interleaved); 16 rows
+    collect-identical; `SPARK_GRAFT_STAGING=none` re-derives lineage."""
     cents, _ = kmeans_train(spark, sf_dir)
     if not cents:  # nothing trainable: no cells
         return spark.createDataFrame(
             [], "cell int, n_vecs bigint, avg_cos double, min_cos double")
-    emb = _normalized(load(spark, sf_dir, "embeddings"))
-    best = _best_cell(cents)
-    return (emb.withColumn("_b", best)
-            .select(F.col("_b")["c"].alias("cell"), F.col("_b")["s"].alias("sc"))
+    idx = _serving_index(spark, sf_dir, None, cents)
+    cent_arr = "array(" + ", ".join(_arr_sql(c) for c in cents) + ")"
+    sc = dot("nv", f"element_at({cent_arr}, _cell + 1)")
+    return (idx.select(F.col("_cell").alias("cell"), sc.alias("sc"))
             .groupBy("cell")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
                  fround(F.avg("sc"), 4).alias("avg_cos"),
@@ -805,7 +845,19 @@ def semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cents:  # nothing trainable: no candidate pairs
         return spark.createDataFrame(
             [], "id1 bigint, id2 bigint, cos_sim double")
-    emb = _normalized(load(spark, sf_dir, "embeddings"))
+    # r12: widen the assignment stage and STAGE the finished (cell,
+    # vec_id, nv) side table (guide §2.4/§2.5) — the self-join consumed
+    # the whole assignment pipeline TWICE (exchange reuse cannot cross
+    # the counts broadcast boundary: K·SOFT dots, sort_array, explode,
+    # skew-split re-key per side per execution, with the lazy `nv`
+    # alias additionally collapsing into each centroid lambda — the
+    # _serving_index hazard). Staged, both sides scan one materialized
+    # table; at 100 TB that table IS the write-time cell layout the
+    # docstring promises. Measured 6.081 s -> 0.510 s warm at sf0.1
+    # (min-of-7, interleaved); 20 rows collect-identical;
+    # `SPARK_GRAFT_STAGING=none` re-derives full lineage.
+    emb = _normalized(widen_scan(load(spark, sf_dir, "embeddings"),
+                                 "vec_id"))
     scores = F.array(*[
         F.struct(dot("nv", _arr_sql(c)).alias("s"), F.lit(i).alias("c"))
         for i, c in enumerate(cents)])
@@ -819,13 +871,15 @@ def semdedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # far below the cap). The per-cell count table is K·SOFT rows —
     # a broadcast, never a shuffle of the corpus side.
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
-    side = (assigned
-            .join(F.broadcast(counts), on="cell")
-            .withColumn("_splits", F.ceil(F.col("_n") / SEMDEDUP_CELL_CAP))
-            .withColumn("cell", F.concat_ws(
-                "#", F.col("cell"),
-                F.pmod(F.xxhash64("vec_id"), F.col("_splits")).cast("int")))
-            .drop("_n", "_splits"))
+    side = stage(assigned
+                 .join(F.broadcast(counts), on="cell")
+                 .withColumn("_splits",
+                             F.ceil(F.col("_n") / SEMDEDUP_CELL_CAP))
+                 .withColumn("cell", F.concat_ws(
+                     "#", F.col("cell"),
+                     F.pmod(F.xxhash64("vec_id"),
+                            F.col("_splits")).cast("int")))
+                 .drop("_n", "_splits"))
     a = side.select(F.col("cell"), F.col("vec_id").alias("id1"),
                     F.col("nv").alias("nv1"))
     b = side.select(F.col("cell"), F.col("vec_id").alias("id2"),
