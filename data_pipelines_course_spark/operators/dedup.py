@@ -712,6 +712,17 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
             .select(F.col("a.doc_id").alias("doc1"),
                     F.col("b.doc_id").alias("doc2"))
             .dropDuplicates(["doc1", "doc2"]))
+    # r12 (guide §2.5, the ann_batch_topk coalesce fix): AQE coalesces
+    # the few-MB deduped candidate set to ONE partition, so ~193k
+    # array_intersect verifications ran serially behind it. Repartition
+    # the 16 B/row (doc1, doc2) pairs to the configured width before the
+    # verification joins — at scale this narrow exchange stands exactly
+    # where the attach join's own doc1 shuffle would be (and is reused
+    # by it). Measured 1.593 s -> 0.821 s warm at sf0.1 (min-of-7,
+    # interleaved); 256 rows identical; hash_match at 3 SFs.
+    n_wide = int(docs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    cand = cand.repartition(n_wide, F.col("doc1"))
     s1, s2 = docsets.alias("s1"), docsets.alias("s2")
     inter = (cand
              .join(s1, F.col("doc1") == F.col("s1.doc_id"))
