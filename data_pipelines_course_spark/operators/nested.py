@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-from ..datasets import load, widen_scan
+from ..datasets import load
 from ..functions.scalar import fround
 from ..queries import query
 
@@ -66,16 +66,17 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_group_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # widen_scan (r12): the per-row from_json parse ran serially in the
-    # one-row-group scan task (guide §2.5); no-op at 100 TB. Measured
-    # 0.346 s -> see OPTIMIZATION_r12.md; grouped values are
-    # placement-independent (counts exact; the 2dp sum rounding absorbs
-    # partial-sum reordering). Widen key = `value`, a column the
-    # aggregate already needs (guide §2.3): keying on event_id read +
-    # shuffled a third column only to be dropped after the exchange.
-    # Measured 0.524 s -> 0.385 s warm at sf0.1 (min-of-7, interleaved);
-    # ReadSchema 3 -> 2 columns.
-    ev = widen_scan(load(spark, sf_dir, "events"), "value")
+    # No widen_scan here (r13, VERDICT r12 #1): the r12 widen shuffled
+    # the full `props` JSON payload to parallelize from_json — the exact
+    # trade the props_map_stats/wordcount rejections argue against. The
+    # driver's gated ground truth (0.289 -> 0.681 s) and the r13
+    # quiet-box interleaved A/B (plain 0.366 vs widened 0.542 min-of-7,
+    # nearly every plain rep below the widened min) both show the
+    # payload shuffle costs more than the parallel parse gains; the r12
+    # local win was an artifact of that session's noisy box. At 100 TB
+    # the widen was a no-op anyway (inputFiles probe), so the serial-
+    # parse concern never applied at scale.
+    ev = load(spark, sf_dir, "events")
     k = F.from_json("props", PROPS_SCHEMA).getField("k").alias("k")
     return (ev.groupBy(k)
             .agg(F.count(F.lit(1)).alias("cnt"),
