@@ -38,8 +38,11 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:] or list(DEFAULT)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Round dir via env so the optimization round's deliverable lands in
+    # plans/r<N> without editing this script each round.
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"plan-dump-{tag}")
     spark.sparkContext.setLogLevel("ERROR")
