@@ -20,6 +20,8 @@ list_transform/list_sum pipeline.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from ..datasets import load, widen_scan
@@ -252,6 +254,32 @@ def lsh_bucket_cols(n_tables: int = N_TABLES,
     return cols
 
 
+# Session-scoped LSH bucket-index memo (r13, VERDICT r12 #3): both
+# ann_lsh_topk and ann_batch_topk serve from the SAME (vec_id, label,
+# embedding, buckets) table built with the registered LSH parameters,
+# but each constructed its own staged copy — two identical checkpoint
+# builds per session in the bench's cold pass (and one more per extra
+# construction). One memoized build per (session, sf_dir) is the
+# write-time index layout the docstrings promise; the _INDEX_MEMO /
+# _CLUSTER_MEMO pattern, stale sessions swept via evict_stale.
+_BUCKET_MEMO: dict[tuple, DataFrame] = {}
+
+
+def _bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged registered-parameter LSH bucket index, one build per
+    session. Referee knob sweeps (non-registered n_tables/planes) keep
+    building theirs inline via lsh_batch_topk."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BUCKET_MEMO.get(key)
+    if hit is not None:
+        return hit
+    evict_stale(_BUCKET_MEMO, key[0])
+    idx = stage(widen_scan(load(spark, sf_dir, "embeddings"), "vec_id")
+                .withColumn("buckets", F.array(*lsh_bucket_cols())))
+    _BUCKET_MEMO[key] = idx
+    return idx
+
+
 @query("ann_lsh_topk")  # rows-only: hyperplane hashing not SQL-oracle-able
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k for the fixed probe: candidates are the union of
@@ -266,9 +294,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     built once in the cold pass instead of recomputed per probe serve.
     Measured 0.709 s -> 0.153 s warm at sf0.1 (quiet machine, min-of-5);
     rows identical. Same staging precedent as the minhash/jaccard digest
-    family (r5); `SPARK_GRAFT_STAGING=none` re-derives from raw lineage."""
-    emb = stage(widen_scan(load(spark, sf_dir, "embeddings"), "vec_id")
-                .withColumn("buckets", F.array(*lsh_bucket_cols())))
+    family (r5); `SPARK_GRAFT_STAGING=none` re-derives from raw lineage.
+    r13: the build is shared with ann_batch_topk via _bucket_index."""
+    emb = _bucket_index(spark, sf_dir)
     probe = emb.filter(F.col("vec_id") == QUERY_VEC_ID).head()
     if probe is None:  # probe absent (zero-row corpus): no neighbors
         return _empty_topk(spark)
@@ -363,6 +391,14 @@ def lsh_batch_topk(emb: DataFrame, probes: DataFrame,
     narrower than both the scored rows and the index rows — and at
     scale it stands where the join-back's own vec_id shuffle would be;
     the per-probe window exchange still carries scored rows only."""
+    if emb_b is not None and not (n_tables is None
+                                  and planes_per_table is None):
+        # ADVICE r12: a prebuilt index carries its own LSH parameters —
+        # silently computing-and-ignoring an override here would serve
+        # buckets built with the index's original params.
+        raise ValueError(
+            "emb_b is prebuilt; n_tables/planes_per_table overrides "
+            "would be ignored — pass one or the other")
     L = N_TABLES if n_tables is None else n_tables
     p = PLANES_PER_TABLE if planes_per_table is None else planes_per_table
     if emb_b is None:
@@ -405,10 +441,12 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-group scan task. Together with the candidate repartition in
     lsh_batch_topk: 3.186 s -> 0.735 s warm at sf0.1 (min-of-7,
     interleaved); 400 result rows collect-identical;
-    `SPARK_GRAFT_STAGING=none` re-derives full lineage."""
+    `SPARK_GRAFT_STAGING=none` re-derives full lineage.
+    r13 (VERDICT r12 #3): the staged table is the SAME _bucket_index
+    build ann_lsh_topk serves from — one checkpoint per session, not
+    one per query family, halving the ANN-LSH share of the cold pass."""
     emb = load(spark, sf_dir, "embeddings")
-    emb_b = stage(widen_scan(emb, "vec_id")
-                  .withColumn("buckets", F.array(*lsh_bucket_cols())))
+    emb_b = _bucket_index(spark, sf_dir)
     return lsh_batch_topk(emb, ann_probe_panel(emb_b), emb_b=emb_b)
 
 
@@ -1099,8 +1137,14 @@ def _serving_index(spark: SparkSession, sf_dir: str,
     query over the same trained state shares one build. ``books`` /
     ``cents`` are the memoized deterministic training outputs (or
     None/[] when a consumer does not need that column)."""
+    # Digest the trained VALUES, not only their shapes (ADVICE r12): an
+    # interactive caller retraining with different hyperparameters (same
+    # k) in one session must not be served a stale _cell/codes column.
+    # repr() of Python floats round-trips exactly, so equal training
+    # outputs key identically and any value drift forces a fresh build.
+    digest = hashlib.md5(repr((books, cents)).encode()).hexdigest()
     memo_key = (spark.sparkContext.applicationId, sf_dir,
-                books is not None, len(cents) if cents else 0)
+                books is not None, len(cents) if cents else 0, digest)
     hit = _INDEX_MEMO.get(memo_key)
     if hit is not None:
         return hit
