@@ -115,66 +115,69 @@ def load_registry() -> None:
 # sweep (tests/test_parity.py) runs ALL oracle-backed queries every
 # round regardless of this ordering.
 DRIVER_FIRST: tuple[str, ...] = (
-    # Round 12 rotation: staleness-ratchet front (VERDICT r11 #4) — the
+    # Round 13 rotation: staleness-ratchet front (VERDICT r11 #4) — the
     # 50 names whose most recent driver CORRECTNESS row is oldest,
-    # ranked (latest round, name). Freshness at r12 start: the new r12
-    # registration (minhash_lsh_pairs_highrecall, never covered — ranks
-    # first by rule) + the 14 remaining r8 names + the 35
-    # alphabetically-first r9 names — exactly the tuple the guard test
-    # emits (max staleness stays bounded at <=4 rounds).
+    # ranked (latest round, name): the 15 remaining r9 names + the 35
+    # alphabetically-first r10 names — exactly the tuple the guard test
+    # emits (max staleness stays bounded). The r12-rewritten
+    # oracle-backed queries price_quantiles_approx, dispersion_stats,
+    # lang_id and the r13-touched json_group_by_key all land in this
+    # front; window_first_last_ratio / lang_token_stats rank just past
+    # 50 on the alphabetical tiebreak and are covered driver-side by
+    # the fast-tier test_parity sweep instead (VERDICT r12 #2).
     # tests/test_registry.py recomputes the ranking from the committed
     # CORRECTNESS files and fails with a paste-ready tuple when the
     # rotation goes stale.
-    "minhash_lsh_pairs_highrecall",
-    "tpch_q20_part_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_top_acctbal_per_nation",
-    "tpch_q3_unshipped_revenue",
-    "tpch_q4_late_shipment_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "train_eval_split_docs",
-    "type_token_ratio_by_source",
-    "unpivot_part_attrs",
-    "ann_batch_topk",
-    "ann_lsh_topk",
-    "approx_distinct_count",
-    "asof_join_latest_click",
-    "bpe_merge_table",
-    "bpe_token_stats",
-    "cogroup_conversion_lag",
-    "conversion_lag_native",
-    "corpus_curation_full",
-    "curation_attrition_report",
-    "customer_value_deciles",
-    "decontaminate_exact",
-    "decontaminate_lsh",
-    "decontaminate_ngram_hit",
-    "dedup_cluster_size_histogram",
-    "dedup_clusters",
-    "dedup_clusters_twostar",
-    "dedup_exact",
-    "dedup_keep_best",
-    "dup_span_report",
-    "dup_span_trim",
-    "embedding_kmeans",
-    "embedding_neardup_topk",
-    "flagship_grouped_agg",
-    "ivf_kmeans_topk",
-    "ivf_pq_topk",
-    "ivf_topk",
-    "key_uniqueness_report",
-    "media_dedup_hash",
-    "minhash_lsh_pairs",
-    "ngram_jaccard_threshold",
-    "ngram_jaccard_threshold_prefix",
-    "ngram_jaccard_topk",
-    "ngram_novelty_report",
-    "pack_sequences",
+    "pii_redaction",
+    "pq_topk",
+    "price_quantiles",
+    "price_quantiles_approx",
+    "quality_mixture_sample",
+    "quantity_quantiles_by_flag",
+    "quantity_quantiles_by_flag_approx",
+    "range_join_click_count",
+    "range_position",
+    "table_profile_orders",
+    "temperature_resample_docs",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "vocabulary_build",
+    "weighted_sample_docs",
+    "anti_join_stopwords",
+    "array_element_extract",
+    "array_mean",
+    "array_size",
+    "array_transform_norm",
+    "broadcast_join",
+    "case_when_bucket",
+    "contamination_report",
+    "corpus_curation",
+    "cube_agg",
+    "derived_datetime_parts",
+    "deterministic_sample_docs",
+    "dispersion_stats",
+    "distinct_count",
+    "doc_fingerprint",
+    "doc_length_stats",
+    "duplicate_ratio_report",
+    "embedding_norm_stats",
+    "except_inactive_customers",
+    "explode_array_agg",
+    "filter_contains",
+    "filter_date_window",
+    "filter_equality",
+    "global_minmax",
+    "grouped_count",
+    "grouped_hour_sum",
+    "grouping_sets_agg",
+    "intersect_nation_keys",
+    "join_multiway_revenue",
+    "json_extract_props",
+    "json_group_by_key",
+    "lag_lead_delta",
+    "lang_id",
+    "literal_and_cast",
+    "moving_average",
 )
 
 
