@@ -155,6 +155,7 @@ def test_corpus_digest():
         "CORPUS_DIGEST_V13 if intentional")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS)
 def test_fuzz_parity(spark, duck, seed):
     q = generate(seed)
@@ -162,6 +163,7 @@ def test_fuzz_parity(spark, duck, seed):
                         name=f"fuzz[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V2)
 def test_fuzz_parity_v2(spark, duck, seed):
     """Null-semantics corpus: LEFT OUTER joins, count(col) vs count(*),
@@ -171,6 +173,7 @@ def test_fuzz_parity_v2(spark, duck, seed):
                         name=f"fuzz_v2[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V3)
 def test_fuzz_parity_v3(spark, duck, seed):
     """Window / set-op / subquery corpus: rank family + lag/lead +
@@ -182,6 +185,7 @@ def test_fuzz_parity_v3(spark, duck, seed):
                         name=f"fuzz_v3[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V4)
 def test_fuzz_parity_v4(spark, duck, seed):
     """Nested-aggregation / scalar-subquery corpus: agg-of-agg over a
@@ -193,6 +197,7 @@ def test_fuzz_parity_v4(spark, duck, seed):
                         name=f"fuzz_v4[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V5)
 def test_fuzz_parity_v5(spark, duck, seed):
     """Scalar-function pipeline corpus (§2.8 surface): composed regex
@@ -205,6 +210,7 @@ def test_fuzz_parity_v5(spark, duck, seed):
                         name=f"fuzz_v5[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V6)
 def test_fuzz_parity_v6_stream(spark, duck, seed):
     """Batch <-> stream differential parity: one seeded aggregation AST
@@ -219,6 +225,7 @@ def test_fuzz_parity_v6_stream(spark, duck, seed):
                         name=f"fuzz_v6_stream[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V7)
 def test_fuzz_parity_v7(spark, duck, seed):
     """Temporal-join corpus: the engine's CUSTOM as-of join (union +
@@ -230,6 +237,7 @@ def test_fuzz_parity_v7(spark, duck, seed):
                         name=f"fuzz_v7[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V9)
 def test_fuzz_parity_v9_watermark_stream(spark, seed):
     """Append-mode watermark streaming corpus: a seeded late/out-of-order
@@ -247,6 +255,7 @@ def test_fuzz_parity_v9_watermark_stream(spark, seed):
                         name=f"fuzz_v9[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V10)
 def test_fuzz_parity_v10_session_stream(spark, seed):
     """Session-window streaming corpus: seeded late/out-of-order feeds
@@ -263,6 +272,7 @@ def test_fuzz_parity_v10_session_stream(spark, seed):
                         name=f"fuzz_v10[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V11)
 def test_fuzz_parity_v11_interval_join_stream(spark, seed):
     """Stream-stream interval-join corpus: two watermarked sides (split
@@ -280,6 +290,7 @@ def test_fuzz_parity_v11_interval_join_stream(spark, seed):
                         name=f"fuzz_v11[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V12)
 def test_fuzz_parity_v12_outer_interval_join_stream(spark, seed):
     """LEFT-OUTER stream-stream interval-join corpus (v11's scoped-out
@@ -297,6 +308,7 @@ def test_fuzz_parity_v12_outer_interval_join_stream(spark, seed):
                         name=f"fuzz_v12[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V13)
 def test_fuzz_parity_v13_right_outer_interval_join_stream(spark, seed):
     """RIGHT-OUTER stream-stream interval-join corpus: the mirror of
@@ -314,6 +326,7 @@ def test_fuzz_parity_v13_right_outer_interval_join_stream(spark, seed):
                         name=f"fuzz_v13[{seed}]: {q.sql()}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", SEEDS_V8)
 def test_fuzz_parity_v8(spark, duck, seed):
     """Multi-level aggregation corpus: ROLLUP/CUBE over 2-3 non-null
