@@ -104,6 +104,18 @@ def uncache_all() -> None:
             pass  # handle may belong to an already-stopped session
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """The session's configured shuffle width, safely parsed (ADVICE
+    r12): the raw conf read was duplicated at three sites and would
+    raise ValueError if a deployment ever sets the conf to a
+    non-numeric value (e.g. 'auto' under some managed runtimes). One
+    helper, one fallback (the engine's local default of 32)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        return 32
+
+
 def widen_scan(df: DataFrame, key: str) -> DataFrame:
     """Scale-adaptive fan-out of a narrow scan before a heavy map stage
     (optimization guide §2.5, "input skew: one huge unsplittable file").
@@ -128,8 +140,7 @@ def widen_scan(df: DataFrame, key: str) -> DataFrame:
     """
     if df.isStreaming:
         return df
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = shuffle_width(df.sparkSession)
     try:
         if len(df.inputFiles()) >= n:
             return df

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..datasets import load
+from ..datasets import load, shuffle_width
 from ..functions.scalar import fround, fround_sql
 from ..queries import query
 
@@ -156,7 +156,7 @@ def exact_quantiles(df: DataFrame, col: str,
     spark = df.sparkSession
     from pyspark.sql import Window
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_width(spark)
     # Cache the range-partitioned values: pid assignment comes from a
     # SAMPLED range partitioner, so the counts branch and the rank
     # branch must see the SAME materialized partitioning (re-evaluating

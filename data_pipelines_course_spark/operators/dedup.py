@@ -54,7 +54,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..datasets import load
+from ..datasets import load, shuffle_width
 from ..functions.scalar import fround
 from ..queries import query
 from ..staging import stage
@@ -72,8 +72,7 @@ def _fanout(df: DataFrame, *cols: str) -> DataFrame:
     stage's parallelism, and — being keyed on the join columns — lets
     Catalyst reuse a single exchange for both sides of the self-join, so
     shingling/banding is computed once, not twice."""
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = shuffle_width(df.sparkSession)
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
@@ -98,8 +97,7 @@ def _widen(df: DataFrame) -> DataFrame:
     pays the one linear row-shuffle."""
     if df.isStreaming:
         return df
-    spark = df.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = shuffle_width(df.sparkSession)
     try:
         if len(df.inputFiles()) >= n:
             return df
@@ -720,9 +718,8 @@ def ngram_jaccard_threshold_prefix(spark: SparkSession,
     # where the attach join's own doc1 shuffle would be (and is reused
     # by it). Measured 1.593 s -> 0.821 s warm at sf0.1 (min-of-7,
     # interleaved); 256 rows identical; hash_match at 3 SFs.
-    n_wide = int(docs.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
-    cand = cand.repartition(n_wide, F.col("doc1"))
+    cand = cand.repartition(shuffle_width(docs.sparkSession),
+                            F.col("doc1"))
     s1, s2 = docsets.alias("s1"), docsets.alias("s2")
     inter = (cand
              .join(s1, F.col("doc1") == F.col("s1.doc_id"))

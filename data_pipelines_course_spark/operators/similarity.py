@@ -24,7 +24,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..datasets import load, widen_scan
+from ..datasets import load, shuffle_width, widen_scan
 from ..staging import stage
 from ..functions.scalar import fround
 from ..queries import query
@@ -414,8 +414,7 @@ def lsh_batch_topk(emb: DataFrame, probes: DataFrame,
                             (corp_b.t == probe_b.t)
                             & (corp_b.b == F.col("qb")))
                 .select("probe_id", "vec_id").distinct())
-    n = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                      "32"))
+    n = shuffle_width(emb.sparkSession)
     cands = (cand_ids.repartition(n, F.col("vec_id"))
              .join(emb_b.drop("buckets").filter(norm("embedding") > 0),
                    "vec_id")

@@ -42,14 +42,19 @@ def _duck_hits(words: tuple[str, ...]) -> str:
             f" x -> list_contains({_sql_list(words)}, x)))")
 
 
-def _hits_of_tk(words: tuple[str, ...]):
-    """Stopword hit count over a pre-tokenized `tk` array column — the
+def _hits_of_tk(words: tuple[str, ...], tk: str = "tk"):
+    """Stopword hit count over a pre-tokenized token-array column — the
     tokenize-once form of `_spark_hits` (r12, guide §1.2): CASE branches
     defeat codegen subexpression elimination, so inlining _spark_hits
     re-ran split(lower(text)) per branch reference; callers project the
-    token array once and branch on these ints instead."""
-    arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
-    return F.expr(f"size(filter(tk, x -> array_contains({arr}, x)))")
+    token array once and branch on these ints instead.
+
+    Column-API form (ADVICE r12): the token column name is a parameter
+    and the stopword literals go through F.lit, so a word containing a
+    quote can never break an interpolated SQL string. Same expression
+    tree as the former F.expr rendering."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(F.col(tk), lambda x: F.array_contains(arr, x)))
 
 
 # ---------------------------------------------------------------------------
