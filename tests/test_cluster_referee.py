@@ -21,6 +21,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# Referee suite: long-tail tier (VERDICT r12 #2) — deselected from the
+# default fast tier; runs builder-side with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
+
 from driver_sim import CLUSTER_REFEREE, cluster_referee_frames
 from data_pipelines_course_spark.queries import all_oracles, load_registry
 

@@ -24,6 +24,13 @@ corpus makes it meaningful.
 
 from __future__ import annotations
 
+import pytest
+
+# Referee suite: long-tail tier (VERDICT r12 #2) — deselected from the
+# default fast tier; runs builder-side with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
+
 from data_pipelines_course_spark.queries import all_queries
 
 SF_DIR = "/root/testdata/sf0.01"

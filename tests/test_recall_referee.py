@@ -20,6 +20,13 @@ load-bearing properties at sf0.01, where everything is cheap:
 
 from __future__ import annotations
 
+import pytest
+
+# Referee suite: long-tail tier (VERDICT r12 #2) — deselected from the
+# default fast tier; runs builder-side with -m "slow or not slow".
+pytestmark = pytest.mark.slow
+
+
 import duckdb
 
 from recall_referee import (
