@@ -346,9 +346,36 @@ def main() -> None:
         print(f"  (extra) {name}: {extra[name]:.3f}s "
               f"(cold {extra_cold[name]:.3f}s)", file=sys.stderr)
 
+    # Cold breakdown per staged family (VERDICT r12 #3): the cold pass
+    # carries every one-time staging build (serving indexes, LSH/vocab
+    # digests), so the per-family subtotal prices the staging budget a
+    # reader would otherwise have to reconstruct from 80 cold numbers.
+    # Groupings are the queries whose cold pays each family's build;
+    # queries not listed are ordinary cold (codegen + scan warmup).
+    staged_families = {
+        "ann_serving_index": ("ann_lsh_topk", "ivf_topk", "pq_topk",
+                              "ivf_pq_topk"),
+        "lsh_digests": ("minhash_lsh_pairs", "simhash_pairs",
+                        "ngram_jaccard_threshold_prefix",
+                        "decontaminate_lsh", "decontaminate_exact",
+                        "decontaminate_ngram_hit"),
+        "curation_digests": ("corpus_curation", "corpus_curation_full",
+                             "contamination_report",
+                             "curation_attrition_report",
+                             "quality_mixture_sample"),
+        "vocab_digests": ("encode_docs_to_ids", "unigram_logprob_score"),
+        "span_words": ("dup_span_report", "dup_span_trim"),
+    }
+    both_cold = dict(cold)
+    both_cold.update(extra_cold)
+    staging_cold = {
+        fam: round(sum(both_cold.get(q, 0.0) for q in qs_), 3)
+        for fam, qs_ in staged_families.items()
+    }
     # Full detail (cold per-query + extras) on stderr for NOTES/PLAN_AUDIT.
     print(json.dumps({"cold_queries": cold, "extra_queries": extra,
-                      "extra_cold_queries": extra_cold}),
+                      "extra_cold_queries": extra_cold,
+                      "staging_cold_families": staging_cold}),
           file=sys.stderr, flush=True)
     spark.stop()
     # LAST line on stdout: the same short headline dict.
